@@ -1,0 +1,130 @@
+package graft.urlkit
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-value suite: the 15 hardcoded fingerprints from
+  * `/root/reference/tests/test_utils_request.py:65-141` plus the behavioral
+  * properties from the same file (`:143-152,186-217`). These pin the
+  * canonicalize_url + JSON framing + SHA-1 chain byte-for-byte. */
+class FingerprintSpec extends AnyFunSuite {
+
+  private def fp(
+      url: String,
+      method: String = "GET",
+      body: Array[Byte] = Array.emptyByteArray,
+      includeHeaders: Seq[(String, Seq[String])] = Nil,
+      keepFragments: Boolean = false): String =
+    UrlKit.toHex(UrlKit.fingerprint(
+      UrlKit.safeUrlString(url), method, body, includeHeaders, keepFragments))
+
+  private val A = Seq("a" -> Seq("B")) // headers {"A": b"B"}, name lowercased
+
+  test("15 golden hashes (test_utils_request.py test_hashes)") {
+    assert(fp("http://example.org") === "7873d70c33756a15fed7649ba909e064bf9c5844")
+    assert(fp("https://example.org") === "c03485502caa9106f874b4bd2ad9e98a3a6dc36c")
+    assert(fp("https://example.org?a") === "47adb8436b191ced83382c01c4de3beea594610c")
+    assert(fp("https://example.org?a=b") === "02344d59628ac21ebc3ed6ac2ada9c46c1727f17")
+    assert(fp("https://example.org?a=b&a") === "742be82afb84e3761a7d8870c0cc42d79dfe7a96")
+    assert(fp("https://example.org?a=b&a=c") === "da1e63d09c087360b49be2b652f86befea5147ef")
+    assert(fp("https://example.org", method = "POST") === "9dcd410f54023acaa07d90da0542de648a4e371d")
+    assert(fp("https://example.org", body = "a".getBytes) === "c3347a3ed8998bda3705729949a8a0783ba4315f")
+    assert(fp("https://example.org", method = "POST", body = "a".getBytes) === "3560e27934d09deee0ba74778751e84fd738fce7")
+    assert(fp("https://example.org#a") === "c03485502caa9106f874b4bd2ad9e98a3a6dc36c")
+    assert(fp("https://example.org#a", includeHeaders = A) === "5dc71ff2af4732bca4fa990a3333da189481552e")
+    assert(fp("https://example.org#a", keepFragments = true) === "3c1aeb8579de57fbdc7188eeaf17dd0cbf48181f")
+    assert(fp("https://example.org#a", includeHeaders = A, keepFragments = true) === "c1ef7e949b53c18309dc7a389fdc7b1116492e11")
+    assert(fp("https://example.org/ab") === "4ee56cb812406977e2f31b70eaff702175e28ac6")
+    assert(fp("https://example.org/a", body = "b".getBytes) === "5f4e4f76bc6f2436fc579fb234679fbbdda832c5")
+  }
+
+  test("query string key order is irrelevant") {
+    assert(fp("http://www.example.com/query?id=111&cat=222")
+      === fp("http://www.example.com/query?cat=222&id=111"))
+  }
+
+  test("query string without value is significant") {
+    assert(fp("http://www.example.com/hnnoticiaj1.aspx?78132,199")
+      !== fp("http://www.example.com/hnnoticiaj1.aspx?78160,199"))
+  }
+
+  test("fragments ignored unless kept") {
+    val plain = fp("http://www.example.com/test.html")
+    val frag = fp("http://www.example.com/test.html#fragment")
+    assert(plain === frag)
+    assert(plain === fp("http://www.example.com/test.html", keepFragments = true))
+    assert(frag !== fp("http://www.example.com/test.html#fragment", keepFragments = true))
+  }
+
+  test("method and body are significant") {
+    val r1 = fp("http://www.example.com")
+    val r2 = fp("http://www.example.com", method = "POST")
+    val r3 = fp("http://www.example.com", method = "POST", body = "request body".getBytes)
+    assert(r1 !== r2)
+    assert(r2 !== r3)
+  }
+
+  test("part separation (url/body boundary)") {
+    assert(fp("http://www.example.com/foo")
+      !== fp("http://www.example.com/f", body = "oo".getBytes))
+  }
+}
+
+/** canonicalize_url behavior pins (w3lib-documented semantics). */
+class CanonicalizeSpec extends AnyFunSuite {
+  import UrlKit.canonicalizeUrl
+
+  test("bare domain gains '/' path") {
+    assert(canonicalizeUrl("http://example.org") === "http://example.org/")
+  }
+  test("sorts query args by key then value, keeps blanks") {
+    assert(canonicalizeUrl("https://example.org?a=b&a") === "https://example.org/?a=&a=b")
+    assert(canonicalizeUrl("http://h.test/p?b=2&a=1&a=0") === "http://h.test/p?a=0&a=1&b=2")
+  }
+  test("lowercases scheme and netloc, not path") {
+    assert(canonicalizeUrl("HTTP://WWW.Example.ORG/Path") === "http://www.example.org/Path")
+  }
+  test("drops fragment by default, keeps on request") {
+    assert(canonicalizeUrl("http://h.test/p#frag") === "http://h.test/p")
+    assert(canonicalizeUrl("http://h.test/p#frag", keepFragments = true) === "http://h.test/p#frag")
+  }
+  test("normalizes percent-encoding case and decodes unreserved") {
+    assert(canonicalizeUrl("http://h.test/a%c2%b5b") === "http://h.test/a%C2%B5b")
+    assert(canonicalizeUrl("http://h.test/%7Euser") === "http://h.test/~user")
+  }
+  test("keeps encoded slashes, uppercased") {
+    assert(canonicalizeUrl("http://h.test/a%2fb") === "http://h.test/a%2Fb")
+  }
+  test("strips empty port colon") {
+    assert(canonicalizeUrl("http://h.test:/p") === "http://h.test/p")
+  }
+  test("spaces in query become plus") {
+    assert(canonicalizeUrl("http://h.test/p?q=a b") === "http://h.test/p?q=a+b")
+  }
+  test("idempotent on canonical output") {
+    val urls = Seq(
+      "http://example.org", "https://example.org?a=b&a", "http://h.test/a%2fb",
+      "http://h.test/p?q=a b", "HTTP://H.test:80/P?z=1&y=%20", "http://h.test/./a/../b")
+    for (u <- urls) {
+      val c = canonicalizeUrl(u)
+      assert(canonicalizeUrl(c) === c, s"not idempotent for $u")
+    }
+  }
+}
+
+class UrlJoinSpec extends AnyFunSuite {
+  import UrlKit.urljoin
+  test("relative paths") {
+    assert(urljoin("http://h.test/a/b.html", "c.html") === "http://h.test/a/c.html")
+    assert(urljoin("http://h.test/a/b.html", "/c.html") === "http://h.test/c.html")
+    assert(urljoin("http://h.test/a/b/", "../c") === "http://h.test/a/c")
+    assert(urljoin("http://h.test/a/b/", "./c") === "http://h.test/a/b/c")
+  }
+  test("absolute and protocol-relative") {
+    assert(urljoin("http://h.test/a", "http://other.test/x") === "http://other.test/x")
+    assert(urljoin("http://h.test/a", "//other.test/x") === "http://other.test/x")
+  }
+  test("query/fragment-only refs") {
+    assert(urljoin("http://h.test/a?x=1", "?y=2") === "http://h.test/a?y=2")
+    assert(urljoin("http://h.test/a", "#f") === "http://h.test/a#f")
+  }
+}
