@@ -1,0 +1,107 @@
+package graft
+
+/** The politeness budget + crawl knobs — part of the deterministic-replay
+  * contract (both the oracle and the Spark engine take the same config).
+  * Defaults mirror `scrapy/settings/default_settings.py:219-245,454-484`
+  * except where determinism requires pinning (randomizeDelay=false, cf.
+  * `extras/qpsclient.py:6`).
+  *
+  * == Epoch-BSP crawl contract (the spec both sides implement) ==
+  *
+  * Virtual time, never wall clock. Epoch k spans [k*epochMs, (k+1)*epochMs).
+  *
+  *  1. Per-host fetch budget per epoch:
+  *     `budget = max(1, epochMs / max(delayMs,1))` capped at
+  *     `maxPerHostPerEpoch`. A host that still needs its robots.txt spends
+  *     its first slot of the epoch on the robots fetch (reference fetches
+  *     robots at priority 1000 before any page of that host,
+  *     `scrapy/downloadermiddlewares/robotstxt.py:82-136`).
+  *  2. Dequeue order per host (reference `scrapy/pqueues.py:143-198` +
+  *     start-queue separation `:146-186`, LIFO default
+  *     `default_settings.py:480-484`): sort by
+  *       (priority DESC,
+  *        isStart ASC,            -- non-start served before start at eq prio
+  *        discovery LIFO: (dEpoch,dParent,dLink) DESC for non-start;
+  *        start requests always FIFO: discovery ASC)
+  *     take the first `budget` rows.
+  *  3. Robots-disallowed dequeued rows are dropped (counter
+  *     `robotstxt/forbidden`; their fp stays in url_seen — the reference
+  *     inserts into url_seen at schedule time, before robots runs,
+  *     SURVEY.md §2.7). They do not consume a politeness slot.
+  *  4. Virtual fetch times per host: t_0 = max(lastT_h + delayMs, epochStart),
+  *     t_{i+1} = t_i + delayMs; lastT_h := t_last. Robots fetch takes the
+  *     first slot when pending.
+  *  5. Global fetch-log order within the epoch: (virtualT ASC, host ASC,
+  *     per-host index ASC); `seq` continues across epochs.
+  *  6. Fetch = corpus lookup by sanitized URL (unknown → 404). Status counts
+  *     recorded as `downloader/response_status_count/<n>`.
+  *  7. Rewrites (candidates for epoch k+1):
+  *     - 301/302/303/307/308 + location (`scrapy/downloadermiddlewares/
+  *       redirect.py:27-181`): urljoin target, priority+2, redirectTimes+1
+  *       (drop past 20), dLink=-1, inherits dontFilter.
+  *     - retryable status in {500,502,503,504,522,524,408,429}
+  *       (`retry.py:38-179`): same url, priority-1, retryTimes+1 up to
+  *       retryTimes, dontFilter=true, dLink=-2.
+  *     - 2xx: links extracted in order; per-doc first-wins dedup on
+  *       canonicalize_url(href, keepFragments=true)
+  *       (`lxmlhtml.py:56-58,282-283`); filters: scheme in {http,https,ftp,
+  *       file}, not nofollow, extension not in IGNORED_EXTENSIONS, length <=
+  *       urlLengthLimit, depth+1 <= depthLimit (0=off); child priority =
+  *       parentPriority - depthPriority*... reference: new Request priority 0
+  *       then DepthMiddleware does `priority -= depth*depthPriority`
+  *       (`depth.py:81-101`) → child priority = -childDepth*depthPriority.
+  *  8. Dupefilter (`scrapy/dupefilters.py:94-105` via scheduler `:343-345`):
+  *     candidates processed in discovery order; dontFilter rows bypass (no
+  *     seen-check, no insert); otherwise first-wins on fp against
+  *     url_seen ∪ earlier-in-batch; inserted on miss; drops counted as
+  *     `dupefilter/filtered`; enqueues as `scheduler/enqueued`.
+  *  9. Stop when frontier is empty, or maxEpochs reached, or total page
+  *     fetches ≥ closespiderPageCount (`extensions/closespider.py`).
+  *
+  * Deviation from the reference (documented, SURVEY.md §7.3): the reference
+  * interleaves newly discovered links into the live queues mid-download;
+  * the epoch-BSP model makes discoveries eligible at the next epoch. The
+  * oracle replays these same BSP semantics, so conformance is exact.
+  */
+final case class CrawlConfig(
+    delayMs: Long = 100, // DOWNLOAD_DELAY (virtual ms)
+    epochMs: Long = 1000, // virtual epoch duration
+    maxPerHostPerEpoch: Int = 16, // cap on budget (CONCURRENT_* analogue)
+    depthLimit: Int = 0, // DEPTH_LIMIT, 0 = off
+    depthPriority: Int = 0, // DEPTH_PRIORITY (1 → BFO)
+    queueOrder: String = "lifo", // "lifo" (DFO, default) | "fifo" (BFO)
+    robotsObey: Boolean = true, // north-rule runs enable it
+    robotsUserAgent: String = "graftbot",
+    retryTimes: Int = 2, // RETRY_TIMES
+    maxRedirectTimes: Int = 20, // REDIRECT_MAX_TIMES
+    urlLengthLimit: Int = 2083, // URLLENGTH_LIMIT
+    maxEpochs: Int = 1000,
+    closespiderPageCount: Long = 0 // 0 = off
+) {
+  require(queueOrder == "lifo" || queueOrder == "fifo", s"bad queueOrder $queueOrder")
+  def hostBudget: Int =
+    math.min(math.max(1L, epochMs / math.max(delayMs, 1L)), maxPerHostPerEpoch.toLong).toInt
+}
+
+object CrawlConfig {
+  /** Retryable HTTP codes, `default_settings.py:456-463`. */
+  val RetryStatuses: Set[Int] = Set(500, 502, 503, 504, 522, 524, 408, 429)
+  /** Redirect codes handled by RedirectMiddleware. */
+  val RedirectStatuses: Set[Int] = Set(301, 302, 303, 307, 308)
+  /** Schemes requests may use (reference `scrapy/linkextractors/lxmlhtml.py:123`
+    * checks the url is valid; the download handlers cover these schemes). */
+  val ValidSchemes: Set[String] = Set("http", "https", "ftp", "file")
+  /** `scrapy/linkextractors/__init__.py:18-80` IGNORED_EXTENSIONS. */
+  val IgnoredExtensions: Set[String] = Set(
+    "7z", "7zip", "bz2", "rar", "tar", "tar.gz", "xz", "zip",
+    "mng", "pct", "bmp", "gif", "jpg", "jpeg", "png", "pst", "psp", "tif",
+    "tiff", "ai", "drw", "dxf", "eps", "ps", "svg", "cdr", "ico", "webp",
+    "mp3", "wma", "ogg", "wav", "ra", "aac", "mid", "au", "aiff",
+    "3gp", "asf", "asx", "avi", "mov", "mp4", "mpg", "qt", "rm", "swf",
+    "wmv", "m4a", "m4v", "flv", "webm",
+    "xls", "xlsm", "xlsx", "xltm", "xltx", "potm", "potx", "ppt", "pptm",
+    "pptx", "pps", "doc", "docb", "docm", "docx", "dotm", "dotx",
+    "odt", "ods", "odg", "odp",
+    "css", "pdf", "exe", "bin", "rss", "dmg", "iso", "apk", "jar", "sh",
+    "rb", "js", "hta", "bat", "cpl", "msi", "msp", "py")
+}

@@ -18,6 +18,19 @@ object UrlTool {
       println(UrlKit.toHex(UrlKit.fingerprint(UrlKit.safeUrlString(url), method)))
     case "join" :: base :: href :: Nil => println(UrlKit.urljoin(base, href))
     case "host" :: url :: Nil => println(UrlKit.hostOf(url))
+    case "oracle" :: rest =>
+      // run the reference-semantics oracle on a canned corpus and print the log
+      val spec = rest.headOption.getOrElse("tiny") match {
+        case "small" => graft.corpus.Corpus.Small
+        case _ => graft.corpus.Corpus.Tiny
+      }
+      val pages = graft.corpus.Corpus.allPages(spec).map(p => p.url -> p).toMap
+      val res = graft.oracle.Oracle.run(graft.CrawlConfig(maxEpochs = 50),
+        graft.corpus.Corpus.seeds(spec), pages, graft.corpus.Corpus.allRobots(spec))
+      res.fetchLog.foreach(f => println(
+        s"${f.epoch}\t${f.seq}\t${f.virtualTMs}\t${f.status}\t${f.host}\t${f.url}\t${UrlKit.toHex(f.fp).take(12)}${if (f.isRobots) "\tROBOTS" else ""}"))
+      println(s"# epochs=${res.epochs} fetches=${res.fetchLog.size} urlSeen=${res.urlSeen.size}")
+      res.counters.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"# $k=$v") }
     case other =>
       System.err.println(s"usage: UrlTool canon|safe|fp|join|host ... (got: $other)")
       sys.exit(2)

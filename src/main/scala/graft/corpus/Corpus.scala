@@ -1,0 +1,270 @@
+package graft.corpus
+
+import java.util.Random
+import graft._
+import graft.media.{ImageOps, Phash}
+import graft.urlkit.UrlKit
+
+/** Deterministic synthetic web + image/caption corpus (FIXTURES.md).
+  * Every row is a pure function of (spec.seed, indices) — the oracle and the
+  * Spark engine see byte-identical inputs, and Spark can generate partitions
+  * independently (`spark.range(n).mapPartitions`) with no cross-row state.
+  *
+  * Canonicalization traps (shuffled query order, fragments, uppercase hosts,
+  * percent-variants) are planted in links so the URL-seen set and fetch
+  * lookup must collapse them, per the reference fingerprint semantics.
+  */
+final case class CorpusSpec(
+    seed: Long = 42L,
+    nHosts: Int = 50,
+    totalPages: Int = 2000,
+    hotHostShare: Double = 0.2, // top host's share of pages (skew knob)
+    maxLinks: Int = 8,
+    imageMaxDim: Int = 96,
+    seedCount: Int = 20) {
+
+  /** Pages on host k: host 0 is the hot host; the rest share uniformly. */
+  def pagesOnHost(k: Int): Int = {
+    if (nHosts == 1) totalPages
+    else if (k == 0) math.max(1, (totalPages * hotHostShare).toInt)
+    else {
+      val rest = totalPages - math.max(1, (totalPages * hotHostShare).toInt)
+      val per = rest / (nHosts - 1)
+      if (k <= rest - per * (nHosts - 1)) per + 1 else per
+    }
+  }
+  def hostName(k: Int): String = s"h$k.test"
+  /** Global page index of (host k, page j) — image FK + PRNG stream id. */
+  def pageGlobalIdx(k: Int, j: Int): Int =
+    (0 until k).map(pagesOnHost).sum + j
+}
+
+object Corpus {
+
+  private def rng(spec: CorpusSpec, stream: Long): Random =
+    new Random(spec.seed * 0x9e3779b97f4a7c15L + stream)
+
+  // ---- URLs ---------------------------------------------------------------
+
+  /** Canonical URL of page (k, j). Every 10th page carries a query. */
+  def pageUrl(spec: CorpusSpec, k: Int, j: Int): String = {
+    val base = s"http://${spec.hostName(k)}/p/$j"
+    if (j % 10 == 0 && j > 0) s"$base?a=${j % 5}&b=${j % 7}" else base
+  }
+
+  /** Canonical URL of a robots-disallowed page (under /private/). */
+  def privateUrl(spec: CorpusSpec, k: Int, m: Int): String =
+    s"http://${spec.hostName(k)}/private/$m"
+
+  /** A raw href for page (k,j) in one of several equivalent trap forms —
+    * all collapse to pageUrl under canonicalize_url. `form` selects. */
+  def trapHref(spec: CorpusSpec, k: Int, j: Int, form: Int): String = {
+    val host = spec.hostName(k)
+    val query = if (j % 10 == 0 && j > 0) s"?b=${j % 7}&a=${j % 5}" else ""
+    form % 4 match {
+      case 0 => s"http://${host.toUpperCase(java.util.Locale.ROOT)}/p/$j$query"
+      case 1 => s"http://$host/p/$j$query#sec${j % 3}"
+      case 2 => s"/p/$j$query" // relative, canonical query order restored by sort
+      case _ => s"http://$host/%70/$j$query" // %70 = 'p', decodes to same path
+    }
+  }
+
+  // ---- pages --------------------------------------------------------------
+
+  /** Pure page generator. Status mix: 200 / 404 / 301 / 302 / 503. */
+  def page(spec: CorpusSpec, k: Int, j: Int): PageRow = {
+    val r = rng(spec, 1000000007L * (k + 1) + j)
+    val url = pageUrl(spec, k, j)
+    val gIdx = spec.pageGlobalIdx(k, j)
+    val roll = r.nextDouble()
+    val nK = spec.pagesOnHost(k)
+    if (roll < 0.04 && j > 0) { // 404
+      PageRow(url, 404, null, Array.emptyByteArray, null, 10 + r.nextInt(100))
+    } else if (roll < 0.07 && nK > 1) { // 302 → another page same host
+      val tgt = r.nextInt(nK)
+      PageRow(url, 302, s"/p/$tgt", Array.emptyByteArray, null, 10 + r.nextInt(100))
+    } else if (roll < 0.08 && nK > 1) { // 301
+      val tgt = r.nextInt(nK)
+      PageRow(url, 301, s"http://${spec.hostName(k)}/p/$tgt", Array.emptyByteArray, null, 10 + r.nextInt(100))
+    } else if (roll < 0.10) { // 503 retryable
+      PageRow(url, 503, null, Array.emptyByteArray, null, 200 + r.nextInt(400))
+    } else {
+      val html = pageHtml(spec, k, j, r)
+      PageRow(url, 200, null, html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        f"img$gIdx%09d", 10 + r.nextInt(100))
+    }
+  }
+
+  private def pageHtml(spec: CorpusSpec, k: Int, j: Int, r: Random): String = {
+    val nK = spec.pagesOnHost(k)
+    val sb = new StringBuilder
+    sb.append(s"<html><head><title>page $k/$j</title></head><body>\n")
+    sb.append(s"""<img src="/i/${spec.pageGlobalIdx(k, j)}.raw">\n""")
+    sb.append(s"<p>${caption(spec, spec.pageGlobalIdx(k, j))}</p>\n")
+    val nLinks = 2 + r.nextInt(math.max(1, spec.maxLinks - 1))
+    for (_ <- 0 until nLinks) {
+      val roll = r.nextDouble()
+      if (roll < 0.55 && nK > 1) { // same-host plain or relative
+        val tgt = r.nextInt(nK)
+        val href =
+          if (r.nextBoolean()) s"/p/$tgt" + queryOf(tgt)
+          else s"http://${spec.hostName(k)}/p/$tgt" + queryOf(tgt)
+        sb.append(s"""<a href="$href">to $tgt</a>\n""")
+      } else if (roll < 0.70) { // trap variant, same host
+        val tgt = r.nextInt(nK)
+        sb.append(s"""<a href="${trapHref(spec, k, tgt, r.nextInt(4))}">trap $tgt</a>\n""")
+      } else if (roll < 0.85 && spec.nHosts > 1) { // cross-host
+        val hk = r.nextInt(spec.nHosts)
+        val tgt = r.nextInt(spec.pagesOnHost(hk))
+        sb.append(s"""<a href="http://${spec.hostName(hk)}/p/$tgt${queryOf(tgt)}">x $hk/$tgt</a>\n""")
+      } else if (roll < 0.90) { // robots-disallowed target
+        sb.append(s"""<a href="/private/${r.nextInt(5)}">secret</a>\n""")
+      } else if (roll < 0.95) { // denied extension — must be filtered
+        sb.append(s"""<a href="/files/archive${r.nextInt(9)}.zip">zip</a>\n""")
+      } else { // nofollow — must be skipped
+        val tgt = r.nextInt(nK)
+        sb.append(s"""<a href="/p/$tgt" rel="nofollow">nf $tgt</a>\n""")
+      }
+    }
+    sb.append("</body></html>\n")
+    sb.toString
+  }
+
+  private def queryOf(j: Int): String =
+    if (j % 10 == 0 && j > 0) s"?a=${j % 5}&b=${j % 7}" else ""
+
+  /** /private/ pages exist (status 200, no image) so robots filtering is the
+    * thing that blocks them, not 404s. 5 per host. */
+  def privatePage(spec: CorpusSpec, k: Int, m: Int): PageRow =
+    PageRow(privateUrl(spec, k, m), 200,
+      null, "<html><body>secret</body></html>".getBytes, null, 10)
+
+  def allPages(spec: CorpusSpec): Seq[PageRow] = {
+    val normal = for {
+      k <- 0 until spec.nHosts
+      j <- 0 until spec.pagesOnHost(k)
+    } yield page(spec, k, j)
+    val priv = for {
+      k <- 0 until spec.nHosts
+      m <- 0 until 5
+    } yield privatePage(spec, k, m)
+    normal ++ priv
+  }
+
+  // ---- images -------------------------------------------------------------
+
+  def caption(spec: CorpusSpec, gIdx: Int): String = {
+    val words = Array("amber", "basalt", "cirrus", "dune", "ember", "fjord",
+      "glade", "harbor", "isle", "juniper", "karst", "lagoon")
+    val r = rng(spec, 2000000011L * (gIdx + 1))
+    val n = 3 + r.nextInt(5)
+    val salad = Seq.fill(n)(words(r.nextInt(words.length))).mkString(" ")
+    s"caption of img$gIdx: $salad"
+  }
+
+  /** Procedural pixels: 2-D gradient + mild seeded noise. ~5% of images are
+    * pixel-duplicates of an earlier image (same pixels, different id) to
+    * exercise phash dedup. */
+  def pixels(spec: CorpusSpec, gIdx: Int): ImageOps.Pixels = {
+    val r0 = rng(spec, 3000000019L * (gIdx + 1))
+    val dupOf = if (gIdx > 20 && r0.nextDouble() < 0.05) r0.nextInt(gIdx) else gIdx
+    val r = rng(spec, 3000000019L * (dupOf + 1) + 1)
+    val w = 16 + r.nextInt(spec.imageMaxDim - 15)
+    val h = 16 + r.nextInt(spec.imageMaxDim - 15)
+    val rgb = new Array[Int](w * h)
+    val cr = r.nextInt(256); val cg = r.nextInt(256); val cb = r.nextInt(256)
+    // low-frequency sinusoidal texture: unique per image, JPEG-stable (no
+    // per-pixel noise → phash survives lossy round-trips)
+    val waves = Array.fill(3)(
+      (1 + r.nextInt(3), 1 + r.nextInt(3), r.nextDouble() * math.Pi * 2, 10 + r.nextInt(30)))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val gx = (x * 255) / math.max(w - 1, 1)
+        val gy = (y * 255) / math.max(h - 1, 1)
+        var tex = 0.0
+        for ((fx, fy, ph, amp) <- waves)
+          tex += amp * math.sin(2 * math.Pi * (fx * x.toDouble / w + fy * y.toDouble / h) + ph)
+        val t = tex.toInt
+        def clamp(v: Int) = math.max(0, math.min(255, v))
+        val rr = clamp((cr + gx) / 2 + t)
+        val gg = clamp((cg + gy) / 2 + t)
+        val bb = clamp((cb + (gx + gy) / 2) / 2 + t)
+        rgb(y * w + x) = (rr << 16) | (gg << 8) | bb
+        x += 1
+      }
+      y += 1
+    }
+    ImageOps.Pixels(w, h, rgb)
+  }
+
+  /** Full ImageRow (exact input_hint shape) — fmt alternates png/jpeg. */
+  def image(spec: CorpusSpec, gIdx: Int): ImageRow = {
+    val px = pixels(spec, gIdx)
+    val fmt = if (gIdx % 2 == 0) "png" else "jpeg"
+    val bytes = ImageOps.encode(px, fmt)
+    ImageRow(f"img$gIdx%09d", bytes, px.w, px.h, fmt, caption(spec, gIdx),
+      Phash.phash64(px))
+  }
+
+  // ---- robots -------------------------------------------------------------
+
+  /** Per-host robots.txt; None = fetch error (allow-all per reference).
+    * Mix per FIXTURES.md §3. */
+  def robots(spec: CorpusSpec, k: Int): Option[Array[Byte]] = {
+    val r = rng(spec, 4000000007L * (k + 1))
+    val roll = r.nextDouble()
+    if (roll < 0.05) None // fetch-error host
+    else if (roll < 0.10) Some(Array[Byte](0xff.toByte, 0xfe.toByte, 0x80.toByte)) // garbage → allow all
+    else if (roll < 0.20) Some(Array.emptyByteArray) // empty → allow all
+    else if (roll < 0.25) Some("User-agent: *\nDisallow: /\n".getBytes) // deny all
+    else {
+      val sb = new StringBuilder
+      sb.append("# synthetic robots\n")
+      if (r.nextDouble() < 0.3) {
+        sb.append("User-agent: otherbot\nDisallow: /\n\n")
+      }
+      sb.append("User-agent: *\n")
+      sb.append("Disallow: /private/\n")
+      if (r.nextDouble() < 0.5) sb.append("Allow: /private/0\n") // override
+      if (r.nextDouble() < 0.3) sb.append(s"Disallow: /p/${r.nextInt(10)}$$\n") // anchored
+      if (r.nextDouble() < 0.3) sb.append("Disallow: /*.zip$\n")
+      Some(sb.toString.getBytes)
+    }
+  }
+
+  def allRobots(spec: CorpusSpec): Map[String, Option[Array[Byte]]] =
+    (0 until spec.nHosts).map(k => spec.hostName(k) -> robots(spec, k)).toMap
+
+  // ---- seeds --------------------------------------------------------------
+
+  /** Ordered seed list: sample of pages (raw trap forms), with duplicates.
+    * Priorities mostly 0, some ±2. */
+  def seeds(spec: CorpusSpec): Seq[SeedRow] = {
+    val r = rng(spec, 5000000029L)
+    (0L until spec.seedCount.toLong).map { s =>
+      val k = if (r.nextDouble() < 0.3) 0 else r.nextInt(spec.nHosts)
+      val j = r.nextInt(math.min(spec.pagesOnHost(k), 10)) // seeds near page 0
+      val url =
+        if (r.nextDouble() < 0.3) trapHref(spec, k, j, r.nextInt(4)) match {
+          case rel if rel.startsWith("/") => s"http://${spec.hostName(k)}$rel"
+          case abs => abs
+        }
+        else pageUrl(spec, k, j)
+      val prio = r.nextDouble() match {
+        case d if d < 0.1 => 2
+        case d if d < 0.2 => -2
+        case _ => 0
+      }
+      SeedRow(s, url, prio)
+    }
+  }
+
+  // ---- canned specs -------------------------------------------------------
+
+  val Tiny: CorpusSpec = CorpusSpec(nHosts = 1, totalPages = 20, seedCount = 3)
+  val Small: CorpusSpec = CorpusSpec(nHosts = 50, totalPages = 2000, seedCount = 20)
+  def bench(totalPages: Int = 200000): CorpusSpec =
+    CorpusSpec(nHosts = 5000, totalPages = totalPages, seedCount = 500)
+}

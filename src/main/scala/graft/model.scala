@@ -1,0 +1,105 @@
+package graft
+
+/** Shared data model of the crawl engine. Spark stages are `Dataset`s of these
+  * case classes; the oracle (reference-semantics single-thread scheduler) uses
+  * the same types so conformance is a pure data comparison.
+  *
+  * Reference shapes: `Request` (`scrapy/http/request/__init__.py:89-210`),
+  * scheduler queue entries (`scrapy/core/scheduler.py`, `scrapy/pqueues.py`).
+  */
+
+/** A pending request in the frontier.
+  *
+  * Discovery order (dEpoch, dParent, dLink) is the deterministic replacement
+  * for the reference's in-process arrival order (LIFO/FIFO tie-break,
+  * SURVEY.md §2.5): it is a pure function of the crawl, never of Spark
+  * partitioning. Seeds carry (-1, seedSeq, 0).
+  *   - dEpoch: epoch in which the request was discovered (-1 for seeds)
+  *   - dParent: global fetch index of the parent page (seedSeq for seeds)
+  *   - dLink: index of the link in the parent page (-2 retry, -1 redirect,
+  *     0.. links) — retries/redirects of a page sort before its links.
+  */
+final case class FrontierRow(
+    url: String, // Request-sanitized (safeUrlString), like scrapy Request.url
+    fp: Array[Byte], // request fingerprint (20 bytes)
+    host: String,
+    priority: Int, // higher = sooner (scrapy semantics)
+    depth: Int,
+    isStart: Boolean,
+    dEpoch: Int,
+    dParent: Long,
+    dLink: Int,
+    retryTimes: Int,
+    redirectTimes: Int,
+    dontFilter: Boolean)
+
+/** One fetch in the ordered crawl log — the byte-for-byte conformance object
+  * (SURVEY.md §7.4, FIXTURES.md §6). `seq` is the global fetch index. */
+final case class FetchLogRow(
+    epoch: Int,
+    seq: Long,
+    host: String,
+    url: String,
+    fp: Array[Byte],
+    virtualTMs: Long,
+    status: Int,
+    isRobots: Boolean)
+
+/** A page of the synthetic web (the offline stand-in for HTTP fetch;
+  * SURVEY.md §2.1 "Synthetic fetch"). `url` is the canonical URL — the fetch
+  * service resolves a request by canonicalizing its (sanitized) URL, the
+  * same way a real server treats query-order/fragment variants as one
+  * resource. `body` is HTML; links are extracted from it. */
+final case class PageRow(
+    url: String, // canonical URL (lookup key)
+    status: Int,
+    location: String, // redirect target (raw href) or null
+    body: Array[Byte], // HTML
+    imageId: String, // FK -> images, null for non-image pages
+    latencyMs: Int)
+
+/** Image+caption corpus row — exact input_hint shape (BASELINE.json). */
+final case class ImageRow(
+    image_id: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fmt: String,
+    caption: String,
+    phash: Long)
+
+/** robots.txt corpus row. */
+final case class RobotsRow(host: String, body: Array[Byte])
+
+/** Ordered seed row. */
+final case class SeedRow(seq: Long, url: String, priority: Int)
+
+/** Per-host politeness state carried across epochs (reference: downloader
+  * Slot.lastseen, `scrapy/core/downloader/__init__.py:148-177`). */
+final case class HostState(host: String, lastTMs: Long, robotsFetched: Boolean)
+
+/** Media output row (reference: ImagesPipeline results,
+  * `scrapy/pipelines/images.py:110-210` + files checksum `files.py:61-75`). */
+final case class MediaRow(
+    image_id: String,
+    url: String,
+    w: Int,
+    h: Int,
+    fmt: String,
+    caption: String,
+    phash: Long,
+    checksumMd5: String)
+
+/** url_seen row: fingerprint + hash bucket for partitioned storage. */
+final case class SeenRow(fp: Array[Byte], bucket: Int)
+
+object Model {
+  /** Number of url_seen / frontier hash buckets. At 10^10 scale this would be
+    * thousands; sized modestly for local[32]. */
+  val NumBuckets = 64
+
+  def bucketOf(fp: Array[Byte]): Int = {
+    val h = graft.urlkit.UrlKit.fpHash64(fp)
+    (((h % NumBuckets) + NumBuckets) % NumBuckets).toInt
+  }
+}

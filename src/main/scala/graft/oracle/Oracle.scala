@@ -1,0 +1,200 @@
+package graft.oracle
+
+import scala.collection.mutable
+import graft._
+import graft.extract.LinkExtract
+import graft.robots.RobotsRules
+import graft.urlkit.UrlKit
+
+/** Single-threaded reference-semantics scheduler (SURVEY.md §5, §7.4): the
+  * executable form of the epoch-BSP crawl contract documented on
+  * [[graft.CrawlConfig]]. The Spark engine must produce a byte-identical
+  * ordered fetch log, URL-seen set and counters for the same
+  * (seeds, config, corpus).
+  *
+  * Semantics translated from the reference's scheduler/pqueues/middlewares
+  * (`scrapy/core/scheduler.py`, `scrapy/pqueues.py:143-198`,
+  * `scrapy/dupefilters.py:94-105`, `scrapy/downloadermiddlewares/
+  * {robotstxt,retry,redirect}.py`) — behavior, not code.
+  */
+object Oracle {
+
+  final case class Result(
+      fetchLog: Vector[FetchLogRow],
+      urlSeen: Set[String], // fp hex
+      counters: Map[String, Long],
+      epochs: Int)
+
+  def run(
+      cfg: CrawlConfig,
+      seeds: Seq[SeedRow],
+      pages: Map[String, PageRow], // canonical url -> page
+      robots: Map[String, Option[Array[Byte]]]): Result = {
+
+    val counters = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    def inc(k: String, by: Long = 1): Unit = counters(k) += by
+
+    val urlSeen = mutable.HashSet.empty[String]
+    var frontier = Vector.empty[FrontierRow]
+    val hostLastT = mutable.Map.empty[String, Long].withDefaultValue(Long.MinValue)
+    val robotsCache = mutable.Map.empty[String, RobotsRules]
+    val fetchLog = Vector.newBuilder[FetchLogRow]
+    var fetchSeq = 0L
+    var pageFetches = 0L
+
+    // ---- seed enqueue (dupefilter in seq order; FIXTURES.md §4) ----------
+    for (s <- seeds.sortBy(_.seq)) {
+      val url = UrlKit.safeUrlString(s.url)
+      val fp = UrlKit.fingerprint(url)
+      val hex = UrlKit.toHex(fp)
+      if (urlSeen.contains(hex)) inc("dupefilter/filtered")
+      else {
+        urlSeen += hex
+        inc("scheduler/enqueued")
+        frontier = frontier :+ FrontierRow(url, fp, UrlKit.hostOf(url), s.priority,
+          0, isStart = true, dEpoch = -1, dParent = s.seq, dLink = 0,
+          retryTimes = 0, redirectTimes = 0, dontFilter = false)
+      }
+    }
+
+    // discovery-order comparator: (dEpoch, dParent, dLink) lexicographic
+    def discLt(a: FrontierRow, b: FrontierRow): Boolean =
+      if (a.dEpoch != b.dEpoch) a.dEpoch < b.dEpoch
+      else if (a.dParent != b.dParent) a.dParent < b.dParent
+      else a.dLink < b.dLink
+
+    /** Dequeue comparator (CrawlConfig contract step 2). */
+    def dequeueLt(a: FrontierRow, b: FrontierRow): Boolean = {
+      if (a.priority != b.priority) a.priority > b.priority
+      else if (a.isStart != b.isStart) !a.isStart // non-start first
+      else if (a.isStart) discLt(a, b) // starts always FIFO
+      else if (cfg.queueOrder == "lifo") discLt(b, a)
+      else discLt(a, b)
+    }
+
+    var epoch = 0
+    var stop = false
+    while (frontier.nonEmpty && epoch < cfg.maxEpochs && !stop) {
+      val epochStart = epoch.toLong * cfg.epochMs
+      val byHost = frontier.groupBy(_.host)
+      val epochFetches = mutable.ArrayBuffer.empty[(Long, String, Int, FrontierRow, Boolean)]
+      // (virtualT, host, perHostIdx, row-or-robots, isRobots)
+      var remaining = Vector.newBuilder[FrontierRow]
+      val dequeuedRows = mutable.ArrayBuffer.empty[(FrontierRow, String)] // with host
+
+      for ((host, rows) <- byHost.toSeq.sortBy(_._1)) {
+        val needsRobots = cfg.robotsObey && !robotsCache.contains(host)
+        val budget = cfg.hostBudget - (if (needsRobots) 1 else 0)
+        val sorted = rows.sortWith(dequeueLt)
+        val (deq, rest) = sorted.splitAt(math.max(budget, 0))
+        rest.foreach(remaining += _)
+        var t = math.max(hostLastT(host) + cfg.delayMs, epochStart)
+        if (needsRobots) {
+          val robotsUrl = s"http://$host/robots.txt"
+          val fp = UrlKit.fingerprint(robotsUrl)
+          val rules = robots.get(host).flatten match {
+            case Some(body) => RobotsRules.parse(body)
+            case None => RobotsRules.AllowAll // missing/errored → allow
+          }
+          robotsCache(host) = rules
+          inc("robotstxt/request_count")
+          val status = if (robots.get(host).flatten.isDefined) 200 else 599
+          epochFetches += ((t, host,
+            -1, FrontierRow(robotsUrl, fp, host, 1000, 0, isStart = false,
+              dEpoch = epoch, dParent = -1, dLink = -1, 0, 0, dontFilter = true),
+            true))
+          inc(s"downloader/response_status_count/$status")
+          hostLastT(host) = t
+          t += cfg.delayMs
+        }
+        val rules = robotsCache.getOrElse(host, RobotsRules.AllowAll)
+        var i = 0
+        for (row <- deq) {
+          inc("scheduler/dequeued")
+          if (cfg.robotsObey && !rules.allowed(row.url, cfg.robotsUserAgent)) {
+            inc("robotstxt/forbidden")
+          } else {
+            epochFetches += ((t, host, i, row, false))
+            hostLastT(host) = t
+            t += cfg.delayMs
+            i += 1
+          }
+        }
+        deq.foreach(r => dequeuedRows += ((r, host)))
+      }
+
+      // global order: (t, host, perHostIdx)
+      val ordered = epochFetches.sortBy { case (t, host, i, _, _) => (t, host, i) }
+      val candidates = mutable.ArrayBuffer.empty[FrontierRow]
+      for ((t, host, _, row, isRobots) <- ordered) {
+        val seq = fetchSeq
+        fetchSeq += 1
+        if (isRobots) {
+          val status = if (robots.get(host).flatten.isDefined) 200 else 599
+          fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status, isRobots = true)
+        } else {
+          pageFetches += 1
+          val canonical = UrlKit.canonicalizeUrl(row.url)
+          val pageOpt = pages.get(canonical)
+          val status = pageOpt.map(_.status).getOrElse(404)
+          inc("downloader/request_count")
+          inc(s"downloader/response_status_count/$status")
+          fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status, isRobots = false)
+          pageOpt.foreach { page =>
+            if (CrawlConfig.RedirectStatuses.contains(status) && page.location != null) {
+              if (row.redirectTimes < cfg.maxRedirectTimes) {
+                val target = UrlKit.safeUrlString(UrlKit.urljoin(row.url, page.location))
+                candidates += FrontierRow(target, UrlKit.fingerprint(target),
+                  UrlKit.hostOf(target), row.priority + 2, row.depth,
+                  isStart = false, dEpoch = epoch, dParent = seq, dLink = -1,
+                  row.retryTimes, row.redirectTimes + 1, row.dontFilter)
+              } else inc("redirect/max_reached")
+            } else if (CrawlConfig.RetryStatuses.contains(status)) {
+              if (row.retryTimes < cfg.retryTimes) {
+                inc("retry/count")
+                candidates += FrontierRow(row.url, row.fp, row.host,
+                  row.priority - 1, row.depth, isStart = false,
+                  dEpoch = epoch, dParent = seq, dLink = -2,
+                  row.retryTimes + 1, row.redirectTimes, dontFilter = true)
+              } else inc("retry/max_reached")
+            } else if (status >= 200 && status < 300) {
+              val childDepth = row.depth + 1
+              val links = LinkExtract.extract(page.body, row.url, cfg.urlLengthLimit)
+              if (cfg.depthLimit == 0 || childDepth <= cfg.depthLimit) {
+                for ((linkIdx, link) <- links) {
+                  candidates += FrontierRow(link.url, UrlKit.fingerprint(link.url),
+                    UrlKit.hostOf(link.url), -childDepth * cfg.depthPriority,
+                    childDepth, isStart = false, dEpoch = epoch, dParent = seq,
+                    dLink = linkIdx, 0, 0, dontFilter = false)
+                }
+              } else inc("depth/filtered", links.size.toLong)
+            }
+          }
+        }
+      }
+
+      // dupefilter in discovery order (contract step 8)
+      for (c <- candidates.sortWith(discLt)) {
+        if (c.dontFilter) {
+          inc("scheduler/enqueued")
+          remaining += c
+        } else {
+          val hex = UrlKit.toHex(c.fp)
+          if (urlSeen.contains(hex)) inc("dupefilter/filtered")
+          else {
+            urlSeen += hex
+            inc("scheduler/enqueued")
+            remaining += c
+          }
+        }
+      }
+
+      frontier = remaining.result()
+      epoch += 1
+      if (cfg.closespiderPageCount > 0 && pageFetches >= cfg.closespiderPageCount)
+        stop = true
+    }
+
+    Result(fetchLog.result(), urlSeen.toSet, counters.toMap, epoch)
+  }
+}

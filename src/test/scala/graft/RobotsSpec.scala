@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.robots.RobotsRules
+
+/** Robots matching semantics (RFC 9309 / Protego parity for the cases the
+  * corpus exercises; reference behavior notes in
+  * `scrapy/robotstxt.py:24-42`, `scrapy/downloadermiddlewares/robotstxt.py`). */
+class RobotsSpec extends AnyFunSuite {
+
+  private val body =
+    """# comment
+      |User-agent: otherbot
+      |Disallow: /
+      |
+      |User-agent: *
+      |Disallow: /private/
+      |Allow: /private/ok
+      |Disallow: /p/3$
+      |Disallow: /*.zip$
+      |""".stripMargin
+
+  private val rules = RobotsRules.parse(body)
+
+  test("star group applies to unknown agents") {
+    assert(rules.allowed("http://h.test/p/1", "graftbot"))
+    assert(!rules.allowed("http://h.test/private/x", "graftbot"))
+  }
+  test("longest match wins; Allow beats Disallow on tie-break") {
+    assert(rules.allowed("http://h.test/private/ok", "graftbot"))
+    assert(rules.allowed("http://h.test/private/okay", "graftbot"))
+    assert(!rules.allowed("http://h.test/private/no", "graftbot"))
+  }
+  test("$ anchors the end") {
+    assert(!rules.allowed("http://h.test/p/3", "graftbot"))
+    assert(rules.allowed("http://h.test/p/33", "graftbot"))
+  }
+  test("* wildcard") {
+    assert(!rules.allowed("http://h.test/files/a.zip", "graftbot"))
+    assert(rules.allowed("http://h.test/files/a.zipx", "graftbot"))
+  }
+  test("specific agent group preferred over star") {
+    assert(!rules.allowed("http://h.test/p/1", "OtherBot/1.0"))
+  }
+  test("empty / garbage bodies allow everything") {
+    assert(RobotsRules.parse(Array.emptyByteArray).allowed("http://h.test/x", "a"))
+    assert(RobotsRules.parse(Array[Byte](0xff.toByte, 0xfe.toByte))
+      .allowed("http://h.test/private/x", "a"))
+  }
+  test("deny all") {
+    val r = RobotsRules.parse("User-agent: *\nDisallow: /\n")
+    assert(!r.allowed("http://h.test/", "a"))
+    assert(!r.allowed("http://h.test/p/1", "a"))
+  }
+  test("query string participates in matching") {
+    val r = RobotsRules.parse("User-agent: *\nDisallow: /*?a=1\n")
+    assert(!r.allowed("http://h.test/p?a=1", "bot"))
+    assert(r.allowed("http://h.test/p?a=2", "bot"))
+  }
+}
