@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.corpus.{Corpus, CorpusSpec, CorpusWriter}
+import graft.operators.CrawlDriver
+
+/** Crawl driver CLI:
+  *   runMain graft.CrawlMain gen  <tiny|small|bench[:pages]> <corpusDir>
+  *   runMain graft.CrawlMain run  <corpusDir> <snapshotRoot> [maxEpochs] [media=0|1]
+  *   runMain graft.CrawlMain log  <snapshotRoot>        # print fetch log
+  */
+object CrawlMain {
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-crawl")
+      .config("spark.sql.shuffle.partitions",
+        math.max(cpus.toIntOption.getOrElse(8) * 2, 8).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  def specOf(name: String): CorpusSpec = name.split(":").toList match {
+    case "tiny" :: Nil => Corpus.Tiny
+    case "small" :: Nil => Corpus.Small
+    case "bench" :: Nil => Corpus.bench()
+    case "bench" :: n :: Nil => Corpus.bench(n.toInt)
+    case other => sys.error(s"unknown corpus spec $other")
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "gen" :: name :: dir :: Nil =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      CorpusWriter.writeAll(spark, specOf(name), dir)
+      println(s"corpus $name written to $dir")
+      spark.stop()
+
+    case "run" :: corpusDir :: root :: rest =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val maxEpochs = rest.headOption.map(_.toInt)
+      val withMedia = rest.drop(1).headOption.forall(_ != "media=0")
+      val t0 = System.nanoTime()
+      val res = CrawlDriver.run(spark, CrawlConfig(), corpusDir, root,
+        withMedia = withMedia, maxEpochsOverride = maxEpochs)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val m = res.manifest
+      println(s"epochs=${m.snapshotId} pageFetches=${m.pageFetches} " +
+        s"frontier=${m.frontierCount} seconds=$secs " +
+        s"urlsPerSec=${m.pageFetches / math.max(secs, 1e-9)}")
+      m.counters.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"# $k=$v") }
+      spark.stop()
+
+    case "log" :: root :: Nil =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val m = graft.plans.Snapshot.loadLatest(root).getOrElse(sys.error("no manifest"))
+      CrawlDriver.fetchLog(spark, m).show(100, truncate = false)
+      spark.stop()
+
+    case other =>
+      System.err.println(s"usage: CrawlMain gen|run|log ... (got $other)")
+      sys.exit(2)
+  }
+}

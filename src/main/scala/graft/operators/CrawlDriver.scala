@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft._
+import graft.plans.{Manifest, Snapshot}
+import graft.urlkit.UrlKit
+
+/** Driver-side epoch loop (the honest Spark-native shape of the reference's
+  * engine pump, SURVEY.md §2.10): each epoch is a pure function of snapshot N
+  * producing snapshot N+1, committed via atomic manifest rename — kill the
+  * job anywhere and a re-run resumes from the last committed manifest with
+  * identical final state (exactly-once by idempotent recompute).
+  */
+object CrawlDriver {
+
+  final case class RunResult(manifest: Manifest, root: String)
+
+  def dataDir(root: String, epoch: Int, table: String): String =
+    s"$root/data/epoch$epoch/$table"
+
+  /** Initialize snapshot v0 from the ordered seed list (dupefilter in seed
+    * order — reference `Spider.start()` + scheduler gate). */
+  def init(spark: SparkSession, cfg: CrawlConfig, seeds: Dataset[SeedRow],
+      root: String): Manifest = {
+    import spark.implicits._
+    val fpUdf = udf((u: String) => UrlKit.fingerprint(u))
+    val hostUdf = udf((u: String) => UrlKit.hostOf(u))
+    val withFp = seeds
+      .withColumn("url", udf((u: String) => UrlKit.safeUrlString(u)).apply($"url"))
+      .withColumn("fp", fpUdf($"url"))
+      .withColumn("fpHex", hex($"fp"))
+      .withColumn("host", hostUdf($"url"))
+    val w = Window.partitionBy($"fpHex").orderBy($"seq")
+    val deduped = withFp.withColumn("rn", row_number().over(w)).persist()
+    val kept = deduped.filter($"rn" === 1)
+    val nSeeds = deduped.count()
+    val nKept = kept.count()
+    val frontier0 = kept.select(
+      $"url", $"fp", $"host", $"priority",
+      lit(0).as("depth"), lit(true).as("isStart"),
+      lit(-1).as("dEpoch"), $"seq".as("dParent"), lit(0).as("dLink"),
+      lit(0).as("retryTimes"), lit(0).as("redirectTimes"),
+      lit(false).as("dontFilter")).as[FrontierRow]
+
+    val fDir = dataDir(root, 0, "frontier")
+    frontier0.write.mode(SaveMode.Overwrite).parquet(fDir)
+    val seenDir = dataDir(root, 0, "seen")
+    kept.select($"fpHex").write.mode(SaveMode.Overwrite).parquet(seenDir)
+    val hsDir = dataDir(root, 0, "host_state")
+    spark.emptyDataset[HostState].write.mode(SaveMode.Overwrite).parquet(hsDir)
+    val rcDir = dataDir(root, 0, "robots_cache")
+    spark.emptyDataset[CrawlEngine.RobotsCacheRow].write.mode(SaveMode.Overwrite).parquet(rcDir)
+    deduped.unpersist()
+
+    val m = Manifest(0, -1, fDir, Seq(seenDir), hsDir, rcDir, Nil, Nil,
+      nextFetchSeq = 0L, frontierCount = nKept, pageFetches = 0L,
+      counters = Map(
+        "scheduler/enqueued" -> nKept,
+        "dupefilter/filtered" -> (nSeeds - nKept)).filter(_._2 != 0))
+    Snapshot.write(root, m)
+    m
+  }
+
+  /** Run (or resume) the crawl until a stop condition. Returns the final
+    * manifest. `corpusDir` must contain pages/, robots/, seeds/ (+ images/). */
+  def run(spark: SparkSession, cfg: CrawlConfig, corpusDir: String,
+      root: String, withMedia: Boolean = true,
+      maxEpochsOverride: Option[Int] = None): RunResult = {
+    import spark.implicits._
+
+    val pages = spark.read.parquet(s"$corpusDir/pages")
+    val robotsCorpus = spark.read.parquet(s"$corpusDir/robots")
+    val images =
+      if (withMedia && new java.io.File(s"$corpusDir/images").exists())
+        spark.read.parquet(s"$corpusDir/images")
+      else null
+
+    var m = Snapshot.loadLatest(root).getOrElse {
+      init(spark, cfg, spark.read.parquet(s"$corpusDir/seeds").as[SeedRow], root)
+    }
+    val maxEpochs = maxEpochsOverride.getOrElse(cfg.maxEpochs)
+
+    while (m.frontierCount > 0 && m.snapshotId < maxEpochs &&
+        !(cfg.closespiderPageCount > 0 && m.pageFetches >= cfg.closespiderPageCount)) {
+      val epoch = m.snapshotId
+      val frontier = spark.read.parquet(m.frontierDir).as[FrontierRow]
+      val urlSeen = spark.read.parquet(m.seenDirs: _*)
+      val hostState = spark.read.parquet(m.hostStateDir).as[HostState]
+      val robotsCache = spark.read.parquet(m.robotsCacheDir).as[CrawlEngine.RobotsCacheRow]
+
+      val r = CrawlEngine.runEpoch(spark, cfg, epoch, m.nextFetchSeq,
+        frontier, urlSeen, hostState, robotsCache, pages, robotsCorpus,
+        images, withMedia)
+
+      val e1 = epoch + 1
+      val fDir = dataDir(root, e1, "frontier")
+      r.nextFrontier.write.mode(SaveMode.Overwrite).parquet(fDir)
+      val frontierCount = spark.read.parquet(fDir).count()
+      val seenDir = dataDir(root, e1, "seen_delta")
+      r.seenDelta.write.mode(SaveMode.Overwrite).parquet(seenDir)
+      val hsDir = dataDir(root, e1, "host_state")
+      r.hostState.write.mode(SaveMode.Overwrite).parquet(hsDir)
+      val rcDir = dataDir(root, e1, "robots_cache")
+      r.robotsCache.write.mode(SaveMode.Overwrite).parquet(rcDir)
+      val flDir = dataDir(root, e1, "fetch_log")
+      r.fetchLog.write.mode(SaveMode.Overwrite).parquet(flDir)
+      val mediaDirs =
+        if (withMedia && images != null) {
+          val mDir = dataDir(root, e1, "media")
+          r.media.write.mode(SaveMode.Overwrite).parquet(mDir)
+          m.mediaDirs :+ mDir
+        } else m.mediaDirs
+
+      // periodic url_seen compaction: delta chain → one dir
+      var seenDirs = m.seenDirs :+ seenDir
+      if (seenDirs.size > 8) {
+        val cDir = dataDir(root, e1, "seen_compact")
+        spark.read.parquet(seenDirs: _*).distinct()
+          .write.mode(SaveMode.Overwrite).parquet(cDir)
+        seenDirs = Seq(cDir)
+      }
+
+      val mergedCounters = (m.counters.keySet ++ r.counters.keySet).map { k =>
+        k -> (m.counters.getOrElse(k, 0L) + r.counters.getOrElse(k, 0L))
+      }.toMap
+
+      m = Manifest(e1, epoch, fDir, seenDirs, hsDir, rcDir,
+        m.fetchLogDirs :+ flDir, mediaDirs,
+        r.nextFetchSeq, frontierCount, m.pageFetches + r.pageFetchCount,
+        mergedCounters)
+      Snapshot.write(root, m)
+      spark.sqlContext.clearCache()
+    }
+    RunResult(m, root)
+  }
+
+  /** Full fetch log of a finished run, ordered. */
+  def fetchLog(spark: SparkSession, m: Manifest): DataFrame = {
+    if (m.fetchLogDirs.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(m.fetchLogDirs: _*).orderBy("seq")
+  }
+}
+
+/** spark-submit entry point:
+  * `runMain graft.CrawlMain <corpusDir> <snapshotRoot> [maxEpochs] [cpus]` */
+object CrawlMainHolder {
+  def session(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .appName("graft-crawl")
+    .config("spark.sql.shuffle.partitions", math.max(cpus.toIntOption.getOrElse(8) * 2, 8))
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}

@@ -1,0 +1,340 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft._
+import graft.extract.LinkExtract
+import graft.plans.{Manifest, Snapshot}
+import graft.robots.RobotsRules
+import graft.urlkit.UrlKit
+
+/** One crawl epoch as a Catalyst-planned Dataset pipeline (SURVEY.md §4):
+  *
+  * {{{
+  * frontier ⨝ hostMeta(lastT, robots known/body)        broadcast-ish join
+  *   → groupByKey(host).flatMapGroups                   shuffle #1 (by host)
+  *       bounded-PQ top-budget dequeue (O(n log k), no full sort),
+  *       robots predicate, virtual fetch times          → DeqOut(kind)
+  *   → fetch batch: orderBy(t, host, idx) + zipWithIndex → global seq
+  *   → ⨝ pages corpus on canonical url                  shuffle #2 (fetch batch only)
+  *   → flatMap link-extract / redirect / retry          → candidates
+  *   → intra-batch first-wins (window on fp)            shuffle #3 (candidates)
+  *   → bloom prescreen + LEFT ANTI ⨝ url_seen           (likely-dups only)
+  *   → next frontier / seen delta / fetch log / media / host state
+  * }}}
+  *
+  * Determinism: every ordering key is total (discovery tuples are unique),
+  * so the fetch log is byte-identical to [[graft.oracle.Oracle]] for the
+  * same inputs. The frontier never passes through the driver.
+  */
+object CrawlEngine {
+
+  /** Dequeue output row kinds. */
+  final val KKept = 0 // stays in frontier
+  final val KFetch = 1 // page fetch this epoch
+  final val KRobots = 2 // robots.txt fetch this epoch
+  final val KForbidden = 3 // dequeued but robots-disallowed (dropped)
+
+  final case class DeqOut(kind: Int, fr: FrontierRow, t: Long, hostIdx: Int)
+  final case class FetchRow(fr: FrontierRow, t: Long, hostIdx: Int, kind: Int, seq: Long)
+  final case class RobotsCacheRow(host: String, body: Array[Byte], ok: Boolean)
+  final case class HostMeta(
+      host: String, lastT: Long, robotsKnown: Boolean,
+      knownBody: Array[Byte], knownOk: Boolean,
+      corpusBody: Array[Byte])
+  final case class Enriched(fr: FrontierRow, meta: HostMeta)
+
+  final case class EpochResult(
+      fetchLog: DataFrame,
+      nextFrontier: Dataset[FrontierRow],
+      seenDelta: DataFrame, // fpHex string rows
+      hostState: Dataset[HostState],
+      robotsCache: Dataset[RobotsCacheRow],
+      media: Dataset[MediaRow],
+      counters: Map[String, Long],
+      nextFetchSeq: Long,
+      pageFetchCount: Long)
+
+  /** The dequeue comparator of the crawl contract (CrawlConfig step 2). */
+  def dequeueLt(cfg: CrawlConfig)(a: FrontierRow, b: FrontierRow): Boolean = {
+    if (a.priority != b.priority) a.priority > b.priority
+    else if (a.isStart != b.isStart) !a.isStart
+    else {
+      val asc = a.isStart || cfg.queueOrder == "fifo"
+      val (x, y) = if (asc) (a, b) else (b, a)
+      if (x.dEpoch != y.dEpoch) x.dEpoch < y.dEpoch
+      else if (x.dParent != y.dParent) x.dParent < y.dParent
+      else x.dLink < y.dLink
+    }
+  }
+
+  def runEpoch(
+      spark: SparkSession,
+      cfg: CrawlConfig,
+      epoch: Int,
+      baseSeq: Long,
+      frontier: Dataset[FrontierRow],
+      urlSeen: DataFrame, // column fpHex
+      hostState: Dataset[HostState],
+      robotsCache: Dataset[RobotsCacheRow],
+      pages: DataFrame, // corpus pages (url=canonical, status, location, body, imageId)
+      robotsCorpus: DataFrame, // (host, body)
+      images: DataFrame, // corpus images, nullable (media off when null)
+      withMedia: Boolean): EpochResult = {
+    import spark.implicits._
+
+    // ---- host metadata (small per-epoch dimension; broadcast if small) ----
+    val hosts = frontier.select($"host").distinct()
+    val hostMeta = hosts
+      .join(hostState.toDF().withColumnRenamed("lastTMs", "lastT"), Seq("host"), "left")
+      .join(robotsCache.toDF()
+        .withColumnRenamed("body", "knownBody").withColumnRenamed("ok", "knownOk")
+        .withColumn("robotsKnown", lit(true)), Seq("host"), "left")
+      .join(robotsCorpus.withColumnRenamed("body", "corpusBody"), Seq("host"), "left")
+      .select($"host",
+        coalesce($"lastT", lit(Long.MinValue / 2)).as("lastT"),
+        coalesce($"robotsKnown", lit(false)).as("robotsKnown"),
+        $"knownBody", coalesce($"knownOk", lit(false)).as("knownOk"), $"corpusBody")
+      .as[HostMeta]
+
+    val enriched = frontier
+      .joinWith(hostMeta, frontier("host") === hostMeta("host"), "inner")
+      .map { case (fr, meta) => Enriched(fr, meta) }
+
+    // ---- politeness dequeue per host: bounded PQ, O(n log k) --------------
+    val epochStart = epoch.toLong * cfg.epochMs
+    val hostBudget = cfg.hostBudget
+    val robotsObey = cfg.robotsObey
+    val robotsUA = cfg.robotsUserAgent
+    val delayMs = cfg.delayMs
+    val lt = dequeueLt(cfg) _
+
+    val deqOut: Dataset[DeqOut] = enriched
+      .groupByKey(_.fr.host)
+      .flatMapGroups { (host, it) =>
+        // Streaming bounded-PQ: kept rows are emitted as they're evicted, so
+        // memory is O(budget) even for a hot host with a huge frontier
+        // (head of the PQ = worst row currently kept).
+        var meta: HostMeta = null
+        var pq: java.util.PriorityQueue[FrontierRow] = null
+        var budget = 0
+        val keptIter: Iterator[DeqOut] = it.flatMap { e =>
+          if (meta == null) {
+            meta = e.meta
+            budget = math.max(hostBudget - (if (robotsObey && !meta.robotsKnown) 1 else 0), 0)
+            pq = new java.util.PriorityQueue[FrontierRow](math.max(budget, 1),
+              (x: FrontierRow, y: FrontierRow) => if (lt(x, y)) 1 else -1) // head = worst
+          }
+          if (budget == 0) Iterator.single(DeqOut(KKept, e.fr, 0L, -1))
+          else {
+            pq.offer(e.fr)
+            if (pq.size > budget) Iterator.single(DeqOut(KKept, pq.poll(), 0L, -1))
+            else Iterator.empty
+          }
+        }
+        def tailIter: Iterator[DeqOut] = { // evaluated after keptIter drains
+          val out = scala.collection.mutable.ArrayBuffer.empty[DeqOut]
+          val deq = new Array[FrontierRow](if (pq == null) 0 else pq.size)
+          var n = deq.length - 1
+          while (n >= 0) { deq(n) = pq.poll(); n -= 1 } // worst→best, fill back→front
+          var t = math.max(meta.lastT + delayMs, epochStart)
+          val needRobots = robotsObey && !meta.robotsKnown
+          val rules =
+            if (!robotsObey) RobotsRules.AllowAll
+            else {
+              val body = if (meta.robotsKnown) {
+                if (meta.knownOk) meta.knownBody else null
+              } else meta.corpusBody
+              if (body == null) RobotsRules.AllowAll else RobotsRules.parse(body)
+            }
+          if (needRobots) {
+            val robotsUrl = s"http://$host/robots.txt"
+            val fp = UrlKit.fingerprint(robotsUrl)
+            out += DeqOut(KRobots,
+              FrontierRow(robotsUrl, fp, host, 1000, 0, isStart = false,
+                epoch, -1L, -1, 0, 0, dontFilter = true), t, -1)
+            t += delayMs
+          }
+          var i = 0
+          for (row <- deq) {
+            if (robotsObey && !rules.allowed(row.url, robotsUA)) {
+              out += DeqOut(KForbidden, row, 0L, -1)
+            } else {
+              out += DeqOut(KFetch, row, t, i)
+              t += delayMs
+              i += 1
+            }
+          }
+          out.iterator
+        }
+        keptIter ++ tailIter
+      }
+      .persist()
+
+    // ---- global fetch order + seq -----------------------------------------
+    val fetchesSorted = deqOut
+      .filter(d => d.kind == KFetch || d.kind == KRobots)
+      .orderBy($"t", $"fr.host", $"hostIdx")
+    val fetches: Dataset[FetchRow] = fetchesSorted.rdd.zipWithIndex()
+      .map { case (d, i) => FetchRow(d.fr, d.t, d.hostIdx, d.kind, baseSeq + i) }
+      .toDS()
+      .persist()
+
+    // ---- fetch service: join the synthetic web on canonical URL ----------
+    val canonUdf = udf((u: String) => UrlKit.canonicalizeUrl(u))
+    val pageFetches = fetches.filter(_.kind == KFetch).toDF()
+      .withColumn("canonical", canonUdf($"fr.url"))
+    val fetched = pageFetches
+      .join(pages.withColumnRenamed("url", "canonical"), Seq("canonical"), "left")
+      .withColumn("status", coalesce($"status", lit(404)))
+      .persist()
+
+    val robotsFetchLog = fetches.filter(_.kind == KRobots).toDF()
+      .withColumn("host", $"fr.host")
+      .join(robotsCorpus.select($"host", lit(true).as("hasBody")), Seq("host"), "left")
+      .withColumn("status",
+        when(coalesce($"hasBody", lit(false)), lit(200)).otherwise(lit(599)))
+
+    val fetchLog = fetched
+      .select($"fr.*", $"t", $"seq", $"status", lit(false).as("isRobots"))
+      .unionByName(robotsFetchLog
+        .select($"fr.url".as("url"), $"fr.fp".as("fp"), $"host",
+          $"t", $"seq", $"status", lit(true).as("isRobots")),
+        allowMissingColumns = true)
+      .select(lit(epoch).as("epoch"), $"seq", $"host", $"url", $"fp",
+        $"t".as("virtualTMs"), $"status", $"isRobots")
+      .persist()
+
+    // ---- expansion: redirect / retry / links ------------------------------
+    val retryStatuses = CrawlConfig.RetryStatuses
+    val redirectStatuses = CrawlConfig.RedirectStatuses
+    val toExpand = fetched.select($"fr", $"seq", $"status", $"location", $"body")
+      .as[(FrontierRow, Long, Int, Option[String], Option[Array[Byte]])]
+
+    // candidate kind: 0 candidate, 1 retry/max_reached, 2 depth/filtered
+    val candsRaw: Dataset[(Int, FrontierRow)] = toExpand.flatMap {
+      case (row, seq, status, location, body) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, FrontierRow)]
+        if (redirectStatuses.contains(status) && location.exists(_ != null)) {
+          if (row.redirectTimes < cfg.maxRedirectTimes) {
+            val target = UrlKit.safeUrlString(UrlKit.urljoin(row.url, location.get))
+            out += ((0, FrontierRow(target, UrlKit.fingerprint(target),
+              UrlKit.hostOf(target), row.priority + 2, row.depth, isStart = false,
+              epoch, seq, -1, row.retryTimes, row.redirectTimes + 1, row.dontFilter)))
+          }
+        } else if (retryStatuses.contains(status)) {
+          if (row.retryTimes < cfg.retryTimes) {
+            out += ((0, FrontierRow(row.url, row.fp, row.host, row.priority - 1,
+              row.depth, isStart = false, epoch, seq, -2,
+              row.retryTimes + 1, row.redirectTimes, dontFilter = true)))
+          } else out += ((1, row))
+        } else if (status >= 200 && status < 300 && body.exists(_ != null)) {
+          val childDepth = row.depth + 1
+          val links = LinkExtract.extract(body.get, row.url, cfg.urlLengthLimit)
+          if (cfg.depthLimit == 0 || childDepth <= cfg.depthLimit) {
+            for ((linkIdx, link) <- links) {
+              out += ((0, FrontierRow(link.url, UrlKit.fingerprint(link.url),
+                UrlKit.hostOf(link.url), -childDepth * cfg.depthPriority,
+                childDepth, isStart = false, epoch, seq, linkIdx, 0, 0,
+                dontFilter = false)))
+            }
+          } else links.foreach(_ => out += ((2, row)))
+        }
+        out
+    }.persist()
+
+    val cands = candsRaw.filter(_._1 == 0).map(_._2).persist()
+    val dontFilterCands = cands.filter(_.dontFilter)
+    val normalCands = cands.filter(!_.dontFilter)
+      .withColumn("fpHex", hex($"fp"))
+
+    // intra-batch first-wins on fp, discovery order (contract step 8)
+    val w = Window.partitionBy($"fpHex").orderBy($"dEpoch", $"dParent", $"dLink")
+    val firstWins = normalCands.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+
+    // anti-join vs url_seen (exact; bloom prescreen added at driver level)
+    val survivors = firstWins
+      .join(urlSeen.select($"fpHex"), Seq("fpHex"), "left_anti")
+      .drop("fpHex")
+      .as[FrontierRow]
+      .persist()
+
+    // ---- counters (all from the small per-epoch datasets) -----------------
+    val kindCounts = deqOut.groupBy($"kind").count().as[(Int, Long)].collect().toMap
+    val statusCounts = fetchLog.groupBy($"status", $"isRobots").count()
+      .as[(Int, Boolean, Long)].collect()
+    val nCands = cands.count()
+    val nNormal = normalCands.count()
+    val nSurvivors = survivors.count()
+    val nDontFilter = nCands - nNormal
+    val nRetries = cands.filter(_.dLink == -2).count()
+    val nRetryMax = candsRaw.filter(_._1 == 1).count()
+    val nDepthFiltered = candsRaw.filter(_._1 == 2).count()
+    val pageFetchCount = kindCounts.getOrElse(KFetch, 0L)
+    val robotsFetchCount = kindCounts.getOrElse(KRobots, 0L)
+    val counters = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    counters("scheduler/dequeued") =
+      pageFetchCount + kindCounts.getOrElse(KForbidden, 0L)
+    counters("robotstxt/forbidden") = kindCounts.getOrElse(KForbidden, 0L)
+    counters("robotstxt/request_count") = robotsFetchCount
+    counters("downloader/request_count") = pageFetchCount
+    for ((status, _, cnt) <- statusCounts)
+      counters(s"downloader/response_status_count/$status") += cnt
+    counters("retry/count") = nRetries
+    counters("retry/max_reached") = nRetryMax
+    counters("depth/filtered") = nDepthFiltered
+    counters("dupefilter/filtered") = nNormal - nSurvivors
+    counters("scheduler/enqueued") = nSurvivors + nDontFilter
+
+    // ---- next state -------------------------------------------------------
+    val kept = deqOut.filter(_.kind == KKept).map(_.fr)
+    val nextFrontier = kept
+      .unionByName(survivors)
+      .unionByName(dontFilterCands)
+
+    val seenDelta = survivors.select(hex($"fp").as("fpHex")).distinct()
+
+    val touched = fetches.toDF().groupBy($"fr.host".as("host"))
+      .agg(max($"t").as("newLastT"))
+    val newHostState = hostState.toDF()
+      .join(touched, Seq("host"), "full_outer")
+      .select($"host",
+        greatest(coalesce($"lastTMs", lit(Long.MinValue / 2)),
+          coalesce($"newLastT", lit(Long.MinValue / 2))).as("lastTMs"),
+        lit(true).as("robotsFetched"))
+      .as[HostState]
+
+    val newRobots = fetches.filter(_.kind == KRobots).toDF()
+      .select($"fr.host".as("host"))
+      .join(robotsCorpus, Seq("host"), "left")
+      .select($"host", $"body", $"body".isNotNull.as("ok"))
+      .as[RobotsCacheRow]
+    val nextRobotsCache = robotsCache.unionByName(newRobots)
+
+    // ---- media ------------------------------------------------------------
+    val media: Dataset[MediaRow] =
+      if (!withMedia || images == null) spark.emptyDataset[MediaRow]
+      else {
+        fetched.filter($"status" >= 200 && $"status" < 300 && $"imageId".isNotNull)
+          .select($"fr.url".as("url"), $"imageId".as("image_id"))
+          .join(images, Seq("image_id"), "inner")
+          .select($"image_id", $"url", $"bytes", $"fmt", $"caption")
+          .as[(String, String, Array[Byte], String, String)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, url, bytes, fmt, caption) =>
+              graft.media.ImageOps.decode(bytes).map { px =>
+                MediaRow(id, url, px.w, px.h, fmt, caption,
+                  graft.media.Phash.phash64(px), graft.media.ImageOps.md5Hex(bytes))
+              }
+            }
+          }
+      }
+
+    val nFetches = pageFetchCount + robotsFetchCount
+    // zero-valued counters are dropped on both sides of the conformance compare
+    EpochResult(fetchLog, nextFrontier, seenDelta, newHostState, nextRobotsCache,
+      media, counters.toMap.filter(_._2 != 0L), baseSeq + nFetches, pageFetchCount)
+  }
+}

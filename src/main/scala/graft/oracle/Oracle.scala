@@ -195,6 +195,7 @@ object Oracle {
         stop = true
     }
 
-    Result(fetchLog.result(), urlSeen.toSet, counters.toMap, epoch)
+    // zero-valued counters dropped (conformance compares non-zero keys)
+    Result(fetchLog.result(), urlSeen.toSet, counters.toMap.filter(_._2 != 0L), epoch)
   }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.{Corpus, CorpusSpec, CorpusWriter}
+import graft.operators.CrawlDriver
+import graft.oracle.Oracle
+import graft.urlkit.UrlKit
+
+/** THE conformance gate (SURVEY.md §7.4, BASELINE.md): the Spark engine's
+  * ordered fetch log, URL-seen set and counters must exactly equal the
+  * reference-semantics oracle's under the same seed list + politeness
+  * budget. */
+class ConformanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def compare(spec: CorpusSpec, cfg: CrawlConfig, label: String): Unit = {
+    import spark.implicits._
+    val corpusDir = TestSpark.tempDir(s"corpus-$label")
+    val snapRoot = TestSpark.tempDir(s"snap-$label")
+    CorpusWriter.writeAll(spark, spec, corpusDir, withImages = false)
+
+    val res = CrawlDriver.run(spark, cfg, corpusDir, snapRoot, withMedia = false)
+    val engineLog = CrawlDriver.fetchLog(spark, res.manifest)
+      .select($"epoch", $"seq", $"host", $"url",
+        org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.hex($"fp")).as("fp"),
+        $"virtualTMs", $"status", $"isRobots")
+      .as[(Int, Long, String, String, String, Long, Int, Boolean)]
+      .collect().toVector
+
+    val pages = Corpus.allPages(spec).map(p => p.url -> p).toMap
+    val o = Oracle.run(cfg, Corpus.seeds(spec), pages, Corpus.allRobots(spec))
+    val oracleLog = o.fetchLog.map(f =>
+      (f.epoch, f.seq, f.host, f.url, UrlKit.toHex(f.fp), f.virtualTMs, f.status, f.isRobots))
+
+    // fetch log: ordered list equality
+    assert(engineLog.size === oracleLog.size,
+      s"[$label] fetch count: engine ${engineLog.size} vs oracle ${oracleLog.size}")
+    for (((e, orc), i) <- engineLog.zip(oracleLog).zipWithIndex) {
+      assert(e === orc, s"[$label] fetch log diverges at seq $i")
+    }
+
+    // url_seen: set equality
+    val engineSeen = spark.read.parquet(res.manifest.seenDirs: _*)
+      .as[String].collect().map(_.toLowerCase).toSet
+    assert(engineSeen === o.urlSeen, s"[$label] url_seen mismatch: " +
+      s"engine-only=${(engineSeen -- o.urlSeen).take(3)} oracle-only=${(o.urlSeen -- engineSeen).take(3)}")
+
+    // counters: exact equality on non-zero keys
+    assert(res.manifest.counters === o.counters,
+      s"[$label] counters mismatch: engine=${res.manifest.counters.toSeq.sorted} oracle=${o.counters.toSeq.sorted}")
+  }
+
+  test("tiny corpus: byte-for-byte fetch log, url_seen, counters") {
+    compare(Corpus.Tiny, CrawlConfig(maxEpochs = 50), "tiny")
+  }
+
+  test("small corpus: byte-for-byte fetch log, url_seen, counters") {
+    compare(Corpus.Small, CrawlConfig(maxEpochs = 12), "small")
+  }
+
+  test("fifo/BFO variant conforms too") {
+    compare(Corpus.Tiny,
+      CrawlConfig(maxEpochs = 20, queueOrder = "fifo", depthPriority = 1), "fifo")
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.{Corpus, CorpusWriter}
+import graft.operators.CrawlDriver
+import graft.media.{ImageOps, Phash}
+
+/** Snapshot/resume semantics (north rule: "checkpointed per-partition ...
+  * so a killed job resumes exactly") + media-row invariants on a real run. */
+class ResumeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("kill after 3 epochs, resume → identical final state as uninterrupted run") {
+    import spark.implicits._
+    val corpusDir = TestSpark.tempDir("corpus-resume")
+    CorpusWriter.writeAll(spark, Corpus.Tiny, corpusDir, withImages = false)
+    val cfg = CrawlConfig(maxEpochs = 30)
+
+    // uninterrupted
+    val rootA = TestSpark.tempDir("snap-uninterrupted")
+    val a = CrawlDriver.run(spark, cfg, corpusDir, rootA, withMedia = false)
+
+    // interrupted after 3 epochs, then resumed (fresh driver call = new JVM
+    // semantics: state only from the manifest)
+    val rootB = TestSpark.tempDir("snap-resumed")
+    CrawlDriver.run(spark, cfg, corpusDir, rootB, withMedia = false,
+      maxEpochsOverride = Some(3))
+    val b = CrawlDriver.run(spark, cfg, corpusDir, rootB, withMedia = false)
+
+    assert(a.manifest.snapshotId === b.manifest.snapshotId)
+    assert(a.manifest.pageFetches === b.manifest.pageFetches)
+    assert(a.manifest.counters === b.manifest.counters)
+    val logA = CrawlDriver.fetchLog(spark, a.manifest)
+      .select($"seq", $"url", $"virtualTMs", $"status").as[(Long, String, Long, Int)].collect().toSeq
+    val logB = CrawlDriver.fetchLog(spark, b.manifest)
+      .select($"seq", $"url", $"virtualTMs", $"status").as[(Long, String, Long, Int)].collect().toSeq
+    assert(logA === logB)
+    val seenA = spark.read.parquet(a.manifest.seenDirs: _*).as[String].collect().toSet
+    val seenB = spark.read.parquet(b.manifest.seenDirs: _*).as[String].collect().toSet
+    assert(seenA === seenB)
+  }
+
+  test("an orphaned (uncommitted) epoch directory is ignored on resume") {
+    import spark.implicits._
+    val corpusDir = TestSpark.tempDir("corpus-orphan")
+    CorpusWriter.writeAll(spark, Corpus.Tiny, corpusDir, withImages = false)
+    val cfg = CrawlConfig(maxEpochs = 30)
+    val root = TestSpark.tempDir("snap-orphan")
+    CrawlDriver.run(spark, cfg, corpusDir, root, withMedia = false,
+      maxEpochsOverride = Some(2))
+    // simulate a crash mid-epoch-3: data written, manifest NOT committed
+    val junk = CrawlDriver.dataDir(root, 3, "frontier")
+    spark.range(5).map(i => s"junk$i").write.parquet(junk)
+    val resumed = CrawlDriver.run(spark, cfg, corpusDir, root, withMedia = false)
+    // the resumed run overwrote the junk and completed normally
+    assert(resumed.manifest.frontierCount === 0)
+    assert(resumed.manifest.pageFetches > 0)
+  }
+
+  test("media rows satisfy the input_hint invariants on a real crawl") {
+    import spark.implicits._
+    val corpusDir = TestSpark.tempDir("corpus-media")
+    CorpusWriter.writeAll(spark, Corpus.Tiny, corpusDir, withImages = true)
+    val root = TestSpark.tempDir("snap-media")
+    val res = CrawlDriver.run(spark, CrawlConfig(maxEpochs = 10), corpusDir, root,
+      withMedia = true)
+    assert(res.manifest.mediaDirs.nonEmpty)
+    val media = spark.read.parquet(res.manifest.mediaDirs: _*).as[MediaRow].collect()
+    assert(media.nonEmpty, "crawl should persist media rows")
+    val images = spark.read.parquet(s"$corpusDir/images").as[ImageRow]
+      .collect().map(i => i.image_id -> i).toMap
+    for (mrow <- media) {
+      val img = images(mrow.image_id)
+      // caption byte-equality
+      assert(mrow.caption === img.caption, s"caption mismatch for ${mrow.image_id}")
+      // dims from decode match corpus dims
+      assert((mrow.w, mrow.h) === ((img.w, img.h)))
+      // md5 checksum of stored bytes (files.py:61-75 semantics)
+      assert(mrow.checksumMd5 === ImageOps.md5Hex(img.bytes))
+      // phash: exact for png, near for jpeg (decode-side recompute)
+      val d = Phash.hamming(mrow.phash, img.phash)
+      if (img.fmt == "png") assert(d === 0, s"png phash must be exact (${mrow.image_id})")
+      else assert(d <= 8, s"jpeg phash drifted $d bits (${mrow.image_id})")
+      // PSNR >= 40 dB for lossy vs original procedural pixels
+      val gIdx = mrow.image_id.drop(3).toInt
+      val orig = Corpus.pixels(Corpus.Tiny, gIdx)
+      val dec = ImageOps.decode(img.bytes).get
+      assert(ImageOps.psnr(orig, dec) >= 40.0, s"PSNR < 40dB for ${mrow.image_id}")
+    }
+  }
+}
