@@ -19,7 +19,8 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", math.max(cpus * 2, 8).toString)
+      .config("spark.sql.shuffle.partitions", "32") // fixed across N/4N runs
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -27,15 +28,57 @@ object Bench {
     s
   }
 
-  private def crawlThroughput(cpus: Int, corpusDir: String, epochs: Int): (Double, Long) = {
+  /** Broad-crawl politeness budget for the bench (analogue of the reference's
+    * broad-crawl tuning, `docs/topics/broad-crawls.rst:44-79` — the qps bench
+    * also drops the delay, `extras/qpsclient.py`). */
+  private val benchCfg = CrawlConfig(
+    delayMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DELAY_MS", "10").toLong,
+    epochMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_EPOCH_MS", "10000").toLong,
+    maxPerHostPerEpoch = sys.env.getOrElse("SPARK_GRAFT_BENCH_PER_HOST", "1000").toInt)
+
+  // child JVMs need the same JDK17 --add-opens set as build.sbt's javaOptions
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Media ON: each epoch decodes + phashes the fetched images — the actual
+    * north-star pipeline (fetch → decode/dedup → expand), and the CPU-bound
+    * stage a bigger cluster is for. Each parallelism level runs in its OWN
+    * child JVM (the local analogue of two separate spark-submit clusters —
+    * no JIT/GC/cache bleed between the N and 4N measurements). */
+  private def crawlThroughput(cpus: Int, corpusDir: String, epochs: Int,
+      warmupEpochs: Int): (Double, Long) = {
     val root = java.nio.file.Files.createTempDirectory(s"bench-snap-$cpus").toString
-    val spark = session(cpus)
-    val t0 = System.nanoTime()
-    val res = CrawlDriver.run(spark, CrawlConfig(), corpusDir, root,
-      withMedia = false, maxEpochsOverride = Some(epochs))
-    val secs = (System.nanoTime() - t0) / 1e9
-    spark.stop()
-    (res.manifest.pageFetches / secs, res.manifest.pageFetches)
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx24g", "-Dspark.ui.enabled=false",
+      "-cp", sys.props("java.class.path"),
+      "graft.CrawlMain", "run", corpusDir, root, epochs.toString, "media=1")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_CPUS", cpus.toString)
+    // stderr → file: Spark logs would fill the pipe buffer and deadlock us
+    val errFile = java.nio.file.Files.createTempFile(s"bench-child-$cpus", ".err").toFile
+    pb.redirectError(errFile)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    val rc = proc.waitFor()
+    require(rc == 0, s"bench child JVM failed (rc=$rc), stderr tail: " +
+      new String(java.nio.file.Files.readAllBytes(errFile.toPath)).takeRight(800))
+    val statsLine = out.linesIterator.find(_.startsWith("epochstats="))
+      .getOrElse(sys.error(s"no epochstats in child output: $out"))
+    val stats = statsLine.stripPrefix("epochstats=").split(",").toSeq
+      .filter(_.nonEmpty)
+      .map { kv => val Array(f, s) = kv.split(":"); (f.toLong, s.toDouble) }
+    val total = stats.map(_._1).sum
+    // steady-state throughput: drop warm-up epochs (JIT, cache fill, ramp-up)
+    val steady = stats.drop(warmupEpochs)
+    (steady.map(_._1).sum / steady.map(_._2).sum, total)
   }
 
   def main(args: Array[String]): Unit = {
@@ -56,12 +99,15 @@ object Bench {
     // ---- 2) crawl scaling: N vs 4N cores on the same corpus ---------------
     val corpusDir = java.nio.file.Files.createTempDirectory("bench-corpus").toString
     CorpusWriter.writeAll(spark, CrawlMain.specOf(s"bench:$benchPages"),
-      corpusDir, withImages = false)
+      corpusDir, withImages = true)
     spark.stop()
 
-    val n = math.max(cpus / 4, 1)
-    val (thrN, fetchesN) = crawlThroughput(n, corpusDir, benchEpochs)
-    val (thr4N, fetches4N) = crawlThroughput(cpus, corpusDir, benchEpochs)
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "2").toInt
+    // two "cluster sizes": local[N] vs local[4N] (BASELINE.md; N=2 default
+    // keeps the 4N run inside the box while epochs stay CPU-dominated)
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES_N", "2").toInt
+    val (thrN, fetchesN) = crawlThroughput(n, corpusDir, benchEpochs, warmup)
+    val (thr4N, fetches4N) = crawlThroughput(4 * n, corpusDir, benchEpochs, warmup)
     val efficiency = thr4N / (4.0 * thrN)
     require(fetchesN == fetches4N,
       s"parallelism changed the crawl! $fetchesN vs $fetches4N") // determinism guard
@@ -69,6 +115,6 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"crawl_urls_per_sec","value":$thr4N%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","queries_total_sec":$queriesSecs%.1f,"crawl":{"pages":$benchPages,"epochs":$benchEpochs,"fetches":$fetches4N,"throughput_n":$thrN%.1f,"throughput_4n":$thr4N%.1f,"cores_n":$n,"cores_4n":$cpus,"scaling_efficiency":$efficiency%.3f}}""")
+      f"""{"metric":"crawl_urls_per_sec","value":$thr4N%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","queries_total_sec":$queriesSecs%.1f,"crawl":{"pages":$benchPages,"epochs":$benchEpochs,"fetches":$fetches4N,"throughput_n":$thrN%.1f,"throughput_4n":$thr4N%.1f,"cores_n":$n,"cores_4n":${4 * n},"scaling_efficiency":$efficiency%.3f}}""")
   }
 }

@@ -15,8 +15,8 @@ object CrawlMain {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-crawl")
-      .config("spark.sql.shuffle.partitions",
-        math.max(cpus.toIntOption.getOrElse(8) * 2, 8).toString)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -51,6 +51,8 @@ object CrawlMain {
       println(s"epochs=${m.snapshotId} pageFetches=${m.pageFetches} " +
         s"frontier=${m.frontierCount} seconds=$secs " +
         s"urlsPerSec=${m.pageFetches / math.max(secs, 1e-9)}")
+      println("epochstats=" + res.epochStats
+        .map { case (f, sec) => f"$f:$sec%.3f" }.mkString(","))
       m.counters.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"# $k=$v") }
       spark.stop()
 

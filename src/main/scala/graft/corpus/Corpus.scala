@@ -245,7 +245,7 @@ object Corpus {
     val r = rng(spec, 5000000029L)
     (0L until spec.seedCount.toLong).map { s =>
       val k = if (r.nextDouble() < 0.3) 0 else r.nextInt(spec.nHosts)
-      val j = r.nextInt(math.min(spec.pagesOnHost(k), 10)) // seeds near page 0
+      val j = r.nextInt(spec.pagesOnHost(k))
       val url =
         if (r.nextDouble() < 0.3) trapHref(spec, k, j, r.nextInt(4)) match {
           case rel if rel.startsWith("/") => s"http://${spec.hostName(k)}$rel"
@@ -266,5 +266,7 @@ object Corpus {
   val Tiny: CorpusSpec = CorpusSpec(nHosts = 1, totalPages = 20, seedCount = 3)
   val Small: CorpusSpec = CorpusSpec(nHosts = 50, totalPages = 2000, seedCount = 20)
   def bench(totalPages: Int = 200000): CorpusSpec =
-    CorpusSpec(nHosts = 5000, totalPages = totalPages, seedCount = 500)
+    CorpusSpec(nHosts = math.max(1000, totalPages / 100), totalPages = totalPages,
+      hotHostShare = 0.1, seedCount = math.max(500, totalPages / 100),
+      imageMaxDim = 192) // bigger images: decode/phash CPU dominates like prod
 }

@@ -11,6 +11,11 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
   */
 object ImageOps {
 
+  // ImageIO's default file-backed stream cache serializes concurrent decodes
+  // on temp-file creation — catastrophic at 32 decode threads. Memory cache
+  // keeps the decode path lock-free.
+  ImageIO.setUseCache(false)
+
   /** Decoded image as packed 0xRRGGBB ints, row-major. */
   final case class Pixels(w: Int, h: Int, rgb: Array[Int])
 

@@ -15,7 +15,8 @@ import graft.urlkit.UrlKit
   */
 object CrawlDriver {
 
-  final case class RunResult(manifest: Manifest, root: String)
+  final case class RunResult(manifest: Manifest, root: String,
+      epochStats: Seq[(Long, Double)]) // (pageFetches, wallSecs) per epoch
 
   def dataDir(root: String, epoch: Int, table: String): String =
     s"$root/data/epoch$epoch/$table"
@@ -70,13 +71,24 @@ object CrawlDriver {
       maxEpochsOverride: Option[Int] = None): RunResult = {
     import spark.implicits._
 
+    // Pre-partition the corpus ("the web") by its join key once and keep it
+    // cached: every epoch's fetch join then reuses this partitioning and only
+    // shuffles the politeness-bounded fetch batch. At real scale this is the
+    // bucketed-table layout of the fetch-cache (SURVEY.md §4 partitioning).
+    val joinParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val pages = spark.read.parquet(s"$corpusDir/pages")
+      .withColumnRenamed("url", "canonical")
+      .repartition(joinParts, org.apache.spark.sql.functions.col("canonical"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val robotsCorpus = spark.read.parquet(s"$corpusDir/robots")
     val images =
       if (withMedia && new java.io.File(s"$corpusDir/images").exists())
         spark.read.parquet(s"$corpusDir/images")
+          .repartition(joinParts, org.apache.spark.sql.functions.col("image_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else null
 
+    val epochStats = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
     var m = Snapshot.loadLatest(root).getOrElse {
       init(spark, cfg, spark.read.parquet(s"$corpusDir/seeds").as[SeedRow], root)
     }
@@ -85,6 +97,7 @@ object CrawlDriver {
     while (m.frontierCount > 0 && m.snapshotId < maxEpochs &&
         !(cfg.closespiderPageCount > 0 && m.pageFetches >= cfg.closespiderPageCount)) {
       val epoch = m.snapshotId
+      val tEpoch = System.nanoTime()
       val frontier = spark.read.parquet(m.frontierDir).as[FrontierRow]
       val urlSeen = spark.read.parquet(m.seenDirs: _*)
       val hostState = spark.read.parquet(m.hostStateDir).as[HostState]
@@ -94,24 +107,39 @@ object CrawlDriver {
         frontier, urlSeen, hostState, robotsCache, pages, robotsCorpus,
         images, withMedia)
 
+      val timing = sys.env.contains("GRAFT_TIMING")
+      var tW = System.nanoTime()
+      def lapW(name: String): Unit = if (timing) {
+        val now = System.nanoTime()
+        System.err.println(f"[graft-timing] write:$name ${(now - tW) / 1e9}%.2fs")
+        tW = now
+      }
       val e1 = epoch + 1
       val fDir = dataDir(root, e1, "frontier")
-      r.nextFrontier.write.mode(SaveMode.Overwrite).parquet(fDir)
-      val frontierCount = spark.read.parquet(fDir).count()
       val seenDir = dataDir(root, e1, "seen_delta")
-      r.seenDelta.write.mode(SaveMode.Overwrite).parquet(seenDir)
       val hsDir = dataDir(root, e1, "host_state")
-      r.hostState.write.mode(SaveMode.Overwrite).parquet(hsDir)
       val rcDir = dataDir(root, e1, "robots_cache")
-      r.robotsCache.write.mode(SaveMode.Overwrite).parquet(rcDir)
       val flDir = dataDir(root, e1, "fetch_log")
-      r.fetchLog.write.mode(SaveMode.Overwrite).parquet(flDir)
+      val frontierCount = r.nextFrontierCount
+      // the six snapshot tables are independent — write them as concurrent
+      // Spark jobs (wall time = the slowest write, not the sum)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writeJobs = scala.collection.mutable.ArrayBuffer[Future[Unit]](
+        Future(r.nextFrontier.write.mode(SaveMode.Overwrite).parquet(fDir)),
+        Future(r.seenDelta.coalesce(8).write.mode(SaveMode.Overwrite).parquet(seenDir)),
+        Future(r.hostState.coalesce(8).write.mode(SaveMode.Overwrite).parquet(hsDir)),
+        Future(r.robotsCache.coalesce(8).write.mode(SaveMode.Overwrite).parquet(rcDir)),
+        Future(r.fetchLog.coalesce(8).write.mode(SaveMode.Overwrite).parquet(flDir)))
       val mediaDirs =
         if (withMedia && images != null) {
           val mDir = dataDir(root, e1, "media")
-          r.media.write.mode(SaveMode.Overwrite).parquet(mDir)
+          writeJobs += Future(r.media.write.mode(SaveMode.Overwrite).parquet(mDir))
           m.mediaDirs :+ mDir
         } else m.mediaDirs
+      writeJobs.foreach(Await.result(_, Duration.Inf))
+      lapW("all-writes")
 
       // periodic url_seen compaction: delta chain → one dir
       var seenDirs = m.seenDirs :+ seenDir
@@ -131,9 +159,15 @@ object CrawlDriver {
         r.nextFetchSeq, frontierCount, m.pageFetches + r.pageFetchCount,
         mergedCounters)
       Snapshot.write(root, m)
-      spark.sqlContext.clearCache()
+      r.cleanup() // drop only this epoch's caches; the corpus stays resident
+      val epochSecs = (System.nanoTime() - tEpoch) / 1e9
+      epochStats += ((r.pageFetchCount, epochSecs))
+      System.err.println(f"[graft] epoch=$epoch fetches=${r.pageFetchCount} " +
+        f"frontier=$frontierCount secs=$epochSecs%.2f")
     }
-    RunResult(m, root)
+    pages.unpersist(false)
+    if (images != null) images.unpersist(false)
+    RunResult(m, root, epochStats.toSeq)
   }
 
   /** Full fetch log of a finished run, ordered. */

@@ -54,7 +54,9 @@ object CrawlEngine {
       media: Dataset[MediaRow],
       counters: Map[String, Long],
       nextFetchSeq: Long,
-      pageFetchCount: Long)
+      pageFetchCount: Long,
+      nextFrontierCount: Long,
+      cleanup: () => Unit)
 
   /** The dequeue comparator of the crawl contract (CrawlConfig step 2). */
   def dequeueLt(cfg: CrawlConfig)(a: FrontierRow, b: FrontierRow): Boolean = {
@@ -84,23 +86,33 @@ object CrawlEngine {
       withMedia: Boolean): EpochResult = {
     import spark.implicits._
 
-    // ---- host metadata (small per-epoch dimension; broadcast if small) ----
-    val hosts = frontier.select($"host").distinct()
-    val hostMeta = hosts
-      .join(hostState.toDF().withColumnRenamed("lastTMs", "lastT"), Seq("host"), "left")
-      .join(robotsCache.toDF()
-        .withColumnRenamed("body", "knownBody").withColumnRenamed("ok", "knownOk")
-        .withColumn("robotsKnown", lit(true)), Seq("host"), "left")
-      .join(robotsCorpus.withColumnRenamed("body", "corpusBody"), Seq("host"), "left")
-      .select($"host",
-        coalesce($"lastT", lit(Long.MinValue / 2)).as("lastT"),
-        coalesce($"robotsKnown", lit(false)).as("robotsKnown"),
-        $"knownBody", coalesce($"knownOk", lit(false)).as("knownOk"), $"corpusBody")
-      .as[HostMeta]
+    val timing = sys.env.contains("GRAFT_TIMING")
+    var tPhase = System.nanoTime()
+    def lap(name: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[graft-timing] $name ${(now - tPhase) / 1e9}%.2fs")
+      tPhase = now
+    }
 
-    val enriched = frontier
-      .joinWith(hostMeta, frontier("host") === hostMeta("host"), "inner")
-      .map { case (fr, meta) => Enriched(fr, meta) }
+    // ---- host metadata joined straight onto the frontier ------------------
+    // The three host-keyed state tables are tiny next to the frontier — AQE
+    // turns these into broadcast joins (at 10^7-host scale they become
+    // co-partitioned shuffle joins on the same host key; plan unchanged).
+    val frCols = Seq("url", "fp", "host", "priority", "depth", "isStart",
+      "dEpoch", "dParent", "dLink", "retryTimes", "redirectTimes", "dontFilter")
+    val enriched = frontier.toDF()
+      .join(hostState.toDF().select($"host", $"lastTMs".as("lastT")), Seq("host"), "left")
+      .join(robotsCache.toDF().select($"host", $"body".as("knownBody"),
+        $"ok".as("knownOk"), lit(true).as("robotsKnown")), Seq("host"), "left")
+      .join(robotsCorpus.select($"host", $"body".as("corpusBody")), Seq("host"), "left")
+      .select(
+        struct(frCols.map(col): _*).as("fr"),
+        struct($"host",
+          coalesce($"lastT", lit(Long.MinValue / 2)).as("lastT"),
+          coalesce($"robotsKnown", lit(false)).as("robotsKnown"),
+          $"knownBody", coalesce($"knownOk", lit(false)).as("knownOk"),
+          $"corpusBody").as("meta"))
+      .as[Enriched]
 
     // ---- politeness dequeue per host: bounded PQ, O(n log k) --------------
     val epochStart = epoch.toLong * cfg.epochMs
@@ -110,83 +122,116 @@ object CrawlEngine {
     val delayMs = cfg.delayMs
     val lt = dequeueLt(cfg) _
 
-    val deqOut: Dataset[DeqOut] = enriched
-      .groupByKey(_.fr.host)
-      .flatMapGroups { (host, it) =>
-        // Streaming bounded-PQ: kept rows are emitted as they're evicted, so
-        // memory is O(budget) even for a hot host with a huge frontier
-        // (head of the PQ = worst row currently kept).
-        var meta: HostMeta = null
-        var pq: java.util.PriorityQueue[FrontierRow] = null
-        var budget = 0
+    // Observation metrics ride along with the first job that materializes
+    // each cached dataset — no extra counting jobs (Spark `observe` API).
+    // Dequeue: one hash repartition by host (no sort — cheaper than a
+    // sorted groupByKey), then per-partition bounded PQs: kept rows are
+    // emitted as they're evicted, so memory is O(hosts_in_partition·budget)
+    // even when a hot host holds a huge frontier slice.
+    val obsDeq = org.apache.spark.sql.Observation()
+    val deqOut0: Dataset[DeqOut] = enriched
+      .repartition($"fr.host")
+      .mapPartitions { it =>
+        final class HostAcc(val meta: HostMeta) {
+          val budget: Int =
+            math.max(hostBudget - (if (robotsObey && !meta.robotsKnown) 1 else 0), 0)
+          val pq = new java.util.PriorityQueue[FrontierRow](math.max(budget, 1),
+            (x: FrontierRow, y: FrontierRow) => if (lt(x, y)) 1 else -1) // head = worst
+        }
+        val states = new java.util.HashMap[String, HostAcc]()
         val keptIter: Iterator[DeqOut] = it.flatMap { e =>
-          if (meta == null) {
-            meta = e.meta
-            budget = math.max(hostBudget - (if (robotsObey && !meta.robotsKnown) 1 else 0), 0)
-            pq = new java.util.PriorityQueue[FrontierRow](math.max(budget, 1),
-              (x: FrontierRow, y: FrontierRow) => if (lt(x, y)) 1 else -1) // head = worst
-          }
-          if (budget == 0) Iterator.single(DeqOut(KKept, e.fr, 0L, -1))
+          var st = states.get(e.fr.host)
+          if (st == null) { st = new HostAcc(e.meta); states.put(e.fr.host, st) }
+          if (st.budget == 0) Iterator.single(DeqOut(KKept, e.fr, 0L, -1))
           else {
-            pq.offer(e.fr)
-            if (pq.size > budget) Iterator.single(DeqOut(KKept, pq.poll(), 0L, -1))
+            st.pq.offer(e.fr)
+            if (st.pq.size > st.budget) Iterator.single(DeqOut(KKept, st.pq.poll(), 0L, -1))
             else Iterator.empty
           }
         }
         def tailIter: Iterator[DeqOut] = { // evaluated after keptIter drains
           val out = scala.collection.mutable.ArrayBuffer.empty[DeqOut]
-          val deq = new Array[FrontierRow](if (pq == null) 0 else pq.size)
-          var n = deq.length - 1
-          while (n >= 0) { deq(n) = pq.poll(); n -= 1 } // worst→best, fill back→front
-          var t = math.max(meta.lastT + delayMs, epochStart)
-          val needRobots = robotsObey && !meta.robotsKnown
-          val rules =
-            if (!robotsObey) RobotsRules.AllowAll
-            else {
-              val body = if (meta.robotsKnown) {
-                if (meta.knownOk) meta.knownBody else null
-              } else meta.corpusBody
-              if (body == null) RobotsRules.AllowAll else RobotsRules.parse(body)
-            }
-          if (needRobots) {
-            val robotsUrl = s"http://$host/robots.txt"
-            val fp = UrlKit.fingerprint(robotsUrl)
-            out += DeqOut(KRobots,
-              FrontierRow(robotsUrl, fp, host, 1000, 0, isStart = false,
-                epoch, -1L, -1, 0, 0, dontFilter = true), t, -1)
-            t += delayMs
-          }
-          var i = 0
-          for (row <- deq) {
-            if (robotsObey && !rules.allowed(row.url, robotsUA)) {
-              out += DeqOut(KForbidden, row, 0L, -1)
-            } else {
-              out += DeqOut(KFetch, row, t, i)
+          states.forEach { (host, st) =>
+            val meta = st.meta
+            val deq = new Array[FrontierRow](st.pq.size)
+            var n = deq.length - 1
+            while (n >= 0) { deq(n) = st.pq.poll(); n -= 1 } // worst→best, back→front
+            var t = math.max(meta.lastT + delayMs, epochStart)
+            val needRobots = robotsObey && !meta.robotsKnown
+            val rules =
+              if (!robotsObey) RobotsRules.AllowAll
+              else {
+                val body = if (meta.robotsKnown) {
+                  if (meta.knownOk) meta.knownBody else null
+                } else meta.corpusBody
+                if (body == null) RobotsRules.AllowAll else RobotsRules.parse(body)
+              }
+            if (needRobots) {
+              val robotsUrl = s"http://$host/robots.txt"
+              val fp = UrlKit.fingerprint(robotsUrl)
+              out += DeqOut(KRobots,
+                FrontierRow(robotsUrl, fp, host, 1000, 0, isStart = false,
+                  epoch, -1L, -1, 0, 0, dontFilter = true), t, -1)
               t += delayMs
-              i += 1
+            }
+            var i = 0
+            for (row <- deq) {
+              if (robotsObey && !rules.allowed(row.url, robotsUA)) {
+                out += DeqOut(KForbidden, row, 0L, -1)
+              } else {
+                out += DeqOut(KFetch, row, t, i)
+                t += delayMs
+                i += 1
+              }
             }
           }
           out.iterator
         }
         keptIter ++ tailIter
       }
+    val deqOut = deqOut0
+      .observe(obsDeq,
+        sum(when($"kind" === KKept, 1L).otherwise(0L)).as("kept"),
+        sum(when($"kind" === KFetch, 1L).otherwise(0L)).as("fetch"),
+        sum(when($"kind" === KRobots, 1L).otherwise(0L)).as("robots"),
+        sum(when($"kind" === KForbidden, 1L).otherwise(0L)).as("forbidden"))
       .persist()
 
     // ---- global fetch order + seq -----------------------------------------
-    val fetchesSorted = deqOut
+    // The fetch batch is politeness-bounded (≤ hosts × budget) — tiny next to
+    // the frontier. Collect only its (t, host, idx) KEYS, sort on the driver,
+    // broadcast the dense seq assignment back: one narrow job instead of a
+    // global sort + zipWithIndex (3 jobs). (t, host) is unique by
+    // construction — each host's virtual times strictly increase. At a
+    // 10^8-row fetch batch this switches back to a distributed
+    // orderBy+zipWithIndex; the contract order (t, host, idx) is identical.
+    val fetchKeys = deqOut
       .filter(d => d.kind == KFetch || d.kind == KRobots)
-      .orderBy($"t", $"fr.host", $"hostIdx")
-    val fetches: Dataset[FetchRow] = fetchesSorted.rdd.zipWithIndex()
-      .map { case (d, i) => FetchRow(d.fr, d.t, d.hostIdx, d.kind, baseSeq + i) }
-      .toDS()
+      .map(d => (d.t, d.fr.host, d.hostIdx))
+      .collect()
+    java.util.Arrays.sort(fetchKeys, Ordering[(Long, String, Int)])
+    val seqMap = new java.util.HashMap[(Long, String), Long](fetchKeys.length * 2)
+    var si = 0
+    while (si < fetchKeys.length) {
+      seqMap.put((fetchKeys(si)._1, fetchKeys(si)._2), baseSeq + si)
+      si += 1
+    }
+    val seqBc = spark.sparkContext.broadcast(seqMap)
+    val fetches: Dataset[FetchRow] = deqOut
+      .filter(d => d.kind == KFetch || d.kind == KRobots)
+      .map(d => FetchRow(d.fr, d.t, d.hostIdx, d.kind, seqBc.value.get((d.t, d.fr.host))))
       .persist()
+    lap("dequeue+seqAssign")
 
     // ---- fetch service: join the synthetic web on canonical URL ----------
+    // `pages` carries a `canonical` key column and SHOULD be pre-partitioned
+    // on it + persisted by the caller: the corpus side then never re-shuffles
+    // across epochs — only the (politeness-bounded) fetch batch moves.
     val canonUdf = udf((u: String) => UrlKit.canonicalizeUrl(u))
     val pageFetches = fetches.filter(_.kind == KFetch).toDF()
       .withColumn("canonical", canonUdf($"fr.url"))
     val fetched = pageFetches
-      .join(pages.withColumnRenamed("url", "canonical"), Seq("canonical"), "left")
+      .join(pages, Seq("canonical"), "left")
       .withColumn("status", coalesce($"status", lit(404)))
       .persist()
 
@@ -213,7 +258,8 @@ object CrawlEngine {
       .as[(FrontierRow, Long, Int, Option[String], Option[Array[Byte]])]
 
     // candidate kind: 0 candidate, 1 retry/max_reached, 2 depth/filtered
-    val candsRaw: Dataset[(Int, FrontierRow)] = toExpand.flatMap {
+    val obsCand = org.apache.spark.sql.Observation()
+    val candsRaw0: Dataset[(Int, FrontierRow)] = toExpand.flatMap {
       case (row, seq, status, location, body) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[(Int, FrontierRow)]
         if (redirectStatuses.contains(status) && location.exists(_ != null)) {
@@ -242,36 +288,77 @@ object CrawlEngine {
           } else links.foreach(_ => out += ((2, row)))
         }
         out
-    }.persist()
+    }
+    val candsRaw = candsRaw0.toDF("kind", "fr")
+      .observe(obsCand,
+        sum(when($"kind" === 0, 1L).otherwise(0L)).as("cands"),
+        sum(when($"kind" === 1, 1L).otherwise(0L)).as("retryMax"),
+        sum(when($"kind" === 2, 1L).otherwise(0L)).as("depthFiltered"),
+        sum(when($"kind" === 0 && $"fr.dLink" === -2, 1L).otherwise(0L)).as("retries"),
+        sum(when($"kind" === 0 && $"fr.dontFilter", 1L).otherwise(0L)).as("dontFilter"))
+      .as[(Int, FrontierRow)]
+      .persist()
 
     val cands = candsRaw.filter(_._1 == 0).map(_._2).persist()
     val dontFilterCands = cands.filter(_.dontFilter)
     val normalCands = cands.filter(!_.dontFilter)
       .withColumn("fpHex", hex($"fp"))
 
-    // intra-batch first-wins on fp, discovery order (contract step 8)
-    val w = Window.partitionBy($"fpHex").orderBy($"dEpoch", $"dParent", $"dLink")
-    val firstWins = normalCands.withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1).drop("rn")
+    // intra-batch first-wins on fp in discovery order (contract step 8):
+    // min_by-style struct-min aggregation — partial (map-side) aggregation
+    // beats a sort window at scale, and the discovery tuple prefix makes the
+    // lexicographic struct-min exactly "earliest discovery wins"
+    val firstWins = normalCands
+      .groupBy($"fpHex")
+      .agg(min(struct($"dEpoch", $"dParent", $"dLink", $"url", $"fp", $"host",
+        $"priority", $"depth", $"isStart", $"retryTimes", $"redirectTimes",
+        $"dontFilter")).as("r"))
+      .select($"fpHex", $"r.url", $"r.fp", $"r.host", $"r.priority", $"r.depth",
+        $"r.isStart", $"r.dEpoch", $"r.dParent", $"r.dLink", $"r.retryTimes",
+        $"r.redirectTimes", $"r.dontFilter")
 
-    // anti-join vs url_seen (exact; bloom prescreen added at driver level)
+    // anti-join vs url_seen (exact; a seen-side Bloom prescreen is the
+    // at-scale refinement — correctness never depends on it)
     val survivors = firstWins
       .join(urlSeen.select($"fpHex"), Seq("fpHex"), "left_anti")
       .drop("fpHex")
       .as[FrontierRow]
       .persist()
 
-    // ---- counters (all from the small per-epoch datasets) -----------------
-    val kindCounts = deqOut.groupBy($"kind").count().as[(Int, Long)].collect().toMap
-    val statusCounts = fetchLog.groupBy($"status", $"isRobots").count()
-      .as[(Int, Boolean, Long)].collect()
-    val nCands = cands.count()
-    val nNormal = normalCands.count()
+    // ---- counters (observations + two small jobs on cached data) ----------
+    // zipWithIndex above already materialized deqOut → the observation fired
+    val deqMetrics = obsDeq.get
+    def metric(m: Map[String, Any], k: String): Long = m.getOrElse(k, null) match {
+      case null => 0L
+      case v: java.lang.Long => v.longValue()
+      case v => v.toString.toLong
+    }
+    val kindCounts = Map(
+      KKept -> metric(deqMetrics, "kept"),
+      KFetch -> metric(deqMetrics, "fetch"),
+      KRobots -> metric(deqMetrics, "robots"),
+      KForbidden -> metric(deqMetrics, "forbidden"))
+    lap("kindCounts")
+    // statusCounts and the expansion/dedup chain are independent once
+    // `fetched` is cached — run them as concurrent Spark jobs
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val statusCountsF = Future {
+      fetchLog.groupBy($"status", $"isRobots").count()
+        .as[(Int, Boolean, Long)].collect()
+    }
+    // survivors.count() materializes the expansion chain, firing obsCand
     val nSurvivors = survivors.count()
-    val nDontFilter = nCands - nNormal
-    val nRetries = cands.filter(_.dLink == -2).count()
-    val nRetryMax = candsRaw.filter(_._1 == 1).count()
-    val nDepthFiltered = candsRaw.filter(_._1 == 2).count()
+    val statusCounts = Await.result(statusCountsF, Duration.Inf)
+    lap("expand+dedup+antiJoin")
+    val candMetrics = obsCand.get
+    val nCands = metric(candMetrics, "cands")
+    val nRetryMax = metric(candMetrics, "retryMax")
+    val nDepthFiltered = metric(candMetrics, "depthFiltered")
+    val nRetries = metric(candMetrics, "retries")
+    val nDontFilter = metric(candMetrics, "dontFilter")
+    val nNormal = nCands - nDontFilter
     val pageFetchCount = kindCounts.getOrElse(KFetch, 0L)
     val robotsFetchCount = kindCounts.getOrElse(KRobots, 0L)
     val counters = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
@@ -333,8 +420,21 @@ object CrawlEngine {
       }
 
     val nFetches = pageFetchCount + robotsFetchCount
+    val nextFrontierCount = kindCounts.getOrElse(KKept, 0L) + nSurvivors + nDontFilter
+    val cleanup = () => {
+      seqBc.destroy()
+      deqOut.unpersist(false)
+      fetches.unpersist(false)
+      fetched.unpersist(false)
+      fetchLog.unpersist(false)
+      candsRaw.unpersist(false)
+      cands.unpersist(false)
+      survivors.unpersist(false)
+      ()
+    }
     // zero-valued counters are dropped on both sides of the conformance compare
     EpochResult(fetchLog, nextFrontier, seenDelta, newHostState, nextRobotsCache,
-      media, counters.toMap.filter(_._2 != 0L), baseSeq + nFetches, pageFetchCount)
+      media, counters.toMap.filter(_._2 != 0L), baseSeq + nFetches, pageFetchCount,
+      nextFrontierCount, cleanup)
   }
 }
