@@ -94,6 +94,23 @@ object CrawlDriver {
     }
     val maxEpochs = maxEpochsOverride.getOrElse(cfg.maxEpochs)
 
+    // url_seen Bloom filter (advisory prescreen; exactness from the
+    // anti-join). One driver-resident filter, merged with each epoch's
+    // delta, serialized into the snapshot for resume. At 10^10 scale this
+    // becomes one filter per fp-bucket, co-located with the seen partition.
+    import org.apache.spark.util.sketch.BloomFilter
+    val bloomItems = 4L * 1000 * 1000
+    val bloomFpp = 0.03
+    val bloom: BloomFilter =
+      if (m.bloomPath.nonEmpty && new java.io.File(m.bloomPath).exists()) {
+        val in = new java.io.FileInputStream(m.bloomPath)
+        try BloomFilter.readFrom(in) finally in.close()
+      } else if (m.seenDirs.nonEmpty &&
+          spark.read.parquet(m.seenDirs: _*).limit(1).count() > 0) {
+        spark.read.parquet(m.seenDirs: _*)
+          .stat.bloomFilter("fpHex", bloomItems, bloomFpp)
+      } else BloomFilter.create(bloomItems, bloomFpp)
+
     while (m.frontierCount > 0 && m.snapshotId < maxEpochs &&
         !(cfg.closespiderPageCount > 0 && m.pageFetches >= cfg.closespiderPageCount)) {
       val epoch = m.snapshotId
@@ -103,9 +120,10 @@ object CrawlDriver {
       val hostState = spark.read.parquet(m.hostStateDir).as[HostState]
       val robotsCache = spark.read.parquet(m.robotsCacheDir).as[CrawlEngine.RobotsCacheRow]
 
+      val bloomBc = spark.sparkContext.broadcast(bloom)
       val r = CrawlEngine.runEpoch(spark, cfg, epoch, m.nextFetchSeq,
         frontier, urlSeen, hostState, robotsCache, pages, robotsCorpus,
-        images, withMedia)
+        images, withMedia, Some(bloomBc))
 
       val timing = sys.env.contains("GRAFT_TIMING")
       var tW = System.nanoTime()
@@ -126,9 +144,12 @@ object CrawlDriver {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
+      val seenWrite = Future {
+        r.seenDelta.coalesce(8).write.mode(SaveMode.Overwrite).parquet(seenDir)
+      }
       val writeJobs = scala.collection.mutable.ArrayBuffer[Future[Unit]](
         Future(r.nextFrontier.write.mode(SaveMode.Overwrite).parquet(fDir)),
-        Future(r.seenDelta.coalesce(8).write.mode(SaveMode.Overwrite).parquet(seenDir)),
+        seenWrite,
         Future(r.hostState.coalesce(8).write.mode(SaveMode.Overwrite).parquet(hsDir)),
         Future(r.robotsCache.coalesce(8).write.mode(SaveMode.Overwrite).parquet(rcDir)),
         Future(r.fetchLog.coalesce(8).write.mode(SaveMode.Overwrite).parquet(flDir)))
@@ -138,7 +159,22 @@ object CrawlDriver {
           writeJobs += Future(r.media.write.mode(SaveMode.Overwrite).parquet(mDir))
           m.mediaDirs :+ mDir
         } else m.mediaDirs
+      // merge this epoch's new fingerprints into the Bloom filter while the
+      // writes run (same parallel phase), then persist it with the snapshot
+      val bloomF = seenWrite.map { _ =>
+        if (r.seenDeltaCount > 0) { // stat.bloomFilter NPEs on empty input
+          val delta = spark.read.parquet(seenDir)
+            .stat.bloomFilter("fpHex", bloomItems, bloomFpp)
+          bloom.mergeInPlace(delta)
+        }
+        val bPath = dataDir(root, e1, "bloom.bin")
+        new java.io.File(bPath).getParentFile.mkdirs()
+        val os = new java.io.FileOutputStream(bPath)
+        try bloom.writeTo(os) finally os.close()
+        bPath
+      }
       writeJobs.foreach(Await.result(_, Duration.Inf))
+      val bloomPath = Await.result(bloomF, Duration.Inf)
       lapW("all-writes")
 
       // periodic url_seen compaction: delta chain → one dir
@@ -157,8 +193,9 @@ object CrawlDriver {
       m = Manifest(e1, epoch, fDir, seenDirs, hsDir, rcDir,
         m.fetchLogDirs :+ flDir, mediaDirs,
         r.nextFetchSeq, frontierCount, m.pageFetches + r.pageFetchCount,
-        mergedCounters)
+        mergedCounters, bloomPath)
       Snapshot.write(root, m)
+      bloomBc.destroy()
       r.cleanup() // drop only this epoch's caches; the corpus stays resident
       val epochSecs = (System.nanoTime() - tEpoch) / 1e9
       epochStats += ((r.pageFetchCount, epochSecs))

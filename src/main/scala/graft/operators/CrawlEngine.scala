@@ -56,6 +56,7 @@ object CrawlEngine {
       nextFetchSeq: Long,
       pageFetchCount: Long,
       nextFrontierCount: Long,
+      seenDeltaCount: Long,
       cleanup: () => Unit)
 
   /** The dequeue comparator of the crawl contract (CrawlConfig step 2). */
@@ -83,7 +84,9 @@ object CrawlEngine {
       pages: DataFrame, // corpus pages (url=canonical, status, location, body, imageId)
       robotsCorpus: DataFrame, // (host, body)
       images: DataFrame, // corpus images, nullable (media off when null)
-      withMedia: Boolean): EpochResult = {
+      withMedia: Boolean,
+      bloom: Option[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]] = None): EpochResult = {
     import spark.implicits._
 
     val timing = sys.env.contains("GRAFT_TIMING")
@@ -317,10 +320,19 @@ object CrawlEngine {
         $"r.isStart", $"r.dEpoch", $"r.dParent", $"r.dLink", $"r.retryTimes",
         $"r.redirectTimes", $"r.dontFilter")
 
-    // anti-join vs url_seen (exact; a seen-side Bloom prescreen is the
-    // at-scale refinement — correctness never depends on it)
-    val survivors = firstWins
-      .join(urlSeen.select($"fpHex"), Seq("fpHex"), "left_anti")
+    // Bloom prescreen (north rule: bloom/cuckoo URL-seen): a fingerprint the
+    // filter has never seen is DEFINITELY new — only likely-dups pay the
+    // exact anti-join. No false negatives, so the result is still exact.
+    val survivors = (bloom match {
+      case Some(b) =>
+        val mightContain = udf((hex: String) => b.value.mightContain(hex))
+        val definitelyNew = firstWins.filter(!mightContain($"fpHex"))
+        val maybeSeen = firstWins.filter(mightContain($"fpHex"))
+          .join(urlSeen.select($"fpHex"), Seq("fpHex"), "left_anti")
+        definitelyNew.unionByName(maybeSeen)
+      case None =>
+        firstWins.join(urlSeen.select($"fpHex"), Seq("fpHex"), "left_anti")
+    })
       .drop("fpHex")
       .as[FrontierRow]
       .persist()
@@ -435,6 +447,6 @@ object CrawlEngine {
     // zero-valued counters are dropped on both sides of the conformance compare
     EpochResult(fetchLog, nextFrontier, seenDelta, newHostState, nextRobotsCache,
       media, counters.toMap.filter(_._2 != 0L), baseSeq + nFetches, pageFetchCount,
-      nextFrontierCount, cleanup)
+      nextFrontierCount, nSurvivors, cleanup)
   }
 }

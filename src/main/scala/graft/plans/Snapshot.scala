@@ -28,7 +28,8 @@ final case class Manifest(
     nextFetchSeq: Long,
     frontierCount: Long,
     pageFetches: Long,
-    counters: Map[String, Long])
+    counters: Map[String, Long],
+    bloomPath: String = "") // serialized url_seen Bloom filter (advisory)
 
 object Snapshot {
 
@@ -56,6 +57,7 @@ object Snapshot {
     sb.append("\"robotsCacheDir\": ").append(jstr(m.robotsCacheDir)).append(", ")
     sb.append("\"fetchLogDirs\": [").append(m.fetchLogDirs.map(jstr).mkString(", ")).append("], ")
     sb.append("\"mediaDirs\": [").append(m.mediaDirs.map(jstr).mkString(", ")).append("], ")
+    sb.append("\"bloomPath\": ").append(jstr(m.bloomPath)).append(", ")
     sb.append("\"nextFetchSeq\": ").append(m.nextFetchSeq).append(", ")
     sb.append("\"frontierCount\": ").append(m.frontierCount).append(", ")
     sb.append("\"pageFetches\": ").append(m.pageFetches).append(", ")
@@ -107,12 +109,16 @@ object Snapshot {
     val counters = "\"((?:[^\"\\\\]|\\\\.)*)\": (-?\\d+)".r
       .findAllMatchIn(countersJson)
       .map(m => unescape(m.group(1)) -> m.group(2).toLong).toMap
+    def optStrField(name: String): String = {
+      val re = ("\"" + name + "\": \"((?:[^\"\\\\]|\\\\.)*)\"").r
+      re.findFirstMatchIn(json).map(m => unescape(m.group(1))).getOrElse("")
+    }
     Manifest(
       numField("snapshotId").toInt, numField("parentId").toInt,
       strField("frontierDir"), arrField("seenDirs"), strField("hostStateDir"),
       strField("robotsCacheDir"), arrField("fetchLogDirs"), arrField("mediaDirs"),
       numField("nextFetchSeq"), numField("frontierCount"), numField("pageFetches"),
-      counters)
+      counters, optStrField("bloomPath"))
   }
 
   private def unescape(s: String): String = {
