@@ -75,9 +75,17 @@ final case class CrawlConfig(
     retryTimes: Int = 2, // RETRY_TIMES
     maxRedirectTimes: Int = 20, // REDIRECT_MAX_TIMES
     urlLengthLimit: Int = 2083, // URLLENGTH_LIMIT
+    allowedDomains: Seq[String] = Nil, // offsite filter; empty = allow all
     maxEpochs: Int = 1000,
     closespiderPageCount: Long = 0 // 0 = off
 ) {
+  /** Offsite predicate (`scrapy/downloadermiddlewares/offsite.py:47-99`):
+    * host must equal an allowed domain or be a subdomain of one. Applied to
+    * extracted link candidates before the dupefilter (legacy spider-mw
+    * placement — offsite links never enter url_seen). */
+  def hostAllowed(host: String): Boolean =
+    allowedDomains.isEmpty ||
+      allowedDomains.exists(d => host == d || host.endsWith("." + d))
   require(queueOrder == "lifo" || queueOrder == "fifo", s"bad queueOrder $queueOrder")
   def hostBudget: Int =
     math.min(math.max(1L, epochMs / math.max(delayMs, 1L)), maxPerHostPerEpoch.toLong).toInt

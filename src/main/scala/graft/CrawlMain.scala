@@ -56,6 +56,32 @@ object CrawlMain {
       m.counters.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"# $k=$v") }
       spark.stop()
 
+    // feed-export analogue (`scrapy/extensions/feedexport.py`): crawl
+    // outputs → json/csv/parquet via the built-in DataFrameWriter
+    case "export" :: root :: table :: outDir :: rest =>
+      val spark = session()
+      spark.sparkContext.setLogLevel("WARN")
+      val fmt = rest.headOption.getOrElse("json")
+      val m = graft.plans.Snapshot.loadLatest(root).getOrElse(sys.error("no manifest"))
+      val df = table match {
+        case "fetch_log" => CrawlDriver.fetchLog(spark, m)
+        case "media" => spark.read.parquet(m.mediaDirs: _*)
+          .drop("bytes") // payloads stay in parquet; metadata exports
+        case "counters" =>
+          import spark.implicits._
+          m.counters.toSeq.sortBy(_._1).toDF("counter", "value")
+        case other => sys.error(s"unknown table $other (fetch_log|media|counters)")
+      }
+      fmt match {
+        case "json" => df.write.mode("overwrite").json(outDir)
+        case "csv" => df.drop("fp").write.mode("overwrite")
+          .option("header", "true").csv(outDir)
+        case "parquet" => df.write.mode("overwrite").parquet(outDir)
+        case other => sys.error(s"unknown format $other")
+      }
+      println(s"exported $table as $fmt to $outDir")
+      spark.stop()
+
     case "log" :: root :: Nil =>
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")

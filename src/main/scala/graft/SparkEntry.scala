@@ -234,6 +234,12 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), langIdUdf(col("text")).as("predicted_lang"))),
 
+    // IVF-bucketed approximate top-k (the ANN scale path; recall measured
+    // against bruteTopK in OperatorsSpec)
+    "q_ann_ivf" -> ((s, dir) =>
+      graft.functions.Similarity.ivfTopK(s,
+        t(s, dir, "embeddings"), (0L until 10L).toSeq, k = 3, nLists = 16, nProbe = 4)),
+
     // embedding cosine near-dup pairs (block by label to bound the join)
     "q_embedding_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")

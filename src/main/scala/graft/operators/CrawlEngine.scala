@@ -283,8 +283,10 @@ object CrawlEngine {
           val links = LinkExtract.extract(body.get, row.url, cfg.urlLengthLimit)
           if (cfg.depthLimit == 0 || childDepth <= cfg.depthLimit) {
             for ((linkIdx, link) <- links) {
-              out += ((0, FrontierRow(link.url, UrlKit.fingerprint(link.url),
-                UrlKit.hostOf(link.url), -childDepth * cfg.depthPriority,
+              val childHost = UrlKit.hostOf(link.url)
+              if (!cfg.hostAllowed(childHost)) out += ((3, row)) // offsite
+              else out += ((0, FrontierRow(link.url, UrlKit.fingerprint(link.url),
+                childHost, -childDepth * cfg.depthPriority,
                 childDepth, isStart = false, epoch, seq, linkIdx, 0, 0,
                 dontFilter = false)))
             }
@@ -298,7 +300,8 @@ object CrawlEngine {
         sum(when($"kind" === 1, 1L).otherwise(0L)).as("retryMax"),
         sum(when($"kind" === 2, 1L).otherwise(0L)).as("depthFiltered"),
         sum(when($"kind" === 0 && $"fr.dLink" === -2, 1L).otherwise(0L)).as("retries"),
-        sum(when($"kind" === 0 && $"fr.dontFilter", 1L).otherwise(0L)).as("dontFilter"))
+        sum(when($"kind" === 0 && $"fr.dontFilter", 1L).otherwise(0L)).as("dontFilter"),
+        sum(when($"kind" === 3, 1L).otherwise(0L)).as("offsite"))
       .as[(Int, FrontierRow)]
       .persist()
 
@@ -384,6 +387,7 @@ object CrawlEngine {
     counters("retry/count") = nRetries
     counters("retry/max_reached") = nRetryMax
     counters("depth/filtered") = nDepthFiltered
+    counters("offsite/filtered") = metric(candMetrics, "offsite")
     counters("dupefilter/filtered") = nNormal - nSurvivors
     counters("scheduler/enqueued") = nSurvivors + nDontFilter
 

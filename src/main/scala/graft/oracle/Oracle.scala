@@ -162,8 +162,10 @@ object Oracle {
               val links = LinkExtract.extract(page.body, row.url, cfg.urlLengthLimit)
               if (cfg.depthLimit == 0 || childDepth <= cfg.depthLimit) {
                 for ((linkIdx, link) <- links) {
-                  candidates += FrontierRow(link.url, UrlKit.fingerprint(link.url),
-                    UrlKit.hostOf(link.url), -childDepth * cfg.depthPriority,
+                  val childHost = UrlKit.hostOf(link.url)
+                  if (!cfg.hostAllowed(childHost)) inc("offsite/filtered")
+                  else candidates += FrontierRow(link.url, UrlKit.fingerprint(link.url),
+                    childHost, -childDepth * cfg.depthPriority,
                     childDepth, isStart = false, dEpoch = epoch, dParent = seq,
                     dLink = linkIdx, 0, 0, dontFilter = false)
                 }

@@ -63,4 +63,15 @@ class ConformanceSpec extends AnyFunSuite {
     compare(Corpus.Tiny,
       CrawlConfig(maxEpochs = 20, queueOrder = "fifo", depthPriority = 1), "fifo")
   }
+
+  test("offsite filter (allowed_domains) variant conforms") {
+    compare(Corpus.Small,
+      CrawlConfig(maxEpochs = 8,
+        allowedDomains = Seq("h0.test", "h1.test", "h2.test", "h3.test")),
+      "offsite")
+  }
+
+  test("depth-limited variant conforms") {
+    compare(Corpus.Small, CrawlConfig(maxEpochs = 8, depthLimit = 2), "depth")
+  }
 }

@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.Corpus
+import graft.extract.Sitemap
+import graft.functions.{Similarity, TextFunctions}
+import graft.media.{ImageOps, MediaFunctions, Phash}
+import graft.operators.AutoThrottle
+
+/** Unit coverage for the auxiliary operators: autothrottle, media/multimodal
+  * functions, IVF similarity, sitemap expansion, text near-dup primitives. */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // ---- AutoThrottle --------------------------------------------------------
+  test("autothrottle update follows the reference formula and clamps") {
+    import AutoThrottle.clampedUpdate
+    // target = latency/conc; new = (old+target)/2
+    assert(clampedUpdate(5000, 3000, ok = true, 1.0, 100, 60000) === 4000)
+    // never decreases on error
+    assert(clampedUpdate(5000, 100, ok = false, 1.0, 100, 60000) === 5000)
+    assert(clampedUpdate(5000, 100, ok = true, 1.0, 100, 60000) === 2550)
+    // clamped to max
+    assert(clampedUpdate(60000, 500000, ok = true, 1.0, 100, 60000) === 60000)
+  }
+
+  test("autothrottle per-host dataset update") {
+    import spark.implicits._
+    val fetches = Seq(
+      ("a.test", 1000L, 200), ("a.test", 3000L, 200), ("b.test", 500L, 503))
+      .toDF("host", "latencyMs", "status")
+    val cur = Seq(AutoThrottle.HostDelay("a.test", 5000L)).toDS()
+    val updated = AutoThrottle.updateDelays(spark, fetches, cur)
+      .collect().map(d => d.host -> d.delayMs).toMap
+    assert(updated("a.test") === 3500) // (5000 + 2000)/2
+    assert(updated("b.test") === 5000) // error → never below start
+  }
+
+  // ---- media / multimodal --------------------------------------------------
+  test("resize preserves content scale; thumbnails fit the box") {
+    val px = Corpus.pixels(Corpus.Tiny, 2)
+    val half = MediaFunctions.resize(px, px.w / 2, px.h / 2)
+    assert(half.w === px.w / 2 && half.h === px.h / 2)
+    // phash of a resize stays close (scale invariance of DCT hash)
+    assert(Phash.hamming(Phash.phash64(px), Phash.phash64(half)) <= 10)
+    val thumbs = MediaFunctions.thumbnails(px, Map("s" -> ((64, 64))))
+    val tp = ImageOps.decode(thumbs("s")).get
+    assert(tp.w <= 64 && tp.h <= 64)
+    assert(tp.w == 64 || tp.h == 64) // fit-inside touches the box
+  }
+
+  test("image features over a binary column (real decode path)") {
+    import spark.implicits._
+    val rows = (0 until 6).map { i =>
+      val img = Corpus.image(Corpus.Tiny, i)
+      (img.image_id, img.bytes)
+    }
+    val df = rows.toDF("image_id", "bytes")
+    val feats = MediaFunctions.imageFeatures(spark, df).collect()
+    assert(feats.length === 6)
+    for (f <- feats) {
+      assert(f.w > 0 && f.h > 0)
+      assert(f.meanLuma > 0 && f.meanLuma < 255)
+      val thumb = ImageOps.decode(f.thumbJpeg).get
+      assert(thumb.w <= 64 && thumb.h <= 64)
+    }
+  }
+
+  test("audio/video stubs: deterministic features through real plumbing") {
+    import spark.implicits._
+    val media = Seq(("m1", Array.tabulate(4096)(_.toByte)),
+      ("m2", Array.tabulate(1024)(i => (i * 7).toByte))).toDF("media_id", "bytes")
+    val audio = MediaFunctions.audioFeatures(spark, media).collect()
+    assert(audio.map(_.media_id).toSet === Set("m1", "m2"))
+    assert(audio.forall(_.nSamples > 0))
+    val frames = MediaFunctions.sampleFrames(spark, media, everyK = 4).collect()
+    assert(frames.count(_.media_id == "m1") === 4) // 16 frames, every 4th
+    // determinism
+    val again = MediaFunctions.audioFeatures(spark, media).collect()
+    assert(audio.map(_.fingerprint).sorted === again.map(_.fingerprint).sorted)
+  }
+
+  // ---- similarity ----------------------------------------------------------
+  test("IVF top-k achieves high recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = (0L until 10L).toSeq
+    val exact = Similarity.bruteTopK(spark, emb, queries, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(spark, emb, queries, k = 3, nLists = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall (exact=$exact ivf=$ivf)")
+  }
+
+  // ---- sitemap --------------------------------------------------------------
+  test("sitemap: urlset, index recursion, gzip, robots discovery") {
+    val urlset =
+      "<?xml version=\"1.0\"?><urlset><url><loc>http://h.test/p/1</loc></url>" +
+      "<url><loc> http://h.test/p/2 </loc></url></urlset>"
+    val p = Sitemap.parse(urlset.getBytes)
+    assert(!p.isIndex && p.locs === Seq("http://h.test/p/1", "http://h.test/p/2"))
+
+    val index = "<sitemapindex><sitemap><loc>http://h.test/sm1.xml</loc></sitemap></sitemapindex>"
+    assert(Sitemap.parse(index.getBytes).isIndex)
+
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(urlset.getBytes); gz.close()
+    assert(Sitemap.parse(bos.toByteArray).locs.size === 2)
+
+    assert(Sitemap.sitemapUrlsFromRobots(
+      "User-agent: *\nDisallow: /x\nSitemap: http://h.test/sitemap.xml\n")
+      === Seq("http://h.test/sitemap.xml"))
+
+    val docs = Map(
+      "http://h.test/root.xml" -> index.getBytes,
+      "http://h.test/sm1.xml" -> urlset.getBytes)
+    assert(Sitemap.expand(docs.get, "http://h.test/root.xml")
+      === Seq("http://h.test/p/1", "http://h.test/p/2"))
+  }
+
+  // ---- text near-dup primitives ---------------------------------------------
+  test("minhash/LSH finds near-duplicate texts; jaccard sanity") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val c = "completely different words appear within this unrelated document body"
+    assert(TextFunctions.ngramJaccard(a, b) > 0.5)
+    assert(TextFunctions.ngramJaccard(a, c) === 0.0)
+    val bandsA = TextFunctions.lshBands(TextFunctions.minhashSignature(a)).toSet
+    val bandsB = TextFunctions.lshBands(TextFunctions.minhashSignature(b)).toSet
+    val bandsC = TextFunctions.lshBands(TextFunctions.minhashSignature(c)).toSet
+    assert((bandsA & bandsB).nonEmpty, "near-dups must share an LSH bucket")
+    assert((bandsA & bandsC).isEmpty, "unrelated docs must not collide")
+    // simhash distance ordering
+    val dAB = java.lang.Long.bitCount(TextFunctions.simhash64(a) ^ TextFunctions.simhash64(b))
+    val dAC = java.lang.Long.bitCount(TextFunctions.simhash64(a) ^ TextFunctions.simhash64(c))
+    assert(dAB < dAC)
+  }
+}
