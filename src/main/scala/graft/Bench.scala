@@ -62,6 +62,9 @@ object Bench {
       "graft.CrawlMain", "run", corpusDir, root, epochs.toString, "media=1")
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put("SPARK_GRAFT_CPUS", cpus.toString)
+    pb.environment().put("GRAFT_DELAY_MS", benchCfg.delayMs.toString)
+    pb.environment().put("GRAFT_EPOCH_MS", benchCfg.epochMs.toString)
+    pb.environment().put("GRAFT_PER_HOST", benchCfg.maxPerHostPerEpoch.toString)
     // stderr → file: Spark logs would fill the pipe buffer and deadlock us
     val errFile = java.nio.file.Files.createTempFile(s"bench-child-$cpus", ".err").toFile
     pb.redirectError(errFile)

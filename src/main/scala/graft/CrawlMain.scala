@@ -43,8 +43,13 @@ object CrawlMain {
       spark.sparkContext.setLogLevel("WARN")
       val maxEpochs = rest.headOption.map(_.toInt)
       val withMedia = rest.drop(1).headOption.forall(_ != "media=0")
+      // politeness knobs via env (bench harness drives these)
+      val cfg = CrawlConfig(
+        delayMs = sys.env.getOrElse("GRAFT_DELAY_MS", "100").toLong,
+        epochMs = sys.env.getOrElse("GRAFT_EPOCH_MS", "1000").toLong,
+        maxPerHostPerEpoch = sys.env.getOrElse("GRAFT_PER_HOST", "16").toInt)
       val t0 = System.nanoTime()
-      val res = CrawlDriver.run(spark, CrawlConfig(), corpusDir, root,
+      val res = CrawlDriver.run(spark, cfg, corpusDir, root,
         withMedia = withMedia, maxEpochsOverride = maxEpochs)
       val secs = (System.nanoTime() - t0) / 1e9
       val m = res.manifest
