@@ -32,9 +32,9 @@ object Bench {
     * broad-crawl tuning, `docs/topics/broad-crawls.rst:44-79` — the qps bench
     * also drops the delay, `extras/qpsclient.py`). */
   private val benchCfg = CrawlConfig(
-    delayMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DELAY_MS", "10").toLong,
+    delayMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DELAY_MS", "2").toLong,
     epochMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_EPOCH_MS", "10000").toLong,
-    maxPerHostPerEpoch = sys.env.getOrElse("SPARK_GRAFT_BENCH_PER_HOST", "1000").toInt)
+    maxPerHostPerEpoch = sys.env.getOrElse("SPARK_GRAFT_BENCH_PER_HOST", "5000").toInt)
 
   // child JVMs need the same JDK17 --add-opens set as build.sbt's javaOptions
   private val addOpens = Seq(
@@ -87,8 +87,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "60000").toInt
-    val benchEpochs = sys.env.getOrElse("SPARK_GRAFT_BENCH_EPOCHS", "4").toInt
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "360000").toInt
+    val benchEpochs = sys.env.getOrElse("SPARK_GRAFT_BENCH_EPOCHS", "5").toInt
 
     // ---- 1) operator queries on the sf tables -----------------------------
     val spark = session(cpus)
