@@ -87,7 +87,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "360000").toInt
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "300000").toInt
     val benchEpochs = sys.env.getOrElse("SPARK_GRAFT_BENCH_EPOCHS", "5").toInt
 
     // ---- 1) operator queries on the sf tables -----------------------------
