@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot scalar functions (SURVEY §2.11:
+  * "consider Expression for the hot two") — they stay inside whole-stage
+  * codegen (a generated static call, no ScalaUDF encoder round-trip, no
+  * closure serialization) and get proper null semantics for free.
+  */
+
+/** Static entry points the generated code calls. */
+object GraftExprs {
+  def canonicalize(url: UTF8String): UTF8String =
+    UTF8String.fromString(graft.urlkit.UrlKit.canonicalizeUrl(url.toString))
+
+  def fingerprintHex(url: UTF8String): UTF8String =
+    UTF8String.fromString(graft.urlkit.UrlKit.toHex(
+      graft.urlkit.UrlKit.fingerprint(url.toString)))
+
+  def phashHamming(a: Long, b: Long): Long =
+    java.lang.Long.bitCount(a ^ b).toLong
+}
+
+/** canonicalize_url as a codegen-friendly unary expression. */
+case class CanonicalizeUrlExpr(child: Expression)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    GraftExprs.canonicalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftExprs.canonicalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): CanonicalizeUrlExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_canonicalize"
+}
+
+/** Request fingerprint (hex) as a codegen-friendly unary expression. */
+case class FingerprintHexExpr(child: Expression)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    GraftExprs.fingerprintHex(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftExprs.fingerprintHex($c)")
+  override protected def withNewChildInternal(newChild: Expression): FingerprintHexExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_fp_hex"
+}
+
+/** Hamming distance of two phash64 values — fully codegen'd (bitCount). */
+case class PhashHammingExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftExprs.phashHamming(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"(long) java.lang.Long.bitCount($a ^ $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PhashHammingExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_phash_hamming"
+}
+
+/** Session extensions: register the expressions as SQL functions —
+  * `spark.sql("SELECT graft_canonicalize(url) ...")` — via
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or config
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_canonicalize"),
+      new ExpressionInfo(classOf[CanonicalizeUrlExpr].getName, "graft_canonicalize"),
+      (children: Seq[Expression]) => CanonicalizeUrlExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fp_hex"),
+      new ExpressionInfo(classOf[FingerprintHexExpr].getName, "graft_fp_hex"),
+      (children: Seq[Expression]) => FingerprintHexExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_phash_hamming"),
+      new ExpressionInfo(classOf[PhashHammingExpr].getName, "graft_phash_hamming"),
+      (children: Seq[Expression]) => PhashHammingExpr(children.head, children(1))))
+  }
+}

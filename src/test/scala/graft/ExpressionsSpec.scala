@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.plans.GraftExtensions
+import graft.urlkit.UrlKit
+
+/** Native Catalyst expressions: value parity with the library functions,
+  * codegen-path execution, and SQL registration via SparkSessionExtensions. */
+class ExpressionsSpec extends AnyFunSuite {
+
+  // a separate session carrying the extensions (TestSpark's has none)
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-ext-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  test("expressions match the library functions (codegen path)") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTP://H3.Test/p/4?b=2&a=1#frag",
+      "http://example.org",
+      "https://example.org?a=b&a")
+    val df = urls.toDF("url")
+      .selectExpr("url", "graft_canonicalize(url) AS canon", "graft_fp_hex(url) AS fp")
+    val rows = df.collect()
+    for (r <- rows) {
+      val url = r.getString(0)
+      assert(r.getString(1) === UrlKit.canonicalizeUrl(url))
+      assert(r.getString(2) === UrlKit.toHex(UrlKit.fingerprint(url)))
+    }
+    // golden: scrapy hash #1 straight through the Catalyst expression
+    assert(rows.find(_.getString(0) == "http://example.org").get.getString(2)
+      === "7873d70c33756a15fed7649ba909e064bf9c5844")
+    // non-foldable source → the projection must sit inside whole-stage codegen
+    val gen = spark.range(100)
+      .selectExpr("concat('http://h', id % 7, '.test/p/', id, '?b=2&a=1') AS url")
+      .selectExpr("url", "graft_canonicalize(url) AS canon", "graft_fp_hex(url) AS fp")
+    val plan = gen.queryExecution.executedPlan.toString
+    // "*(1) Project [... graft_canonicalize ...]" — the '*' marks the
+    // WholeStageCodegen span the expressions run inside
+    assert(plan.contains("*(1) Project") && plan.contains("graft_canonicalize"),
+      s"no codegen span:\n$plan")
+    val g = gen.collect()
+    assert(g.length === 100)
+    for (r <- g) {
+      assert(r.getString(1) === UrlKit.canonicalizeUrl(r.getString(0)))
+      assert(r.getString(2) === UrlKit.toHex(UrlKit.fingerprint(r.getString(0))))
+    }
+  }
+
+  test("SQL registration via SparkSessionExtensions") {
+    val r = spark.sql(
+      "SELECT graft_canonicalize('HTTP://A.TEST/p?b=2&a=1') AS c, " +
+      "graft_fp_hex('http://example.org') AS f, " +
+      "graft_phash_hamming(255L, 240L) AS h").collect().head
+    assert(r.getString(0) === "http://a.test/p?a=1&b=2")
+    assert(r.getString(1) === "7873d70c33756a15fed7649ba909e064bf9c5844")
+    assert(r.getLong(2) === 4L)
+  }
+
+  test("null propagation") {
+    import spark.implicits._
+    val rows = Seq(Some("http://h.test/a"), None).toDF("url")
+      .selectExpr("graft_canonicalize(url) AS c")
+      .collect()
+    assert(rows.count(_.isNullAt(0)) === 1)
+    assert(rows.exists(r => !r.isNullAt(0) && r.getString(0) == "http://h.test/a"))
+  }
+
+  test("phash hamming expression on real corpus hashes") {
+    import spark.implicits._
+    val hashes = (0 until 8).map(i =>
+      (i.toLong, graft.media.Phash.phash64(graft.corpus.Corpus.pixels(graft.corpus.Corpus.Tiny, i))))
+    val df = hashes.toDF("id", "h")
+    df.createOrReplaceTempView("hashes")
+    val pairs = spark.sql(
+      "SELECT graft_phash_hamming(x.h, y.h) AS d FROM hashes x CROSS JOIN hashes y")
+      .as[Long].collect()
+    assert(pairs.length === 64)
+    assert(pairs.count(_ == 0L) >= 8) // diagonal
+  }
+}
