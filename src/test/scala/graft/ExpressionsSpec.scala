@@ -9,14 +9,9 @@ import graft.urlkit.UrlKit
   * codegen-path execution, and SQL registration via SparkSessionExtensions. */
 class ExpressionsSpec extends AnyFunSuite {
 
-  // a separate session carrying the extensions (TestSpark's has none)
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-ext-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  // the shared test session carries GraftExtensions (a second builder's
+  // withExtensions would be ignored by getOrCreate once a session exists)
+  private lazy val spark: SparkSession = TestSpark.spark
 
   test("expressions match the library functions (codegen path)") {
     import spark.implicits._

@@ -14,6 +14,7 @@ object TestSpark {
       // Spark 4.1's checkpoint file-checksum writer deadlocks state-store
       // commits under local test load — checksums off for streaming tests
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
