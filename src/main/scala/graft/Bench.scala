@@ -98,6 +98,13 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val queriesSecs = results.map(_._2).sum
+    val qs0 = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    // preliminary line: if the crawl phase is cut short by an external
+    // timeout, the query timings still reach the caller (last full line)
+    println(
+      f"""{"metric":"queries_total","value":$queriesSecs%.1f,"unit":"sec","queries":$qs0,"sf":"$sfDir","note":"preliminary - crawl phase follows"}""")
+    Console.flush()
 
     // ---- 2) crawl scaling: N vs 4N cores on the same corpus ---------------
     val corpusDir = java.nio.file.Files.createTempDirectory("bench-corpus").toString
