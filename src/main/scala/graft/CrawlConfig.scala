@@ -76,6 +76,8 @@ final case class CrawlConfig(
     maxRedirectTimes: Int = 20, // REDIRECT_MAX_TIMES
     urlLengthLimit: Int = 2083, // URLLENGTH_LIMIT
     allowedDomains: Seq[String] = Nil, // offsite filter; empty = allow all
+    imagesMinWidth: Int = 0, // IMAGES_MIN_WIDTH (media min-size filter)
+    imagesMinHeight: Int = 0, // IMAGES_MIN_HEIGHT
     maxEpochs: Int = 1000,
     closespiderPageCount: Long = 0 // 0 = off
 ) {

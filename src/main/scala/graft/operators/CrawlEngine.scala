@@ -427,10 +427,13 @@ object CrawlEngine {
           .as[(String, String, Array[Byte], String, String)]
           .mapPartitions { it =>
             it.flatMap { case (id, url, bytes, fmt, caption) =>
-              graft.media.ImageOps.decode(bytes).map { px =>
-                MediaRow(id, url, px.w, px.h, fmt, caption,
-                  graft.media.Phash.phash64(px), graft.media.ImageOps.md5Hex(bytes))
-              }
+              graft.media.ImageOps.decode(bytes)
+                // min-size filter (`scrapy/pipelines/images.py:156-162`)
+                .filter(px => px.w >= cfg.imagesMinWidth && px.h >= cfg.imagesMinHeight)
+                .map { px =>
+                  MediaRow(id, url, px.w, px.h, fmt, caption,
+                    graft.media.Phash.phash64(px), graft.media.ImageOps.md5Hex(bytes))
+                }
             }
           }
       }
