@@ -79,7 +79,13 @@ final case class CrawlConfig(
     imagesMinWidth: Int = 0, // IMAGES_MIN_WIDTH (media min-size filter)
     imagesMinHeight: Int = 0, // IMAGES_MIN_HEIGHT
     maxEpochs: Int = 1000,
-    closespiderPageCount: Long = 0 // 0 = off
+    closespiderPageCount: Long = 0, // 0 = off
+    /** Engine sizing knob, NOT part of the semantics contract (the oracle
+      * ignores it): when the frontier may exceed this many rows, global fetch
+      * seq assignment switches from driver-side key collect to a distributed
+      * orderBy + zipWithIndex. 0 forces the distributed path (used by the
+      * conformance variant that pins both paths byte-identical). */
+    seqCollectMax: Long = 2000000L
 ) {
   /** Offsite predicate (`scrapy/downloadermiddlewares/offsite.py:47-99`):
     * host must equal an allowed domain or be a subdomain of one. Applied to

@@ -21,6 +21,17 @@ object CrawlDriver {
   def dataDir(root: String, epoch: Int, table: String): String =
     s"$root/data/epoch$epoch/$table"
 
+  /** Read the url_seen delta chain. Each delta dir is hive-partitioned by
+    * `bucket`; Spark refuses multiple partitioned roots in one read, so union
+    * per-dir reads (the union is free — no shuffle, schema identical). The
+    * schema is explicit because an epoch with zero discoveries writes an
+    * empty dir (no files → nothing to infer). */
+  def readSeen(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    dirs.map { d =>
+      spark.read.schema("fpHex STRING, bucket INT").parquet(d)
+        .select(col("fpHex"), col("bucket"))
+    }.reduce(_.unionByName(_))
+
   /** Initialize snapshot v0 from the ordered seed list (dupefilter in seed
     * order — reference `Spider.start()` + scheduler gate). */
   def init(spark: SparkSession, cfg: CrawlConfig, seeds: Dataset[SeedRow],
@@ -48,7 +59,9 @@ object CrawlDriver {
     val fDir = dataDir(root, 0, "frontier")
     frontier0.write.mode(SaveMode.Overwrite).parquet(fDir)
     val seenDir = dataDir(root, 0, "seen")
-    kept.select($"fpHex").write.mode(SaveMode.Overwrite).parquet(seenDir)
+    val bucketUdf = udf((fp: Array[Byte]) => Model.bucketOf(fp))
+    kept.select($"fpHex", bucketUdf($"fp").as("bucket"))
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(seenDir)
     val hsDir = dataDir(root, 0, "host_state")
     spark.emptyDataset[HostState].write.mode(SaveMode.Overwrite).parquet(hsDir)
     val rcDir = dataDir(root, 0, "robots_cache")
@@ -95,35 +108,39 @@ object CrawlDriver {
     val maxEpochs = maxEpochsOverride.getOrElse(cfg.maxEpochs)
 
     // url_seen Bloom filter (advisory prescreen; exactness from the
-    // anti-join). One driver-resident filter, merged with each epoch's
-    // delta, serialized into the snapshot for resume. At 10^10 scale this
-    // becomes one filter per fp-bucket, co-located with the seen partition.
-    import org.apache.spark.util.sketch.BloomFilter
+    // anti-join), sharded per fp-bucket (graft.plans.BloomShards) — the same
+    // bucketing the seen table is partitioned by, so the prescreen layout
+    // survives a 10^10-fp seen set instead of saturating one bitmap. Delta
+    // shards are built distributed each epoch; resume restores the persisted
+    // shard table (or rebuilds it per-bucket from the seen parquet).
+    import graft.plans.BloomShards
     val bloomItems = 4L * 1000 * 1000
     val bloomFpp = 0.03
-    val bloom: BloomFilter =
+    val shards: BloomShards =
       if (m.bloomPath.nonEmpty && new java.io.File(m.bloomPath).exists()) {
-        val in = new java.io.FileInputStream(m.bloomPath)
-        try BloomFilter.readFrom(in) finally in.close()
+        BloomShards.load(spark, m.bloomPath, bloomItems, bloomFpp)
       } else if (m.seenDirs.nonEmpty &&
-          spark.read.parquet(m.seenDirs: _*).limit(1).count() > 0) {
-        spark.read.parquet(m.seenDirs: _*)
-          .stat.bloomFilter("fpHex", bloomItems, bloomFpp)
-      } else BloomFilter.create(bloomItems, bloomFpp)
+          readSeen(spark, m.seenDirs).limit(1).count() > 0) {
+        val s = BloomShards.create(bloomItems, bloomFpp)
+        BloomShards.buildShards(spark, readSeen(spark, m.seenDirs),
+          bloomItems, bloomFpp)
+          .foreach(r => s.merge(r.bucket, BloomShards.fromBytes(r.bits)))
+        s
+      } else BloomShards.create(bloomItems, bloomFpp)
 
     while (m.frontierCount > 0 && m.snapshotId < maxEpochs &&
         !(cfg.closespiderPageCount > 0 && m.pageFetches >= cfg.closespiderPageCount)) {
       val epoch = m.snapshotId
       val tEpoch = System.nanoTime()
       val frontier = spark.read.parquet(m.frontierDir).as[FrontierRow]
-      val urlSeen = spark.read.parquet(m.seenDirs: _*)
+      val urlSeen = readSeen(spark, m.seenDirs)
       val hostState = spark.read.parquet(m.hostStateDir).as[HostState]
       val robotsCache = spark.read.parquet(m.robotsCacheDir).as[CrawlEngine.RobotsCacheRow]
 
-      val bloomBc = spark.sparkContext.broadcast(bloom)
+      val bloomBc = spark.sparkContext.broadcast(shards)
       val r = CrawlEngine.runEpoch(spark, cfg, epoch, m.nextFetchSeq,
         frontier, urlSeen, hostState, robotsCache, pages, robotsCorpus,
-        images, withMedia, Some(bloomBc))
+        images, withMedia, Some(bloomBc), frontierCountHint = m.frontierCount)
 
       val timing = sys.env.contains("GRAFT_TIMING")
       var tW = System.nanoTime()
@@ -144,8 +161,10 @@ object CrawlDriver {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
+      val seenDelta = r.seenDelta.persist()
       val seenWrite = Future {
-        r.seenDelta.coalesce(8).write.mode(SaveMode.Overwrite).parquet(seenDir)
+        seenDelta.coalesce(8).write.partitionBy("bucket")
+          .mode(SaveMode.Overwrite).parquet(seenDir)
       }
       val writeJobs = scala.collection.mutable.ArrayBuffer[Future[Unit]](
         Future(r.nextFrontier.write.mode(SaveMode.Overwrite).parquet(fDir)),
@@ -159,30 +178,45 @@ object CrawlDriver {
           writeJobs += Future(r.media.write.mode(SaveMode.Overwrite).parquet(mDir))
           m.mediaDirs :+ mDir
         } else m.mediaDirs
-      // merge this epoch's new fingerprints into the Bloom filter while the
-      // writes run (same parallel phase), then persist it with the snapshot
+      // merge this epoch's per-bucket delta filters into the resident shards
+      // while the writes run (same parallel phase; the delta scan happens on
+      // executors from the cached delta), then persist the shard table
       val bloomF = seenWrite.map { _ =>
-        if (r.seenDeltaCount > 0) { // stat.bloomFilter NPEs on empty input
-          val delta = spark.read.parquet(seenDir)
-            .stat.bloomFilter("fpHex", bloomItems, bloomFpp)
-          bloom.mergeInPlace(delta)
+        if (r.seenDeltaCount > 0) {
+          BloomShards.buildShards(spark, seenDelta, bloomItems, bloomFpp)
+            .foreach(row => shards.merge(row.bucket, BloomShards.fromBytes(row.bits)))
         }
-        val bPath = dataDir(root, e1, "bloom.bin")
-        new java.io.File(bPath).getParentFile.mkdirs()
-        val os = new java.io.FileOutputStream(bPath)
-        try bloom.writeTo(os) finally os.close()
+        val bPath = dataDir(root, e1, "bloom")
+        BloomShards.save(spark, bPath, shards)
         bPath
       }
       writeJobs.foreach(Await.result(_, Duration.Inf))
       val bloomPath = Await.result(bloomF, Duration.Inf)
+      seenDelta.unpersist(false)
       lapW("all-writes")
 
-      // periodic url_seen compaction: delta chain → one dir
+      // periodic url_seen compaction: PER-BUCKET merge of the delta chain —
+      // one exchange keyed by the bucket the files are already laid out by
+      // (at real scale a bucketed table makes even that exchange a no-op),
+      // then a spillable within-partition sort + O(1)-memory adjacent dedup.
+      // Never a global distinct over the full 10^10-fp seen set.
       var seenDirs = m.seenDirs :+ seenDir
       if (seenDirs.size > 8) {
         val cDir = dataDir(root, e1, "seen_compact")
-        spark.read.parquet(seenDirs: _*).distinct()
-          .write.mode(SaveMode.Overwrite).parquet(cDir)
+        readSeen(spark, seenDirs)
+          .repartition(Model.NumBuckets, $"bucket")
+          .sortWithinPartitions($"fpHex")
+          .as[(String, Int)]
+          .mapPartitions { it =>
+            var last: String = null
+            it.filter { case (fpHex, _) =>
+              val keep = fpHex != last
+              last = fpHex
+              keep
+            }
+          }
+          .toDF("fpHex", "bucket")
+          .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(cDir)
         seenDirs = Seq(cDir)
       }
 

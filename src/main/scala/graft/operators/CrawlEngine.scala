@@ -86,7 +86,11 @@ object CrawlEngine {
       images: DataFrame, // corpus images, nullable (media off when null)
       withMedia: Boolean,
       bloom: Option[org.apache.spark.broadcast.Broadcast[
-        org.apache.spark.util.sketch.BloomFilter]] = None): EpochResult = {
+        graft.plans.BloomShards]] = None,
+      // upper bound on the fetch-batch size known BEFORE the epoch runs (the
+      // manifest's frontier count) — picks the seq-assignment path without
+      // spending an extra counting job
+      frontierCountHint: Long = Long.MaxValue): EpochResult = {
     import spark.implicits._
 
     val timing = sys.env.contains("GRAFT_TIMING")
@@ -201,29 +205,41 @@ object CrawlEngine {
       .persist()
 
     // ---- global fetch order + seq -----------------------------------------
-    // The fetch batch is politeness-bounded (≤ hosts × budget) — tiny next to
-    // the frontier. Collect only its (t, host, idx) KEYS, sort on the driver,
-    // broadcast the dense seq assignment back: one narrow job instead of a
-    // global sort + zipWithIndex (3 jobs). (t, host) is unique by
-    // construction — each host's virtual times strictly increase. At a
-    // 10^8-row fetch batch this switches back to a distributed
-    // orderBy+zipWithIndex; the contract order (t, host, idx) is identical.
-    val fetchKeys = deqOut
-      .filter(d => d.kind == KFetch || d.kind == KRobots)
-      .map(d => (d.t, d.fr.host, d.hostIdx))
-      .collect()
-    java.util.Arrays.sort(fetchKeys, Ordering[(Long, String, Int)])
-    val seqMap = new java.util.HashMap[(Long, String), Long](fetchKeys.length * 2)
-    var si = 0
-    while (si < fetchKeys.length) {
-      seqMap.put((fetchKeys(si)._1, fetchKeys(si)._2), baseSeq + si)
-      si += 1
-    }
-    val seqBc = spark.sparkContext.broadcast(seqMap)
-    val fetches: Dataset[FetchRow] = deqOut
-      .filter(d => d.kind == KFetch || d.kind == KRobots)
-      .map(d => FetchRow(d.fr, d.t, d.hostIdx, d.kind, seqBc.value.get((d.t, d.fr.host))))
-      .persist()
+    // The fetch batch is politeness-bounded (≤ hosts × budget) — usually tiny
+    // next to the frontier. Small batches: collect only the (t, host, idx)
+    // KEYS, sort on the driver, broadcast the dense seq assignment back — one
+    // narrow job instead of a global sort + zipWithIndex (3 jobs). The triple
+    // is unique by construction (robots rows idx=-1, page rows 0.., so even
+    // delayMs=0 — where a host's virtual times collide — stays total).
+    // Large batches (frontier hint above cfg.seqCollectMax — e.g. 10^7 hosts
+    // × budget): distributed range-sort + zipWithIndex, nothing through the
+    // driver. Both paths assign the same contract order (t ASC, host ASC,
+    // idx ASC); the conformance suite pins them byte-identical.
+    val toFetch = deqOut.filter(d => d.kind == KFetch || d.kind == KRobots)
+    val useDistributedSeq =
+      cfg.seqCollectMax <= 0 || frontierCountHint > cfg.seqCollectMax
+    var seqBc: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[(Long, String, Int), Long]] = null
+    val fetches: Dataset[FetchRow] =
+      (if (useDistributedSeq) {
+        spark.createDataset(
+          toFetch.orderBy($"t", $"fr.host", $"hostIdx")
+            .rdd.zipWithIndex()
+            .map { case (d, i) => FetchRow(d.fr, d.t, d.hostIdx, d.kind, baseSeq + i) })
+      } else {
+        val fetchKeys = toFetch.map(d => (d.t, d.fr.host, d.hostIdx)).collect()
+        java.util.Arrays.sort(fetchKeys, Ordering[(Long, String, Int)])
+        val seqMap = new java.util.HashMap[(Long, String, Int), Long](fetchKeys.length * 2)
+        var si = 0
+        while (si < fetchKeys.length) {
+          seqMap.put(fetchKeys(si), baseSeq + si)
+          si += 1
+        }
+        seqBc = spark.sparkContext.broadcast(seqMap)
+        val bc = seqBc
+        toFetch.map(d =>
+          FetchRow(d.fr, d.t, d.hostIdx, d.kind, bc.value.get((d.t, d.fr.host, d.hostIdx))))
+      }).persist()
     lap("dequeue+seqAssign")
 
     // ---- fetch service: join the synthetic web on canonical URL ----------
@@ -260,7 +276,8 @@ object CrawlEngine {
     val toExpand = fetched.select($"fr", $"seq", $"status", $"location", $"body")
       .as[(FrontierRow, Long, Int, Option[String], Option[Array[Byte]])]
 
-    // candidate kind: 0 candidate, 1 retry/max_reached, 2 depth/filtered
+    // candidate kind: 0 candidate, 1 retry/max_reached, 2 depth/filtered,
+    // 3 offsite/filtered, 4 redirect/max_reached
     val obsCand = org.apache.spark.sql.Observation()
     val candsRaw0: Dataset[(Int, FrontierRow)] = toExpand.flatMap {
       case (row, seq, status, location, body) =>
@@ -271,7 +288,7 @@ object CrawlEngine {
             out += ((0, FrontierRow(target, UrlKit.fingerprint(target),
               UrlKit.hostOf(target), row.priority + 2, row.depth, isStart = false,
               epoch, seq, -1, row.retryTimes, row.redirectTimes + 1, row.dontFilter)))
-          }
+          } else out += ((4, row)) // redirect chain past the cap: counted, dropped
         } else if (retryStatuses.contains(status)) {
           if (row.retryTimes < cfg.retryTimes) {
             out += ((0, FrontierRow(row.url, row.fp, row.host, row.priority - 1,
@@ -301,7 +318,8 @@ object CrawlEngine {
         sum(when($"kind" === 2, 1L).otherwise(0L)).as("depthFiltered"),
         sum(when($"kind" === 0 && $"fr.dLink" === -2, 1L).otherwise(0L)).as("retries"),
         sum(when($"kind" === 0 && $"fr.dontFilter", 1L).otherwise(0L)).as("dontFilter"),
-        sum(when($"kind" === 3, 1L).otherwise(0L)).as("offsite"))
+        sum(when($"kind" === 3, 1L).otherwise(0L)).as("offsite"),
+        sum(when($"kind" === 4, 1L).otherwise(0L)).as("redirectMax"))
       .as[(Int, FrontierRow)]
       .persist()
 
@@ -326,11 +344,14 @@ object CrawlEngine {
     // Bloom prescreen (north rule: bloom/cuckoo URL-seen): a fingerprint the
     // filter has never seen is DEFINITELY new — only likely-dups pay the
     // exact anti-join. No false negatives, so the result is still exact.
+    // Sharded per fp-bucket (graft.plans.BloomShards) so the filter grows
+    // with the seen set instead of saturating one fixed-size bitmap.
     val survivors = (bloom match {
       case Some(b) =>
-        val mightContain = udf((hex: String) => b.value.mightContain(hex))
-        val definitelyNew = firstWins.filter(!mightContain($"fpHex"))
-        val maybeSeen = firstWins.filter(mightContain($"fpHex"))
+        val mightContain = udf((fp: Array[Byte], hexs: String) =>
+          b.value.mightContain(Model.bucketOf(fp), hexs))
+        val definitelyNew = firstWins.filter(!mightContain($"fp", $"fpHex"))
+        val maybeSeen = firstWins.filter(mightContain($"fp", $"fpHex"))
           .join(urlSeen.select($"fpHex"), Seq("fpHex"), "left_anti")
         definitelyNew.unionByName(maybeSeen)
       case None =>
@@ -386,6 +407,7 @@ object CrawlEngine {
       counters(s"downloader/response_status_count/$status") += cnt
     counters("retry/count") = nRetries
     counters("retry/max_reached") = nRetryMax
+    counters("redirect/max_reached") = metric(candMetrics, "redirectMax")
     counters("depth/filtered") = nDepthFiltered
     counters("offsite/filtered") = metric(candMetrics, "offsite")
     counters("dupefilter/filtered") = nNormal - nSurvivors
@@ -397,7 +419,11 @@ object CrawlEngine {
       .unionByName(survivors)
       .unionByName(dontFilterCands)
 
-    val seenDelta = survivors.select(hex($"fp").as("fpHex")).distinct()
+    // fpHex + its hash bucket: the seen table is stored partitioned by bucket
+    // so Bloom shards and compaction both work per-bucket (no global state)
+    val bucketUdf = udf((fp: Array[Byte]) => Model.bucketOf(fp))
+    val seenDelta = survivors
+      .select(hex($"fp").as("fpHex"), bucketUdf($"fp").as("bucket")).distinct()
 
     val touched = fetches.toDF().groupBy($"fr.host".as("host"))
       .agg(max($"t").as("newLastT"))
@@ -441,7 +467,7 @@ object CrawlEngine {
     val nFetches = pageFetchCount + robotsFetchCount
     val nextFrontierCount = kindCounts.getOrElse(KKept, 0L) + nSurvivors + nDontFilter
     val cleanup = () => {
-      seqBc.destroy()
+      if (seqBc != null) seqBc.destroy()
       deqOut.unpersist(false)
       fetches.unpersist(false)
       fetched.unpersist(false)

@@ -41,8 +41,8 @@ class ConformanceSpec extends AnyFunSuite {
     }
 
     // url_seen: set equality
-    val engineSeen = spark.read.parquet(res.manifest.seenDirs: _*)
-      .as[String].collect().map(_.toLowerCase).toSet
+    val engineSeen = CrawlDriver.readSeen(spark, res.manifest.seenDirs)
+      .select("fpHex").as[String].collect().map(_.toLowerCase).toSet
     assert(engineSeen === o.urlSeen, s"[$label] url_seen mismatch: " +
       s"engine-only=${(engineSeen -- o.urlSeen).take(3)} oracle-only=${(o.urlSeen -- engineSeen).take(3)}")
 
@@ -73,5 +73,18 @@ class ConformanceSpec extends AnyFunSuite {
 
   test("depth-limited variant conforms") {
     compare(Corpus.Small, CrawlConfig(maxEpochs = 8, depthLimit = 2), "depth")
+  }
+
+  test("redirect-cap variant: redirect/max_reached counter conforms") {
+    // cap 0 → every 301/302 in the corpus trips the cap (counted, dropped)
+    compare(Corpus.Small, CrawlConfig(maxEpochs = 8, maxRedirectTimes = 0), "redirmax")
+  }
+
+  test("zero-delay + distributed seq assignment conforms byte-for-byte") {
+    // delayMs=0 collides per-host virtual times (the triple key must stay
+    // total) and seqCollectMax=0 forces the distributed orderBy+zipWithIndex
+    // path — nothing passes through the driver
+    compare(Corpus.Small,
+      CrawlConfig(maxEpochs = 8, delayMs = 0, seqCollectMax = 0), "distseq")
   }
 }

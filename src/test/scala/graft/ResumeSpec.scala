@@ -35,8 +35,10 @@ class ResumeSpec extends AnyFunSuite {
     val logB = CrawlDriver.fetchLog(spark, b.manifest)
       .select($"seq", $"url", $"virtualTMs", $"status").as[(Long, String, Long, Int)].collect().toSeq
     assert(logA === logB)
-    val seenA = spark.read.parquet(a.manifest.seenDirs: _*).as[String].collect().toSet
-    val seenB = spark.read.parquet(b.manifest.seenDirs: _*).as[String].collect().toSet
+    val seenA = CrawlDriver.readSeen(spark, a.manifest.seenDirs)
+      .select("fpHex").as[String].collect().toSet
+    val seenB = CrawlDriver.readSeen(spark, b.manifest.seenDirs)
+      .select("fpHex").as[String].collect().toSet
     assert(seenA === seenB)
   }
 
