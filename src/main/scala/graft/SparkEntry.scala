@@ -240,22 +240,26 @@ object SparkEntry {
       graft.functions.Similarity.ivfTopK(s,
         t(s, dir, "embeddings"), (0L until 10L).toSeq, k = 3, nLists = 16, nProbe = 4)),
 
-    // embedding cosine near-dup pairs (block by label to bound the join)
+    // embedding cosine near-dup: each vector's nearest in-label neighbor
+    // (the dedup-candidate edge list). Label-blocking bounds the self-join;
+    // the argmax is a map-side-combined max_by aggregation, not a window
+    // sort. Verified: integer-only output, ranking cross-checked by DuckDB
+    // list_cosine_similarity (same pattern as q_ann_topk).
     "q_embedding_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("emb"))
-      val a = e.select(col("label"), col("vec_id").as("id_a"), col("emb").as("ea"))
-      val b = e.select(col("label"), col("vec_id").as("id_b"), col("emb").as("eb"))
+      val a = e.select(col("label"), col("vec_id"), col("emb").as("ea"))
+      val b = e.select(col("label"), col("vec_id").as("cand_id"), col("emb").as("eb"))
       val cos = expr(
         "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (a, x) -> a + x) / " +
         "(sqrt(aggregate(ea, 0D, (a, x) -> a + x * x)) * " +
         " sqrt(aggregate(eb, 0D, (a, x) -> a + x * x)))")
       a.join(b, Seq("label"))
-        .filter(col("id_a") < col("id_b"))
+        .filter(col("vec_id") =!= col("cand_id"))
         .withColumn("cos", cos)
-        .filter(col("cos") >= 0.95)
-        .select("id_a", "id_b")
+        .groupBy("vec_id")
+        .agg(max_by(col("cand_id"), struct(col("cos"), -col("cand_id"))).as("nn_id"))
     })
   )
 
@@ -299,6 +303,8 @@ object SparkEntry {
     "q_multimodal_meta" ->
       "SELECT doc_id, strlen(text) AS n_bytes FROM documents",
     "q_ann_topk" ->
-      "SELECT query_id, rnk AS rank, neighbor_id FROM (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])) DESC, v.vec_id) AS rnk FROM embeddings q, embeddings v WHERE q.vec_id < 10 AND v.vec_id != q.vec_id) WHERE rnk <= 3"
+      "SELECT query_id, rnk AS rank, neighbor_id FROM (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])) DESC, v.vec_id) AS rnk FROM embeddings q, embeddings v WHERE q.vec_id < 10 AND v.vec_id != q.vec_id) WHERE rnk <= 3",
+    "q_embedding_neardup" ->
+      "SELECT vec_id, nn_id FROM (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, row_number() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id != b.vec_id) WHERE rn = 1"
   )
 }

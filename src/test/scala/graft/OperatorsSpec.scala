@@ -82,14 +82,54 @@ class OperatorsSpec extends AnyFunSuite {
 
   // ---- similarity ----------------------------------------------------------
   test("IVF top-k achieves high recall vs brute force on real embeddings") {
+    // The testdata embeddings are ISOTROPIC (intra- vs inter-label mean
+    // cosine both ≈ 0, measured via DuckDB): with no cluster structure, IVF
+    // recall is bounded by ~P(true NN lands in a probed list) — slightly
+    // above nProbe/nLists. nProbe=5/nLists=8 clears 0.9 on this geometry;
+    // on genuinely clustered data the trained (maximin + deterministic
+    // Lloyd) quantizer concentrates neighbors and smaller probe fractions
+    // suffice. The adjacent test pins the stronger, data-independent
+    // property: IVF == exact ranking within the probed lists.
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = (0L until 10L).toSeq
     val exact = Similarity.bruteTopK(spark, emb, queries, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ivf = Similarity.ivfTopK(spark, emb, queries, k = 3, nLists = 8, nProbe = 4)
+    val ivf = Similarity.ivfTopK(spark, emb, queries, k = 3, nLists = 8, nProbe = 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall too low: $recall (exact=$exact ivf=$ivf)")
+    assert(recall >= 0.9, s"IVF recall too low: $recall (exact=$exact ivf=$ivf)")
+  }
+
+  test("IVF's only error source is probe misses: exact rank within probed lists") {
+    import spark.implicits._
+    val nLists = 8; val nProbe = 4; val k = 3
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb.select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+    val queries = (0L until 10L).toSeq
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // replicate the quantizer deterministically, then assert ivfTopK equals
+    // the EXACT brute-force ranking restricted to each query's probed lists
+    val centroids = Similarity.trainCentroids(spark, e, nLists)
+    val assign = Similarity.ivfAssignment(spark, emb, nLists)
+      .as[(Long, Int)].collect().toMap
+    val vecs = e.as[(Long, Seq[Double])].collect().toMap
+    val ivf = Similarity.ivfTopK(spark, emb, queries, k, nLists, nProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    for (q <- queries) {
+      val qe = vecs(q)
+      val probed = centroids.map { case (lid, c) => (lid, cos(qe, c.toSeq)) }
+        .sortBy { case (lid, s) => (-s, lid) }.take(nProbe).map(_._1).toSet
+      val expected = vecs.toSeq
+        .filter { case (id, _) => id != q && probed.contains(assign(id)) }
+        .map { case (id, v) => (id, cos(qe, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+      assert(ivf.getOrElse(q, Seq.empty) === expected, s"query $q probed=$probed")
+    }
   }
 
   // ---- sitemap --------------------------------------------------------------
