@@ -35,6 +35,18 @@ package graft
   *     per-host index ASC); `seq` continues across epochs.
   *  6. Fetch = corpus lookup by sanitized URL (unknown → 404). Status counts
   *     recorded as `downloader/response_status_count/<n>`.
+  *  6b. Response decompression (`downloadermiddlewares/httpcompression.py:
+  *     112-165`): a response carrying a Content-Encoding header is decoded
+  *     rightmost-coding-first (gzip/x-gzip/deflate; unknown codings stop the
+  *     chain and leave the body opaque — no link extraction). Counters:
+  *     `httpcompression/response_count` and `.../response_bytes` (decoded
+  *     size) whenever the header is present and decode doesn't overflow;
+  *     exceeding downloadMaxSize during decompression drops the response
+  *     (the reference's IgnoreRequest) and counts
+  *     `httpcompression/max_size_exceeded`; a corrupt body that yields no
+  *     output drops the response and counts `httpcompression/decode_error`
+  *     (the last two counter names are this engine's — the reference only
+  *     logs these events).
   *  7. Rewrites (candidates for epoch k+1):
   *     - 301/302/303/307/308 + location (`scrapy/downloadermiddlewares/
   *       redirect.py:27-181`): urljoin target, priority+2, redirectTimes+1
@@ -78,6 +90,7 @@ final case class CrawlConfig(
     allowedDomains: Seq[String] = Nil, // offsite filter; empty = allow all
     imagesMinWidth: Int = 0, // IMAGES_MIN_WIDTH (media min-size filter)
     imagesMinHeight: Int = 0, // IMAGES_MIN_HEIGHT
+    downloadMaxSize: Long = 1073741824L, // DOWNLOAD_MAXSIZE (decompression guard)
     maxEpochs: Int = 1000,
     closespiderPageCount: Long = 0, // 0 = off
     /** Engine sizing knob, NOT part of the semantics contract (the oracle

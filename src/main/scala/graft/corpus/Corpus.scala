@@ -90,8 +90,17 @@ object Corpus {
       PageRow(url, 503, null, Array.emptyByteArray, null, 200 + r.nextInt(400))
     } else {
       val html = pageHtml(spec, k, j, r)
-      PageRow(url, 200, null, html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        f"img$gIdx%09d", 10 + r.nextInt(100))
+      val raw = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      // Content-Encoding mix: most real fetches are compressed (reference
+      // httpcompression middleware is on by default). Deterministic bytes:
+      // Java's GZIP header carries mtime=0.
+      val encRoll = r.nextDouble()
+      val (body, enc) =
+        if (encRoll < 0.40) (graft.extract.HttpCompression.gzipBytes(raw), "gzip")
+        else if (encRoll < 0.50) (graft.extract.HttpCompression.deflateBytes(raw), "deflate")
+        else if (encRoll < 0.53) (graft.extract.HttpCompression.gzipBytes(raw), "x-gzip")
+        else (raw, null)
+      PageRow(url, 200, null, body, f"img$gIdx%09d", 10 + r.nextInt(100), enc)
     }
   }
 

@@ -54,9 +54,10 @@ final case class PageRow(
     url: String, // canonical URL (lookup key)
     status: Int,
     location: String, // redirect target (raw href) or null
-    body: Array[Byte], // HTML
+    body: Array[Byte], // HTML (possibly compressed per contentEncoding)
     imageId: String, // FK -> images, null for non-image pages
-    latencyMs: Int)
+    latencyMs: Int,
+    contentEncoding: String = null) // Content-Encoding header; null = identity
 
 /** Image+caption corpus row — exact input_hint shape (BASELINE.json). */
 final case class ImageRow(

@@ -270,48 +270,69 @@ object CrawlEngine {
         $"t".as("virtualTMs"), $"status", $"isRobots")
       .persist()
 
-    // ---- expansion: redirect / retry / links ------------------------------
+    // ---- expansion: decompression / redirect / retry / links ---------------
     val retryStatuses = CrawlConfig.RetryStatuses
     val redirectStatuses = CrawlConfig.RedirectStatuses
-    val toExpand = fetched.select($"fr", $"seq", $"status", $"location", $"body")
-      .as[(FrontierRow, Long, Int, Option[String], Option[Array[Byte]])]
+    val maxBodySize = cfg.downloadMaxSize
+    val toExpand = fetched
+      .select($"fr", $"seq", $"status", $"location", $"body", $"contentEncoding")
+      .as[(FrontierRow, Long, Int, Option[String], Option[Array[Byte]], Option[String])]
 
     // candidate kind: 0 candidate, 1 retry/max_reached, 2 depth/filtered,
-    // 3 offsite/filtered, 4 redirect/max_reached
+    // 3 offsite/filtered, 4 redirect/max_reached, 5 decompressed-response
+    // marker (carries decoded byte count), 6 decompression max-size drop,
+    // 7 decompression decode-error drop
     val obsCand = org.apache.spark.sql.Observation()
-    val candsRaw0: Dataset[(Int, FrontierRow)] = toExpand.flatMap {
-      case (row, seq, status, location, body) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, FrontierRow)]
+    val candsRaw0: Dataset[(Int, FrontierRow, Long)] = toExpand.flatMap {
+      case (row, seq, status, location, rawBody, contentEncoding) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, FrontierRow, Long)]
+        // decompression stage (contract step 6b): decode before any body use;
+        // an undecodable remainder coding leaves the body opaque (no links)
+        var body: Option[Array[Byte]] = rawBody.filter(_ != null)
+        val encOpt = contentEncoding.filter(e => e != null && e.nonEmpty)
+        if (body.isDefined && encOpt.isDefined) {
+          try {
+            val (decoded, kept) = graft.extract.HttpCompression.decode(
+              body.get, encOpt.get, maxBodySize)
+            out += ((5, row, decoded.length.toLong))
+            body = if (kept.isEmpty) Some(decoded) else None
+          } catch {
+            case _: graft.extract.HttpCompression.MaxSizeExceeded =>
+              out += ((6, row, 0L)); body = None
+            case _: java.io.IOException =>
+              out += ((7, row, 0L)); body = None
+          }
+        }
         if (redirectStatuses.contains(status) && location.exists(_ != null)) {
           if (row.redirectTimes < cfg.maxRedirectTimes) {
             val target = UrlKit.safeUrlString(UrlKit.urljoin(row.url, location.get))
             out += ((0, FrontierRow(target, UrlKit.fingerprint(target),
               UrlKit.hostOf(target), row.priority + 2, row.depth, isStart = false,
-              epoch, seq, -1, row.retryTimes, row.redirectTimes + 1, row.dontFilter)))
-          } else out += ((4, row)) // redirect chain past the cap: counted, dropped
+              epoch, seq, -1, row.retryTimes, row.redirectTimes + 1, row.dontFilter), 0L))
+          } else out += ((4, row, 0L)) // redirect chain past the cap: counted, dropped
         } else if (retryStatuses.contains(status)) {
           if (row.retryTimes < cfg.retryTimes) {
             out += ((0, FrontierRow(row.url, row.fp, row.host, row.priority - 1,
               row.depth, isStart = false, epoch, seq, -2,
-              row.retryTimes + 1, row.redirectTimes, dontFilter = true)))
-          } else out += ((1, row))
-        } else if (status >= 200 && status < 300 && body.exists(_ != null)) {
+              row.retryTimes + 1, row.redirectTimes, dontFilter = true), 0L))
+          } else out += ((1, row, 0L))
+        } else if (status >= 200 && status < 300 && body.isDefined) {
           val childDepth = row.depth + 1
           val links = LinkExtract.extract(body.get, row.url, cfg.urlLengthLimit)
           if (cfg.depthLimit == 0 || childDepth <= cfg.depthLimit) {
             for ((linkIdx, link) <- links) {
               val childHost = UrlKit.hostOf(link.url)
-              if (!cfg.hostAllowed(childHost)) out += ((3, row)) // offsite
+              if (!cfg.hostAllowed(childHost)) out += ((3, row, 0L)) // offsite
               else out += ((0, FrontierRow(link.url, UrlKit.fingerprint(link.url),
                 childHost, -childDepth * cfg.depthPriority,
                 childDepth, isStart = false, epoch, seq, linkIdx, 0, 0,
-                dontFilter = false)))
+                dontFilter = false), 0L))
             }
-          } else links.foreach(_ => out += ((2, row)))
+          } else links.foreach(_ => out += ((2, row, 0L)))
         }
         out
     }
-    val candsRaw = candsRaw0.toDF("kind", "fr")
+    val candsRaw = candsRaw0.toDF("kind", "fr", "bytes")
       .observe(obsCand,
         sum(when($"kind" === 0, 1L).otherwise(0L)).as("cands"),
         sum(when($"kind" === 1, 1L).otherwise(0L)).as("retryMax"),
@@ -319,8 +340,12 @@ object CrawlEngine {
         sum(when($"kind" === 0 && $"fr.dLink" === -2, 1L).otherwise(0L)).as("retries"),
         sum(when($"kind" === 0 && $"fr.dontFilter", 1L).otherwise(0L)).as("dontFilter"),
         sum(when($"kind" === 3, 1L).otherwise(0L)).as("offsite"),
-        sum(when($"kind" === 4, 1L).otherwise(0L)).as("redirectMax"))
-      .as[(Int, FrontierRow)]
+        sum(when($"kind" === 4, 1L).otherwise(0L)).as("redirectMax"),
+        sum(when($"kind" === 5, 1L).otherwise(0L)).as("decompCount"),
+        sum(when($"kind" === 5, $"bytes").otherwise(0L)).as("decompBytes"),
+        sum(when($"kind" === 6, 1L).otherwise(0L)).as("decompMaxSize"),
+        sum(when($"kind" === 7, 1L).otherwise(0L)).as("decompError"))
+      .as[(Int, FrontierRow, Long)]
       .persist()
 
     val cands = candsRaw.filter(_._1 == 0).map(_._2).persist()
@@ -408,6 +433,10 @@ object CrawlEngine {
     counters("retry/count") = nRetries
     counters("retry/max_reached") = nRetryMax
     counters("redirect/max_reached") = metric(candMetrics, "redirectMax")
+    counters("httpcompression/response_count") = metric(candMetrics, "decompCount")
+    counters("httpcompression/response_bytes") = metric(candMetrics, "decompBytes")
+    counters("httpcompression/max_size_exceeded") = metric(candMetrics, "decompMaxSize")
+    counters("httpcompression/decode_error") = metric(candMetrics, "decompError")
     counters("depth/filtered") = nDepthFiltered
     counters("offsite/filtered") = metric(candMetrics, "offsite")
     counters("dupefilter/filtered") = nNormal - nSurvivors

@@ -141,6 +141,24 @@ object Oracle {
           inc(s"downloader/response_status_count/$status")
           fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status, isRobots = false)
           pageOpt.foreach { page =>
+            // decompression stage (contract step 6b) — must mirror
+            // CrawlEngine's expansion flatMap exactly
+            var body: Array[Byte] = page.body
+            val enc = Option(page.contentEncoding).filter(_.nonEmpty)
+            if (body != null && enc.isDefined) {
+              try {
+                val (decoded, kept) = graft.extract.HttpCompression.decode(
+                  body, enc.get, cfg.downloadMaxSize)
+                inc("httpcompression/response_count")
+                inc("httpcompression/response_bytes", decoded.length.toLong)
+                body = if (kept.isEmpty) decoded else null
+              } catch {
+                case _: graft.extract.HttpCompression.MaxSizeExceeded =>
+                  inc("httpcompression/max_size_exceeded"); body = null
+                case _: java.io.IOException =>
+                  inc("httpcompression/decode_error"); body = null
+              }
+            }
             if (CrawlConfig.RedirectStatuses.contains(status) && page.location != null) {
               if (row.redirectTimes < cfg.maxRedirectTimes) {
                 val target = UrlKit.safeUrlString(UrlKit.urljoin(row.url, page.location))
@@ -157,9 +175,9 @@ object Oracle {
                   dEpoch = epoch, dParent = seq, dLink = -2,
                   row.retryTimes + 1, row.redirectTimes, dontFilter = true)
               } else inc("retry/max_reached")
-            } else if (status >= 200 && status < 300) {
+            } else if (status >= 200 && status < 300 && body != null) {
               val childDepth = row.depth + 1
-              val links = LinkExtract.extract(page.body, row.url, cfg.urlLengthLimit)
+              val links = LinkExtract.extract(body, row.url, cfg.urlLengthLimit)
               if (cfg.depthLimit == 0 || childDepth <= cfg.depthLimit) {
                 for ((linkIdx, link) <- links) {
                   val childHost = UrlKit.hostOf(link.url)

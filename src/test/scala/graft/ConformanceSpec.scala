@@ -80,6 +80,14 @@ class ConformanceSpec extends AnyFunSuite {
     compare(Corpus.Small, CrawlConfig(maxEpochs = 8, maxRedirectTimes = 0), "redirmax")
   }
 
+  test("decompression max-size variant conforms (responses dropped + counted)") {
+    // corpus bodies are a few hundred bytes; a 400 B cap trips
+    // httpcompression/max_size_exceeded on the larger compressed pages while
+    // smaller ones decode — both paths must match the oracle exactly
+    compare(Corpus.Small,
+      CrawlConfig(maxEpochs = 8, downloadMaxSize = 400), "decomp-maxsize")
+  }
+
   test("zero-delay + distributed seq assignment conforms byte-for-byte") {
     // delayMs=0 collides per-host virtual times (the triple key must stay
     // total) and seqCollectMax=0 forces the distributed orderBy+zipWithIndex
