@@ -62,6 +62,16 @@ package graft
   *       parentPriority - depthPriority*... reference: new Request priority 0
   *       then DepthMiddleware does `priority -= depth*depthPriority`
   *       (`depth.py:81-101`) → child priority = -childDepth*depthPriority.
+  *  7b. Referer header (`spidermiddlewares/referer.py:333-399`): every
+  *     candidate carries the Referer the W3C policy assigns —
+  *     link children: policy = parent response's Referrer-Policy header if
+  *     valid (rightmost known token), else cfg.refererPolicy; referer =
+  *     policy(responseUrl=parent url, requestUrl=link url). Redirect
+  *     candidates inherit the parent request's Referer then re-apply the
+  *     DEFAULT policy with the old Referer as surrogate parent URL (the
+  *     request_scheduled patch hook, `referer.py:381-399`); retries keep
+  *     theirs unchanged; seeds and robots fetches carry none. The fetch log
+  *     records the header per fetch — part of the byte-for-byte compare.
   *  8. Dupefilter (`scrapy/dupefilters.py:94-105` via scheduler `:343-345`):
   *     candidates processed in discovery order; dontFilter rows bypass (no
   *     seen-check, no insert); otherwise first-wins on fp against
@@ -91,6 +101,7 @@ final case class CrawlConfig(
     imagesMinWidth: Int = 0, // IMAGES_MIN_WIDTH (media min-size filter)
     imagesMinHeight: Int = 0, // IMAGES_MIN_HEIGHT
     downloadMaxSize: Long = 1073741824L, // DOWNLOAD_MAXSIZE (decompression guard)
+    refererPolicy: String = "scrapy-default", // REFERRER_POLICY default policy
     maxEpochs: Int = 1000,
     closespiderPageCount: Long = 0, // 0 = off
     /** Engine sizing knob, NOT part of the semantics contract (the oracle

@@ -100,7 +100,21 @@ object Corpus {
         else if (encRoll < 0.50) (graft.extract.HttpCompression.deflateBytes(raw), "deflate")
         else if (encRoll < 0.53) (graft.extract.HttpCompression.gzipBytes(raw), "x-gzip")
         else (raw, null)
-      PageRow(url, 200, null, body, f"img$gIdx%09d", 10 + r.nextInt(100), enc)
+      // Referrer-Policy header traps: valid names, mixed case, comma lists
+      // with unknown tokens (rightmost-valid wins), pure-unknown (falls back
+      // to the configured default policy)
+      val polRoll = r.nextDouble()
+      val refPolicy =
+        if (polRoll < 0.80) null
+        else if (polRoll < 0.92) {
+          val names = Array("no-referrer", "no-referrer-when-downgrade",
+            "same-origin", "origin", "strict-origin", "origin-when-cross-origin",
+            "strict-origin-when-cross-origin", "unsafe-url", "scrapy-default")
+          names(r.nextInt(names.length))
+        } else if (polRoll < 0.95) "UNSAFE-URL" // case-insensitive parse
+        else if (polRoll < 0.98) "bogus-token, same-origin" // rightmost-valid
+        else "totally-unknown" // → default policy
+      PageRow(url, 200, null, body, f"img$gIdx%09d", 10 + r.nextInt(100), enc, refPolicy)
     }
   }
 

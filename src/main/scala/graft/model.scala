@@ -31,7 +31,10 @@ final case class FrontierRow(
     dLink: Int,
     retryTimes: Int,
     redirectTimes: Int,
-    dontFilter: Boolean)
+    dontFilter: Boolean,
+    // Referer header value the request carries (W3C Referrer-Policy applied
+    // at discovery, `scrapy/spidermiddlewares/referer.py`); null = omitted
+    referer: String = null)
 
 /** One fetch in the ordered crawl log — the byte-for-byte conformance object
   * (SURVEY.md §7.4, FIXTURES.md §6). `seq` is the global fetch index. */
@@ -43,7 +46,8 @@ final case class FetchLogRow(
     fp: Array[Byte],
     virtualTMs: Long,
     status: Int,
-    isRobots: Boolean)
+    isRobots: Boolean,
+    referer: String = null) // Referer header sent with the fetch
 
 /** A page of the synthetic web (the offline stand-in for HTTP fetch;
   * SURVEY.md §2.1 "Synthetic fetch"). `url` is the canonical URL — the fetch
@@ -57,7 +61,8 @@ final case class PageRow(
     body: Array[Byte], // HTML (possibly compressed per contentEncoding)
     imageId: String, // FK -> images, null for non-image pages
     latencyMs: Int,
-    contentEncoding: String = null) // Content-Encoding header; null = identity
+    contentEncoding: String = null, // Content-Encoding header; null = identity
+    refererPolicy: String = null) // Referrer-Policy response header; null = absent
 
 /** Image+caption corpus row — exact input_hint shape (BASELINE.json). */
 final case class ImageRow(

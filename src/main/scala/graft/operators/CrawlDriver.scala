@@ -54,7 +54,8 @@ object CrawlDriver {
       lit(0).as("depth"), lit(true).as("isStart"),
       lit(-1).as("dEpoch"), $"seq".as("dParent"), lit(0).as("dLink"),
       lit(0).as("retryTimes"), lit(0).as("redirectTimes"),
-      lit(false).as("dontFilter")).as[FrontierRow]
+      lit(false).as("dontFilter"),
+      lit(null).cast("string").as("referer")).as[FrontierRow]
 
     val fDir = dataDir(root, 0, "frontier")
     frontier0.write.mode(SaveMode.Overwrite).parquet(fDir)

@@ -106,7 +106,8 @@ object CrawlEngine {
     // turns these into broadcast joins (at 10^7-host scale they become
     // co-partitioned shuffle joins on the same host key; plan unchanged).
     val frCols = Seq("url", "fp", "host", "priority", "depth", "isStart",
-      "dEpoch", "dParent", "dLink", "retryTimes", "redirectTimes", "dontFilter")
+      "dEpoch", "dParent", "dLink", "retryTimes", "redirectTimes", "dontFilter",
+      "referer")
     val enriched = frontier.toDF()
       .join(hostState.toDF().select($"host", $"lastTMs".as("lastT")), Seq("host"), "left")
       .join(robotsCache.toDF().select($"host", $"body".as("knownBody"),
@@ -267,16 +268,19 @@ object CrawlEngine {
           $"t", $"seq", $"status", lit(true).as("isRobots")),
         allowMissingColumns = true)
       .select(lit(epoch).as("epoch"), $"seq", $"host", $"url", $"fp",
-        $"t".as("virtualTMs"), $"status", $"isRobots")
+        $"t".as("virtualTMs"), $"status", $"isRobots", $"referer")
       .persist()
 
     // ---- expansion: decompression / redirect / retry / links ---------------
     val retryStatuses = CrawlConfig.RetryStatuses
     val redirectStatuses = CrawlConfig.RedirectStatuses
     val maxBodySize = cfg.downloadMaxSize
+    val defaultRefererPolicy = graft.urlkit.Referer.named(cfg.refererPolicy)
     val toExpand = fetched
-      .select($"fr", $"seq", $"status", $"location", $"body", $"contentEncoding")
-      .as[(FrontierRow, Long, Int, Option[String], Option[Array[Byte]], Option[String])]
+      .select($"fr", $"seq", $"status", $"location", $"body", $"contentEncoding",
+        $"refererPolicy")
+      .as[(FrontierRow, Long, Int, Option[String], Option[Array[Byte]],
+        Option[String], Option[String])]
 
     // candidate kind: 0 candidate, 1 retry/max_reached, 2 depth/filtered,
     // 3 offsite/filtered, 4 redirect/max_reached, 5 decompressed-response
@@ -284,7 +288,7 @@ object CrawlEngine {
     // 7 decompression decode-error drop
     val obsCand = org.apache.spark.sql.Observation()
     val candsRaw0: Dataset[(Int, FrontierRow, Long)] = toExpand.flatMap {
-      case (row, seq, status, location, rawBody, contentEncoding) =>
+      case (row, seq, status, location, rawBody, contentEncoding, refPolicyHeader) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[(Int, FrontierRow, Long)]
         // decompression stage (contract step 6b): decode before any body use;
         // an undecodable remainder coding leaves the body opaque (no links)
@@ -306,18 +310,29 @@ object CrawlEngine {
         if (redirectStatuses.contains(status) && location.exists(_ != null)) {
           if (row.redirectTimes < cfg.maxRedirectTimes) {
             val target = UrlKit.safeUrlString(UrlKit.urljoin(row.url, location.get))
+            // redirected request inherits the Referer, then the default
+            // policy re-patches it with the old value as surrogate parent
+            // URL (contract step 7b; `referer.py:381-399`)
+            val patched =
+              if (row.referer == null) null
+              else defaultRefererPolicy.referrer(
+                UrlKit.safeUrlString(row.referer), target).orNull
             out += ((0, FrontierRow(target, UrlKit.fingerprint(target),
               UrlKit.hostOf(target), row.priority + 2, row.depth, isStart = false,
-              epoch, seq, -1, row.retryTimes, row.redirectTimes + 1, row.dontFilter), 0L))
+              epoch, seq, -1, row.retryTimes, row.redirectTimes + 1, row.dontFilter,
+              referer = patched), 0L))
           } else out += ((4, row, 0L)) // redirect chain past the cap: counted, dropped
         } else if (retryStatuses.contains(status)) {
           if (row.retryTimes < cfg.retryTimes) {
             out += ((0, FrontierRow(row.url, row.fp, row.host, row.priority - 1,
               row.depth, isStart = false, epoch, seq, -2,
-              row.retryTimes + 1, row.redirectTimes, dontFilter = true), 0L))
+              row.retryTimes + 1, row.redirectTimes, dontFilter = true,
+              referer = row.referer), 0L)) // retries keep their headers
           } else out += ((1, row, 0L))
         } else if (status >= 200 && status < 300 && body.isDefined) {
           val childDepth = row.depth + 1
+          val policy = graft.urlkit.Referer.policyFor(
+            refPolicyHeader.orNull, defaultRefererPolicy)
           val links = LinkExtract.extract(body.get, row.url, cfg.urlLengthLimit)
           if (cfg.depthLimit == 0 || childDepth <= cfg.depthLimit) {
             for ((linkIdx, link) <- links) {
@@ -326,7 +341,8 @@ object CrawlEngine {
               else out += ((0, FrontierRow(link.url, UrlKit.fingerprint(link.url),
                 childHost, -childDepth * cfg.depthPriority,
                 childDepth, isStart = false, epoch, seq, linkIdx, 0, 0,
-                dontFilter = false), 0L))
+                dontFilter = false,
+                referer = policy.referrer(row.url, link.url).orNull), 0L))
             }
           } else links.foreach(_ => out += ((2, row, 0L)))
         }
@@ -361,10 +377,10 @@ object CrawlEngine {
       .groupBy($"fpHex")
       .agg(min(struct($"dEpoch", $"dParent", $"dLink", $"url", $"fp", $"host",
         $"priority", $"depth", $"isStart", $"retryTimes", $"redirectTimes",
-        $"dontFilter")).as("r"))
+        $"dontFilter", $"referer")).as("r"))
       .select($"fpHex", $"r.url", $"r.fp", $"r.host", $"r.priority", $"r.depth",
         $"r.isStart", $"r.dEpoch", $"r.dParent", $"r.dLink", $"r.retryTimes",
-        $"r.redirectTimes", $"r.dontFilter")
+        $"r.redirectTimes", $"r.dontFilter", $"r.referer")
 
     // Bloom prescreen (north rule: bloom/cuckoo URL-seen): a fingerprint the
     // filter has never seen is DEFINITELY new — only likely-dups pay the

@@ -33,6 +33,7 @@ object Oracle {
 
     val counters = mutable.Map.empty[String, Long].withDefaultValue(0L)
     def inc(k: String, by: Long = 1): Unit = counters(k) += by
+    val defaultRefererPolicy = graft.urlkit.Referer.named(cfg.refererPolicy)
 
     val urlSeen = mutable.HashSet.empty[String]
     var frontier = Vector.empty[FrontierRow]
@@ -139,7 +140,8 @@ object Oracle {
           val status = pageOpt.map(_.status).getOrElse(404)
           inc("downloader/request_count")
           inc(s"downloader/response_status_count/$status")
-          fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status, isRobots = false)
+          fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status,
+            isRobots = false, referer = row.referer)
           pageOpt.foreach { page =>
             // decompression stage (contract step 6b) — must mirror
             // CrawlEngine's expansion flatMap exactly
@@ -162,10 +164,15 @@ object Oracle {
             if (CrawlConfig.RedirectStatuses.contains(status) && page.location != null) {
               if (row.redirectTimes < cfg.maxRedirectTimes) {
                 val target = UrlKit.safeUrlString(UrlKit.urljoin(row.url, page.location))
+                val patched =
+                  if (row.referer == null) null
+                  else defaultRefererPolicy.referrer(
+                    UrlKit.safeUrlString(row.referer), target).orNull
                 candidates += FrontierRow(target, UrlKit.fingerprint(target),
                   UrlKit.hostOf(target), row.priority + 2, row.depth,
                   isStart = false, dEpoch = epoch, dParent = seq, dLink = -1,
-                  row.retryTimes, row.redirectTimes + 1, row.dontFilter)
+                  row.retryTimes, row.redirectTimes + 1, row.dontFilter,
+                  referer = patched)
               } else inc("redirect/max_reached")
             } else if (CrawlConfig.RetryStatuses.contains(status)) {
               if (row.retryTimes < cfg.retryTimes) {
@@ -173,10 +180,13 @@ object Oracle {
                 candidates += FrontierRow(row.url, row.fp, row.host,
                   row.priority - 1, row.depth, isStart = false,
                   dEpoch = epoch, dParent = seq, dLink = -2,
-                  row.retryTimes + 1, row.redirectTimes, dontFilter = true)
+                  row.retryTimes + 1, row.redirectTimes, dontFilter = true,
+                  referer = row.referer)
               } else inc("retry/max_reached")
             } else if (status >= 200 && status < 300 && body != null) {
               val childDepth = row.depth + 1
+              val policy = graft.urlkit.Referer.policyFor(
+                page.refererPolicy, defaultRefererPolicy)
               val links = LinkExtract.extract(body, row.url, cfg.urlLengthLimit)
               if (cfg.depthLimit == 0 || childDepth <= cfg.depthLimit) {
                 for ((linkIdx, link) <- links) {
@@ -185,7 +195,8 @@ object Oracle {
                   else candidates += FrontierRow(link.url, UrlKit.fingerprint(link.url),
                     childHost, -childDepth * cfg.depthPriority,
                     childDepth, isStart = false, dEpoch = epoch, dParent = seq,
-                    dLink = linkIdx, 0, 0, dontFilter = false)
+                    dLink = linkIdx, 0, 0, dontFilter = false,
+                    referer = policy.referrer(row.url, link.url).orNull)
                 }
               } else inc("depth/filtered", links.size.toLong)
             }
