@@ -114,7 +114,17 @@ object Corpus {
         } else if (polRoll < 0.95) "UNSAFE-URL" // case-insensitive parse
         else if (polRoll < 0.98) "bogus-token, same-origin" // rightmost-valid
         else "totally-unknown" // → default policy
-      PageRow(url, 200, null, body, f"img$gIdx%09d", 10 + r.nextInt(100), enc, refPolicy)
+      // Set-Cookie traps: per-page session values (same-host pages overwrite
+      // the same name → last-writer-by-seq wins), attribute noise, deletions
+      val ckRoll = r.nextDouble()
+      val setCookie =
+        if (ckRoll < 0.80) null
+        else if (ckRoll < 0.90) s"sid=v$j; Path=/; HttpOnly"
+        else if (ckRoll < 0.95) s"pref=p${j % 3}"
+        else if (ckRoll < 0.97) "sid=; Max-Age=0" // deletion
+        else "malformed-no-equals" // ignored
+      PageRow(url, 200, null, body, f"img$gIdx%09d", 10 + r.nextInt(100), enc,
+        refPolicy, setCookie)
     }
   }
 

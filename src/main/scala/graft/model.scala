@@ -47,7 +47,8 @@ final case class FetchLogRow(
     virtualTMs: Long,
     status: Int,
     isRobots: Boolean,
-    referer: String = null) // Referer header sent with the fetch
+    referer: String = null, // Referer header sent with the fetch
+    cookies: String = null) // Cookie header sent with the fetch
 
 /** A page of the synthetic web (the offline stand-in for HTTP fetch;
   * SURVEY.md §2.1 "Synthetic fetch"). `url` is the canonical URL — the fetch
@@ -62,7 +63,8 @@ final case class PageRow(
     imageId: String, // FK -> images, null for non-image pages
     latencyMs: Int,
     contentEncoding: String = null, // Content-Encoding header; null = identity
-    refererPolicy: String = null) // Referrer-Policy response header; null = absent
+    refererPolicy: String = null, // Referrer-Policy response header; null = absent
+    setCookie: String = null) // Set-Cookie response header; null = absent
 
 /** Image+caption corpus row — exact input_hint shape (BASELINE.json). */
 final case class ImageRow(
@@ -83,6 +85,10 @@ final case class SeedRow(seq: Long, url: String, priority: Int)
 /** Per-host politeness state carried across epochs (reference: downloader
   * Slot.lastseen, `scrapy/core/downloader/__init__.py:148-177`). */
 final case class HostState(host: String, lastTMs: Long, robotsFetched: Boolean)
+
+/** One cookie in the per-host jar (reference CookiesMiddleware state,
+  * see [[graft.operators.Cookies]]). */
+final case class CookieRow(host: String, name: String, value: String)
 
 /** Media output row (reference: ImagesPipeline results,
   * `scrapy/pipelines/images.py:110-210` + files checksum `files.py:61-75`). */

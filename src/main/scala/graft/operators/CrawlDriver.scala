@@ -67,13 +67,16 @@ object CrawlDriver {
     spark.emptyDataset[HostState].write.mode(SaveMode.Overwrite).parquet(hsDir)
     val rcDir = dataDir(root, 0, "robots_cache")
     spark.emptyDataset[CrawlEngine.RobotsCacheRow].write.mode(SaveMode.Overwrite).parquet(rcDir)
+    val cjDir = dataDir(root, 0, "cookie_jar")
+    spark.emptyDataset[CookieRow].write.mode(SaveMode.Overwrite).parquet(cjDir)
     deduped.unpersist()
 
     val m = Manifest(0, -1, fDir, Seq(seenDir), hsDir, rcDir, Nil, Nil,
       nextFetchSeq = 0L, frontierCount = nKept, pageFetches = 0L,
       counters = Map(
         "scheduler/enqueued" -> nKept,
-        "dupefilter/filtered" -> (nSeeds - nKept)).filter(_._2 != 0))
+        "dupefilter/filtered" -> (nSeeds - nKept)).filter(_._2 != 0),
+      cookieJarDir = cjDir)
     Snapshot.write(root, m)
     m
   }
@@ -137,10 +140,13 @@ object CrawlDriver {
       val urlSeen = readSeen(spark, m.seenDirs)
       val hostState = spark.read.parquet(m.hostStateDir).as[HostState]
       val robotsCache = spark.read.parquet(m.robotsCacheDir).as[CrawlEngine.RobotsCacheRow]
+      val cookieJar =
+        if (m.cookieJarDir.nonEmpty) spark.read.parquet(m.cookieJarDir).as[CookieRow]
+        else spark.emptyDataset[CookieRow]
 
       val bloomBc = spark.sparkContext.broadcast(shards)
       val r = CrawlEngine.runEpoch(spark, cfg, epoch, m.nextFetchSeq,
-        frontier, urlSeen, hostState, robotsCache, pages, robotsCorpus,
+        frontier, urlSeen, hostState, robotsCache, cookieJar, pages, robotsCorpus,
         images, withMedia, Some(bloomBc), frontierCountHint = m.frontierCount)
 
       val timing = sys.env.contains("GRAFT_TIMING")
@@ -155,6 +161,7 @@ object CrawlDriver {
       val seenDir = dataDir(root, e1, "seen_delta")
       val hsDir = dataDir(root, e1, "host_state")
       val rcDir = dataDir(root, e1, "robots_cache")
+      val cjDir = dataDir(root, e1, "cookie_jar")
       val flDir = dataDir(root, e1, "fetch_log")
       val frontierCount = r.nextFrontierCount
       // the six snapshot tables are independent — write them as concurrent
@@ -172,6 +179,7 @@ object CrawlDriver {
         seenWrite,
         Future(r.hostState.coalesce(8).write.mode(SaveMode.Overwrite).parquet(hsDir)),
         Future(r.robotsCache.coalesce(8).write.mode(SaveMode.Overwrite).parquet(rcDir)),
+        Future(r.cookieJar.coalesce(8).write.mode(SaveMode.Overwrite).parquet(cjDir)),
         Future(r.fetchLog.coalesce(8).write.mode(SaveMode.Overwrite).parquet(flDir)))
       val mediaDirs =
         if (withMedia && images != null) {
@@ -228,7 +236,7 @@ object CrawlDriver {
       m = Manifest(e1, epoch, fDir, seenDirs, hsDir, rcDir,
         m.fetchLogDirs :+ flDir, mediaDirs,
         r.nextFetchSeq, frontierCount, m.pageFetches + r.pageFetchCount,
-        mergedCounters, bloomPath)
+        mergedCounters, bloomPath, cookieJarDir = cjDir)
       Snapshot.write(root, m)
       bloomBc.destroy()
       r.cleanup() // drop only this epoch's caches; the corpus stays resident

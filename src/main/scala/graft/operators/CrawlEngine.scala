@@ -51,6 +51,7 @@ object CrawlEngine {
       seenDelta: DataFrame, // fpHex string rows
       hostState: Dataset[HostState],
       robotsCache: Dataset[RobotsCacheRow],
+      cookieJar: Dataset[CookieRow],
       media: Dataset[MediaRow],
       counters: Map[String, Long],
       nextFetchSeq: Long,
@@ -81,6 +82,7 @@ object CrawlEngine {
       urlSeen: DataFrame, // column fpHex
       hostState: Dataset[HostState],
       robotsCache: Dataset[RobotsCacheRow],
+      cookieJar: Dataset[CookieRow],
       pages: DataFrame, // corpus pages (url=canonical, status, location, body, imageId)
       robotsCorpus: DataFrame, // (host, body)
       images: DataFrame, // corpus images, nullable (media off when null)
@@ -261,14 +263,23 @@ object CrawlEngine {
       .withColumn("status",
         when(coalesce($"hasBody", lit(false)), lit(200)).otherwise(lit(599)))
 
+    // Cookie header per host, from the jar snapshot at epoch start
+    // (CookiesMiddleware analogue, see graft.operators.Cookies): a tiny
+    // host-keyed table — broadcast join under AQE like the other host state
+    val jarHeaders = cookieJar.toDF()
+      .groupBy($"host")
+      .agg(concat_ws("; ",
+        array_sort(collect_list(concat($"name", lit("="), $"value")))).as("cookies"))
+
     val fetchLog = fetched
       .select($"fr.*", $"t", $"seq", $"status", lit(false).as("isRobots"))
       .unionByName(robotsFetchLog
         .select($"fr.url".as("url"), $"fr.fp".as("fp"), $"host",
           $"t", $"seq", $"status", lit(true).as("isRobots")),
         allowMissingColumns = true)
+      .join(jarHeaders, Seq("host"), "left")
       .select(lit(epoch).as("epoch"), $"seq", $"host", $"url", $"fp",
-        $"t".as("virtualTMs"), $"status", $"isRobots", $"referer")
+        $"t".as("virtualTMs"), $"status", $"isRobots", $"referer", $"cookies")
       .persist()
 
     // ---- expansion: decompression / redirect / retry / links ---------------
@@ -480,6 +491,24 @@ object CrawlEngine {
         lit(true).as("robotsFetched"))
       .as[HostState]
 
+    // cookie-jar update: Set-Cookie headers from this epoch's page responses,
+    // last writer by global fetch seq per (host, name); empty value deletes
+    val epochCookies = fetched
+      .filter($"setCookie".isNotNull)
+      .select($"fr.host".as("host"), $"setCookie", $"seq")
+      .as[(String, String, Long)]
+      .flatMap { case (host, sc, seq) =>
+        Cookies.parseSetCookie(sc).map { case (n, v) => (host, n, v, seq) }
+      }
+      .toDF("host", "name", "value", "seq")
+      .groupBy($"host", $"name")
+      .agg(max_by($"value", $"seq").as("value"))
+    val nextCookieJar = cookieJar.toDF()
+      .join(epochCookies.select($"host", $"name"), Seq("host", "name"), "left_anti")
+      .unionByName(epochCookies)
+      .filter($"value" =!= "")
+      .as[CookieRow]
+
     val newRobots = fetches.filter(_.kind == KRobots).toDF()
       .select($"fr.host".as("host"))
       .join(robotsCorpus, Seq("host"), "left")
@@ -524,7 +553,7 @@ object CrawlEngine {
     }
     // zero-valued counters are dropped on both sides of the conformance compare
     EpochResult(fetchLog, nextFrontier, seenDelta, newHostState, nextRobotsCache,
-      media, counters.toMap.filter(_._2 != 0L), baseSeq + nFetches, pageFetchCount,
-      nextFrontierCount, nSurvivors, cleanup)
+      nextCookieJar, media, counters.toMap.filter(_._2 != 0L), baseSeq + nFetches,
+      pageFetchCount, nextFrontierCount, nSurvivors, cleanup)
   }
 }

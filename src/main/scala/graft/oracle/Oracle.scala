@@ -39,6 +39,12 @@ object Oracle {
     var frontier = Vector.empty[FrontierRow]
     val hostLastT = mutable.Map.empty[String, Long].withDefaultValue(Long.MinValue)
     val robotsCache = mutable.Map.empty[String, RobotsRules]
+    // per-host cookie jar (graft.operators.Cookies contract): header from the
+    // epoch-start snapshot; Set-Cookie applied at epoch end in seq order
+    val cookieJar = mutable.Map.empty[(String, String), String] // (host,name)->value
+    def cookieHeader(host: String): String =
+      graft.operators.Cookies.renderHeader(
+        cookieJar.collect { case ((h, n), v) if h == host => (n, v) }.toSeq).orNull
     val fetchLog = Vector.newBuilder[FetchLogRow]
     var fetchSeq = 0L
     var pageFetches = 0L
@@ -127,12 +133,14 @@ object Oracle {
       // global order: (t, host, perHostIdx)
       val ordered = epochFetches.sortBy { case (t, host, i, _, _) => (t, host, i) }
       val candidates = mutable.ArrayBuffer.empty[FrontierRow]
+      val epochSetCookies = mutable.ArrayBuffer.empty[(Long, String, String, String)]
       for ((t, host, _, row, isRobots) <- ordered) {
         val seq = fetchSeq
         fetchSeq += 1
         if (isRobots) {
           val status = if (robots.get(host).flatten.isDefined) 200 else 599
-          fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status, isRobots = true)
+          fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status,
+            isRobots = true, cookies = cookieHeader(host))
         } else {
           pageFetches += 1
           val canonical = UrlKit.canonicalizeUrl(row.url)
@@ -141,8 +149,10 @@ object Oracle {
           inc("downloader/request_count")
           inc(s"downloader/response_status_count/$status")
           fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status,
-            isRobots = false, referer = row.referer)
+            isRobots = false, referer = row.referer, cookies = cookieHeader(host))
           pageOpt.foreach { page =>
+            for ((n, v) <- graft.operators.Cookies.parseSetCookie(page.setCookie))
+              epochSetCookies += ((seq, host, n, v))
             // decompression stage (contract step 6b) — must mirror
             // CrawlEngine's expansion flatMap exactly
             var body: Array[Byte] = page.body
@@ -218,6 +228,12 @@ object Oracle {
             remaining += c
           }
         }
+      }
+
+      // apply Set-Cookie in seq order (last writer wins); empty value deletes
+      for ((_, host, n, v) <- epochSetCookies.sortBy(_._1)) {
+        if (v.isEmpty) cookieJar.remove((host, n))
+        else cookieJar((host, n)) = v
       }
 
       frontier = remaining.result()

@@ -29,7 +29,8 @@ final case class Manifest(
     frontierCount: Long,
     pageFetches: Long,
     counters: Map[String, Long],
-    bloomPath: String = "") // serialized url_seen Bloom filter (advisory)
+    bloomPath: String = "", // persisted url_seen Bloom shard table (advisory)
+    cookieJarDir: String = "") // per-host cookie jar parquet
 
 object Snapshot {
 
@@ -58,6 +59,7 @@ object Snapshot {
     sb.append("\"fetchLogDirs\": [").append(m.fetchLogDirs.map(jstr).mkString(", ")).append("], ")
     sb.append("\"mediaDirs\": [").append(m.mediaDirs.map(jstr).mkString(", ")).append("], ")
     sb.append("\"bloomPath\": ").append(jstr(m.bloomPath)).append(", ")
+    sb.append("\"cookieJarDir\": ").append(jstr(m.cookieJarDir)).append(", ")
     sb.append("\"nextFetchSeq\": ").append(m.nextFetchSeq).append(", ")
     sb.append("\"frontierCount\": ").append(m.frontierCount).append(", ")
     sb.append("\"pageFetches\": ").append(m.pageFetches).append(", ")
@@ -118,7 +120,7 @@ object Snapshot {
       strField("frontierDir"), arrField("seenDirs"), strField("hostStateDir"),
       strField("robotsCacheDir"), arrField("fetchLogDirs"), arrField("mediaDirs"),
       numField("nextFetchSeq"), numField("frontierCount"), numField("pageFetches"),
-      counters, optStrField("bloomPath"))
+      counters, optStrField("bloomPath"), optStrField("cookieJarDir"))
   }
 
   private def unescape(s: String): String = {

@@ -24,15 +24,16 @@ class ConformanceSpec extends AnyFunSuite {
       .select($"epoch", $"seq", $"host", $"url",
         org.apache.spark.sql.functions.lower(
           org.apache.spark.sql.functions.hex($"fp")).as("fp"),
-        $"virtualTMs", $"status", $"isRobots", $"referer")
-      .as[(Int, Long, String, String, String, Long, Int, Boolean, Option[String])]
+        $"virtualTMs", $"status", $"isRobots", $"referer", $"cookies")
+      .as[(Int, Long, String, String, String, Long, Int, Boolean,
+        Option[String], Option[String])]
       .collect().toVector
 
     val pages = Corpus.allPages(spec).map(p => p.url -> p).toMap
     val o = Oracle.run(cfg, Corpus.seeds(spec), pages, Corpus.allRobots(spec))
     val oracleLog = o.fetchLog.map(f =>
       (f.epoch, f.seq, f.host, f.url, UrlKit.toHex(f.fp), f.virtualTMs, f.status,
-        f.isRobots, Option(f.referer)))
+        f.isRobots, Option(f.referer), Option(f.cookies)))
 
     // fetch log: ordered list equality
     assert(engineLog.size === oracleLog.size,
