@@ -62,6 +62,13 @@ package graft
   *       parentPriority - depthPriority*... reference: new Request priority 0
   *       then DepthMiddleware does `priority -= depth*depthPriority`
   *       (`depth.py:81-101`) → child priority = -childDepth*depthPriority.
+  *  7a. Meta refresh (`downloadermiddlewares/redirect.py:184-212`): a 2xx
+  *     HTML body whose first `<meta http-equiv=refresh>` (comments and
+  *     noscript blocks ignored) carries `content="<d>; url=<u>"` with
+  *     d < metarefreshMaxDelay and an http/https target becomes a redirect
+  *     (urljoin target, priority+2, redirectTimes+1 under the shared cap,
+  *     dLink=-1, Referer re-patched) INSTEAD of link extraction; otherwise
+  *     the page is treated as content.
   *  7b. Referer header (`spidermiddlewares/referer.py:333-399`): every
   *     candidate carries the Referer the W3C policy assigns —
   *     link children: policy = parent response's Referrer-Policy header if
@@ -102,6 +109,7 @@ final case class CrawlConfig(
     imagesMinHeight: Int = 0, // IMAGES_MIN_HEIGHT
     downloadMaxSize: Long = 1073741824L, // DOWNLOAD_MAXSIZE (decompression guard)
     refererPolicy: String = "scrapy-default", // REFERRER_POLICY default policy
+    metarefreshMaxDelay: Double = 100.0, // METAREFRESH_MAXDELAY (seconds)
     maxEpochs: Int = 1000,
     closespiderPageCount: Long = 0, // 0 = off
     /** Engine sizing knob, NOT part of the semantics contract (the oracle

@@ -88,6 +88,20 @@ object Corpus {
       PageRow(url, 301, s"http://${spec.hostName(k)}/p/$tgt", Array.emptyByteArray, null, 10 + r.nextInt(100))
     } else if (roll < 0.10) { // 503 retryable
       PageRow(url, 503, null, Array.emptyByteArray, null, 200 + r.nextInt(400))
+    } else if (roll < 0.125 && nK > 1) { // meta-refresh traps
+      val tgt = r.nextInt(nK)
+      val mr = r.nextDouble()
+      val html =
+        if (mr < 0.40) // plain immediate refresh → redirect
+          s"""<html><head><meta http-equiv="refresh" content="0; url=/p/$tgt"></head><body>moved</body></html>"""
+        else if (mr < 0.60) // reversed attrs, single quotes, uppercase URL= → redirect
+          s"""<html><head><meta content='5; URL=http://${spec.hostName(k)}/p/$tgt' http-equiv='refresh'></head><body>moved</body></html>"""
+        else if (mr < 0.80) // delay over METAREFRESH_MAXDELAY → content page
+          s"""<html><head><meta http-equiv="refresh" content="200; url=/p/$tgt"></head><body><a href="/p/$tgt">slow</a></body></html>"""
+        else // directive inside noscript is ignored → content page
+          s"""<html><head><noscript><meta http-equiv="refresh" content="0; url=/p/$tgt"></noscript></head><body><a href="/p/$tgt">ns</a></body></html>"""
+      PageRow(url, 200, null, html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        null, 10 + r.nextInt(100))
     } else {
       val html = pageHtml(spec, k, j, r)
       val raw = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -341,6 +341,29 @@ object CrawlEngine {
               referer = row.referer), 0L)) // retries keep their headers
           } else out += ((1, row, 0L))
         } else if (status >= 200 && status < 300 && body.isDefined) {
+          // meta-refresh intercept (contract step 7a): runs below the spider,
+          // so a qualifying directive pre-empts link extraction entirely
+          val mrTarget = graft.extract.MetaRefresh
+            .find(new String(body.get, java.nio.charset.StandardCharsets.UTF_8))
+            .filter(_._1 < cfg.metarefreshMaxDelay)
+            .map { case (_, u) => UrlKit.safeUrlString(UrlKit.urljoin(row.url, u)) }
+            .filter { t =>
+              val s = graft.urlkit.PyUrl.urlparse(t).scheme
+              s == "http" || s == "https"
+            }
+          if (mrTarget.isDefined) {
+            val target = mrTarget.get
+            if (row.redirectTimes < cfg.maxRedirectTimes) {
+              val patched =
+                if (row.referer == null) null
+                else defaultRefererPolicy.referrer(
+                  UrlKit.safeUrlString(row.referer), target).orNull
+              out += ((0, FrontierRow(target, UrlKit.fingerprint(target),
+                UrlKit.hostOf(target), row.priority + 2, row.depth, isStart = false,
+                epoch, seq, -1, row.retryTimes, row.redirectTimes + 1, row.dontFilter,
+                referer = patched), 0L))
+            } else out += ((4, row, 0L))
+          } else {
           val childDepth = row.depth + 1
           val policy = graft.urlkit.Referer.policyFor(
             refPolicyHeader.orNull, defaultRefererPolicy)
@@ -356,6 +379,7 @@ object CrawlEngine {
                 referer = policy.referrer(row.url, link.url).orNull), 0L))
             }
           } else links.foreach(_ => out += ((2, row, 0L)))
+          }
         }
         out
     }

@@ -194,6 +194,29 @@ object Oracle {
                   referer = row.referer)
               } else inc("retry/max_reached")
             } else if (status >= 200 && status < 300 && body != null) {
+              // meta-refresh intercept (contract step 7a) — mirrors CrawlEngine
+              val mrTarget = graft.extract.MetaRefresh
+                .find(new String(body, java.nio.charset.StandardCharsets.UTF_8))
+                .filter(_._1 < cfg.metarefreshMaxDelay)
+                .map { case (_, u) => UrlKit.safeUrlString(UrlKit.urljoin(row.url, u)) }
+                .filter { tgt =>
+                  val s = graft.urlkit.PyUrl.urlparse(tgt).scheme
+                  s == "http" || s == "https"
+                }
+              if (mrTarget.isDefined) {
+                val target = mrTarget.get
+                if (row.redirectTimes < cfg.maxRedirectTimes) {
+                  val patched =
+                    if (row.referer == null) null
+                    else defaultRefererPolicy.referrer(
+                      UrlKit.safeUrlString(row.referer), target).orNull
+                  candidates += FrontierRow(target, UrlKit.fingerprint(target),
+                    UrlKit.hostOf(target), row.priority + 2, row.depth,
+                    isStart = false, dEpoch = epoch, dParent = seq, dLink = -1,
+                    row.retryTimes, row.redirectTimes + 1, row.dontFilter,
+                    referer = patched)
+                } else inc("redirect/max_reached")
+              } else {
               val childDepth = row.depth + 1
               val policy = graft.urlkit.Referer.policyFor(
                 page.refererPolicy, defaultRefererPolicy)
@@ -209,6 +232,7 @@ object Oracle {
                     referer = policy.referrer(row.url, link.url).orNull)
                 }
               } else inc("depth/filtered", links.size.toLong)
+              }
             }
           }
         }
