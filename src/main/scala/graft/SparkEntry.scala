@@ -139,6 +139,22 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), min("value").as("mn"), max("value").as("mx"))),
 
+    // ---- item_completed gather: media results back onto items (SURVEY §2.4,
+    // reference MediaPipeline.item_completed) — groupBy+collect_list+join,
+    // rendered to strings so DuckDB can verify the gathered order exactly
+    "q_item_completed_gather" -> ((s, dir) => {
+      val items = t(s, dir, "orders").select(col("o_orderkey"))
+      val results = t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+      graft.operators.ItemGather
+        .gather(items, "o_orderkey", results, "o_orderkey",
+          Seq("l_linenumber", "l_partkey", "l_suppkey"))
+        .filter(col("results").isNotNull)
+        .select(col("o_orderkey"),
+          size(col("results")).cast("long").as("n_items"),
+          concat_ws(",", transform(col("results"),
+            r => r.getField("l_partkey").cast("string"))).as("parts"))
+    }),
+
     // ---- training-data: exact dedup (hash-groupBy) ------------------------
     "q_dedup_exact" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -305,6 +321,8 @@ object SparkEntry {
     "q_ann_topk" ->
       "SELECT query_id, rnk AS rank, neighbor_id FROM (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])) DESC, v.vec_id) AS rnk FROM embeddings q, embeddings v WHERE q.vec_id < 10 AND v.vec_id != q.vec_id) WHERE rnk <= 3",
     "q_embedding_neardup" ->
-      "SELECT vec_id, nn_id FROM (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, row_number() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id != b.vec_id) WHERE rn = 1"
+      "SELECT vec_id, nn_id FROM (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, row_number() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id != b.vec_id) WHERE rn = 1",
+    "q_item_completed_gather" ->
+      "SELECT o_orderkey, count(*) AS n_items, array_to_string(list(l_partkey ORDER BY l_linenumber, l_partkey, l_suppkey), ',') AS parts FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey"
   )
 }

@@ -83,7 +83,11 @@ object LinkExtract {
     * first-wins dedup on canonical(keep_fragments) key. Returns links with
     * their original document index (for discovery ordering). */
   def extract(html: Array[Byte], pageUrl: String, urlLengthLimit: Int): Seq[(Int, Link)] = {
-    val text = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+    // per-response encoding handling (reference TextResponse): BOM → declared
+    // <meta charset> → UTF-8-validity inference (no Content-Type header at
+    // this call site; pages that need one route through Encoding.detect
+    // directly). Total: falls back to latin-1, never throws.
+    val text = Encoding.decode(html, None)
     val raw = extractRaw(text, pageUrl)
     val seen = scala.collection.mutable.HashSet.empty[String]
     val out = Vector.newBuilder[(Int, Link)]

@@ -78,10 +78,13 @@ object UrlKit {
   }
 
   /** w3lib `parse_qsl_to_bytes(qs, keep_blank_values=True)`:
-    * split on '&' and ';', '+'→' ', percent-decode names and values to raw
-    * bytes (no encoding loss). */
+    * split on '&' ONLY (CPython >= 3.10 parse_qsl and current w3lib no
+    * longer treat ';' as a pair separator — ';' stays inside values and is
+    * percent-encoded on re-serialization; pinned by the
+    * "semicolon stays inside a query value" golden in CanonicalizeSpec),
+    * '+'→' ', percent-decode names and values to raw bytes. */
   private def parseQslToBytes(qs: String): Seq[(Array[Byte], Array[Byte])] = {
-    val pairs = qs.split("&", -1).flatMap(_.split(";", -1))
+    val pairs = qs.split("&", -1)
     pairs.iterator.filter(_.nonEmpty).map { nv =>
       val eq = nv.indexOf('=')
       val (n, v) = if (eq < 0) (nv, "") else (nv.substring(0, eq), nv.substring(eq + 1))

@@ -80,6 +80,11 @@ class CanonicalizeSpec extends AnyFunSuite {
     assert(canonicalizeUrl("https://example.org?a=b&a") === "https://example.org/?a=&a=b")
     assert(canonicalizeUrl("http://h.test/p?b=2&a=1&a=0") === "http://h.test/p?a=0&a=1&b=2")
   }
+  test("semicolon stays inside a query value (CPython>=3.10 / current w3lib)") {
+    // pinned semantics (invariant #2): ';' is NOT a pair separator — it
+    // remains part of the value and is percent-encoded on re-serialization
+    assert(canonicalizeUrl("http://h.test/do?a=1;2&b=3") === "http://h.test/do?a=1%3B2&b=3")
+  }
   test("lowercases scheme and netloc, not path") {
     assert(canonicalizeUrl("HTTP://WWW.Example.ORG/Path") === "http://www.example.org/Path")
   }
