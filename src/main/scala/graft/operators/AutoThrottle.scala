@@ -29,29 +29,44 @@ object AutoThrottle {
     if (!ok && bounded < oldDelayMs) oldDelayMs else bounded
   }
 
-  /** Fold an epoch's fetch results (host, latencyMs, status) into updated
-    * per-host delays. Uses mean latency per host for the epoch (the
-    * reference updates per response; per-epoch mean is the BSP analogue). */
+  /** Fold an epoch's fetch results (host, latencyMs, status[, seq]) into
+    * updated per-host delays by replaying the reference's PER-RESPONSE
+    * update in fetch order — exact `throttle.py:104-129` semantics, not an
+    * epoch-mean approximation (one slow 404 no longer freezes a host's
+    * delay for the whole epoch). The per-host result list is bounded by the
+    * politeness budget (≤ maxPerHostPerEpoch), so the collect_list is
+    * map-side-combined and bounded, not data-sized. Rows may carry a `seq`
+    * column to pin the replay order; otherwise latency/status order is
+    * used (deterministic for a deterministic input). */
   def updateDelays(
       spark: SparkSession,
-      fetchResults: DataFrame, // host, latencyMs, status
+      fetchResults: DataFrame, // host, latencyMs, status [, seq]
       currentDelays: Dataset[HostDelay],
       startDelayMs: Long = 5000,
       minDelayMs: Long = 100,
       maxDelayMs: Long = 60000,
       targetConcurrency: Double = 1.0): Dataset[HostDelay] = {
     import spark.implicits._
-    val agg = fetchResults
+    val withSeq =
+      if (fetchResults.columns.contains("seq")) fetchResults
+      else fetchResults.withColumn("seq",
+        $"latencyMs" * 1000 + pmod($"status".cast("long"), lit(1000)))
+    val agg = withSeq
       .groupBy($"host")
-      .agg(avg($"latencyMs").as("meanLatency"),
-        min(when($"status" >= 200 && $"status" < 300, 1).otherwise(0)).as("allOk"))
+      .agg(sort_array(collect_list(
+        struct($"seq".cast("long").as("seq"),
+          $"latencyMs".cast("long").as("latencyMs"),
+          $"status".cast("int").as("status")))).as("events"))
     agg.join(currentDelays.toDF(), Seq("host"), "left")
-      .select($"host", coalesce($"delayMs", lit(startDelayMs)).as("delayMs"),
-        $"meanLatency", $"allOk")
-      .as[(String, Long, Double, Int)]
-      .map { case (host, old, latency, allOk) =>
-        HostDelay(host, clampedUpdate(old, latency.toLong, allOk == 1,
-          targetConcurrency, minDelayMs, maxDelayMs))
+      .select($"host", coalesce($"delayMs", lit(startDelayMs)).as("delayMs"), $"events")
+      .as[(String, Long, Seq[(Long, Long, Int)])]
+      .map { case (host, start, events) =>
+        var d = start
+        for ((_, latency, status) <- events) {
+          d = clampedUpdate(d, latency, status >= 200 && status < 300,
+            targetConcurrency, minDelayMs, maxDelayMs)
+        }
+        HostDelay(host, d)
       }
   }
 }

@@ -96,12 +96,17 @@ object RobotsRules {
       if (colon > 0) {
         val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
         val value = line.substring(colon + 1).trim
+        // Directive-name variants pinned to Protego's published alias sets
+        // (protego.py _USER_AGENT_DIRECTIVE / _DISALLOW_DIRECTIVE /
+        // _ALLOW_DIRECTIVE / _CRAWL_DELAY_DIRECTIVE): the space/misspelling
+        // aliases below are Protego's, nothing more (RobotsSpec pins both
+        // accepted aliases and rejected near-misses).
         key match {
           case "user-agent" | "useragent" | "user agent" =>
             if (!inAgentRun) flush()
             agents = agents :+ value.toLowerCase(java.util.Locale.ROOT)
             inAgentRun = true
-          case "disallow" | "dis allow" =>
+          case "disallow" | "dissallow" | "dissalow" | "disalow" | "diasllow" | "disallaw" =>
             inAgentRun = false
             if (agents.nonEmpty) rules = rules :+ Rule(value, allow = false)
           case "allow" =>

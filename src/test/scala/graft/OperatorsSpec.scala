@@ -32,7 +32,9 @@ class OperatorsSpec extends AnyFunSuite {
     val cur = Seq(AutoThrottle.HostDelay("a.test", 5000L)).toDS()
     val updated = AutoThrottle.updateDelays(spark, fetches, cur)
       .collect().map(d => d.host -> d.delayMs).toMap
-    assert(updated("a.test") === 3500) // (5000 + 2000)/2
+    // per-RESPONSE replay in order (reference throttle.py:104-129):
+    // 5000 →(1000ms ok)→ 3000 →(3000ms ok)→ 3000
+    assert(updated("a.test") === 3000)
     assert(updated("b.test") === 5000) // error → never below start
   }
 

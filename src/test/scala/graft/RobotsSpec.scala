@@ -52,6 +52,23 @@ class RobotsSpec extends AnyFunSuite {
     assert(!r.allowed("http://h.test/", "a"))
     assert(!r.allowed("http://h.test/p/1", "a"))
   }
+  test("directive aliases: Protego's published sets, nothing more") {
+    // accepted: Protego _USER_AGENT_DIRECTIVE / _DISALLOW_DIRECTIVE aliases
+    val aliased = RobotsRules.parse(
+      "useragent: *\ndissallow: /a\ndisalow: /b\ndiasllow: /c\n".getBytes)
+    assert(!aliased.allowed("http://h.test/a/x", "bot"))
+    assert(!aliased.allowed("http://h.test/b/x", "bot"))
+    assert(!aliased.allowed("http://h.test/c/x", "bot"))
+    val spaced = RobotsRules.parse(
+      "user agent: *\ndisallaw: /d\n".getBytes)
+    assert(!spaced.allowed("http://h.test/d/x", "bot"))
+    // rejected near-misses: unknown keys are ignored, not guessed at
+    val rejected = RobotsRules.parse(
+      "User-agent: *\ndis allow: /e\nDisalloww: /f\n".getBytes)
+    assert(rejected.allowed("http://h.test/e/x", "bot"))
+    assert(rejected.allowed("http://h.test/f/x", "bot"))
+  }
+
   test("query string participates in matching") {
     val r = RobotsRules.parse("User-agent: *\nDisallow: /*?a=1\n")
     assert(!r.allowed("http://h.test/p?a=1", "bot"))
