@@ -10,27 +10,38 @@ package graft
   *
   * Virtual time, never wall clock. Epoch k spans [k*epochMs, (k+1)*epochMs).
   *
-  *  1. Per-host fetch budget per epoch:
+  *  1. Politeness SLOT = the request's host, or its resolved IP when
+  *     `perIpSlots` is on (reference `CONCURRENT_REQUESTS_PER_IP` slot
+  *     keying + DNS cache, `scrapy/core/downloader/__init__.py:137-177`,
+  *     `scrapy/resolver.py:21-104`): hosts sharing an IP share one budget,
+  *     delay and virtual-time sequence. Hosts missing from the DNS table
+  *     fall back to host keying (`dnscache.get(host, host)`).
+  *     Per-slot fetch budget per epoch:
   *     `budget = max(1, epochMs / max(delayMs,1))` capped at
-  *     `maxPerHostPerEpoch`. A host that still needs its robots.txt spends
-  *     its first slot of the epoch on the robots fetch (reference fetches
-  *     robots at priority 1000 before any page of that host,
-  *     `scrapy/downloadermiddlewares/robotstxt.py:82-136`).
-  *  2. Dequeue order per host (reference `scrapy/pqueues.py:143-198` +
+  *     `maxPerHostPerEpoch`.
+  *  2. Dequeue order per slot (reference `scrapy/pqueues.py:143-198` +
   *     start-queue separation `:146-186`, LIFO default
   *     `default_settings.py:480-484`): sort by
   *       (priority DESC,
   *        isStart ASC,            -- non-start served before start at eq prio
   *        discovery LIFO: (dEpoch,dParent,dLink) DESC for non-start;
   *        start requests always FIFO: discovery ASC)
-  *     take the first `budget` rows.
+  *     then walk in order charging the slot budget: a row whose host still
+  *     needs robots.txt first spends one budget unit on the robots fetch
+  *     (once per host per epoch; reference fetches robots at priority 1000
+  *     before any page of that host, `robotstxt.py:82-136` — the robots
+  *     fetch happens even when no page unit remains after it), then one
+  *     unit on the row itself; the first row that cannot be charged stops
+  *     the walk and everything after it stays in the frontier.
+  *     (With slot == host this walk is exactly the old "take the first
+  *     `budget - (robots ? 1 : 0)` rows" rule.)
   *  3. Robots-disallowed dequeued rows are dropped (counter
   *     `robotstxt/forbidden`; their fp stays in url_seen — the reference
   *     inserts into url_seen at schedule time, before robots runs,
   *     SURVEY.md §2.7). They do not consume a politeness slot.
-  *  4. Virtual fetch times per host: t_0 = max(lastT_h + delayMs, epochStart),
-  *     t_{i+1} = t_i + delayMs; lastT_h := t_last. Robots fetch takes the
-  *     first slot when pending.
+  *  4. Virtual fetch times per SLOT: t_0 = max(lastT_s + delayMs, epochStart),
+  *     t_{i+1} = t_i + delayMs; lastT_s := t_last. A pending robots fetch
+  *     takes its host's first position in the slot's sequence.
   *  5. Global fetch-log order within the epoch: (virtualT ASC, host ASC,
   *     per-host index ASC); `seq` continues across epochs.
   *  6. Fetch = corpus lookup by sanitized URL (unknown → 404). Status counts
@@ -110,6 +121,7 @@ final case class CrawlConfig(
     downloadMaxSize: Long = 1073741824L, // DOWNLOAD_MAXSIZE (decompression guard)
     refererPolicy: String = "scrapy-default", // REFERRER_POLICY default policy
     metarefreshMaxDelay: Double = 100.0, // METAREFRESH_MAXDELAY (seconds)
+    perIpSlots: Boolean = false, // CONCURRENT_REQUESTS_PER_IP analogue (step 1)
     maxEpochs: Int = 1000,
     closespiderPageCount: Long = 0, // 0 = off
     /** Engine sizing knob, NOT part of the semantics contract (the oracle

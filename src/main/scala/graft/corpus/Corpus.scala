@@ -284,6 +284,22 @@ object Corpus {
   def allRobots(spec: CorpusSpec): Map[String, Option[Array[Byte]]] =
     (0 until spec.nHosts).map(k => spec.hostName(k) -> robots(spec, k)).toMap
 
+  // ---- dns ------------------------------------------------------------------
+
+  /** Deterministic resolver result for host k; None = unresolvable (slot
+    * falls back to the host, like `dnscache.get(host, host)`). ~30% of hosts
+    * share a small CDN-like IP pool, so per-IP slots genuinely coalesce. */
+  def dnsIp(spec: CorpusSpec, k: Int): Option[String] = {
+    val r = rng(spec, 6000000011L * (k + 1))
+    val roll = r.nextDouble()
+    if (roll < 0.05) None // resolution failure
+    else if (roll < 0.35) Some(s"10.0.0.${r.nextInt(math.max(2, spec.nHosts / 10))}")
+    else Some(s"10.1.${k / 256}.${k % 256}")
+  }
+
+  def allDns(spec: CorpusSpec): Map[String, String] =
+    (0 until spec.nHosts).flatMap(k => dnsIp(spec, k).map(spec.hostName(k) -> _)).toMap
+
   // ---- seeds --------------------------------------------------------------
 
   /** Ordered seed list: sample of pages (raw trap forms), with duplicates.

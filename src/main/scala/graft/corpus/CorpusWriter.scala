@@ -54,6 +54,12 @@ object CorpusWriter {
       .flatMap(k => Corpus.robots(spec, k.toInt).map(b => RobotsRow(spec.hostName(k.toInt), b)))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/robots")
 
+    spark.range(0, spec.nHosts.toLong)
+      .flatMap(k => Corpus.dnsIp(spec, k.toInt)
+        .map(ip => (spec.hostName(k.toInt), ip)))
+      .toDF("host", "ip")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/dns")
+
     spark.createDataset(Corpus.seeds(spec))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/seeds")
   }

@@ -98,6 +98,10 @@ object CrawlDriver {
       .repartition(joinParts, org.apache.spark.sql.functions.col("canonical"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val robotsCorpus = spark.read.parquet(s"$corpusDir/robots")
+    val dns =
+      if (new java.io.File(s"$corpusDir/dns").exists())
+        spark.read.parquet(s"$corpusDir/dns")
+      else null
     val images =
       if (withMedia && new java.io.File(s"$corpusDir/images").exists())
         spark.read.parquet(s"$corpusDir/images")
@@ -147,7 +151,7 @@ object CrawlDriver {
       val bloomBc = spark.sparkContext.broadcast(shards)
       val r = CrawlEngine.runEpoch(spark, cfg, epoch, m.nextFetchSeq,
         frontier, urlSeen, hostState, robotsCache, cookieJar, pages, robotsCorpus,
-        images, withMedia, Some(bloomBc), frontierCountHint = m.frontierCount)
+        dns, images, withMedia, Some(bloomBc), frontierCountHint = m.frontierCount)
 
       val timing = sys.env.contains("GRAFT_TIMING")
       var tW = System.nanoTime()

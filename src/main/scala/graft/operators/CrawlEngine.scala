@@ -36,11 +36,13 @@ object CrawlEngine {
   final val KRobots = 2 // robots.txt fetch this epoch
   final val KForbidden = 3 // dequeued but robots-disallowed (dropped)
 
-  final case class DeqOut(kind: Int, fr: FrontierRow, t: Long, hostIdx: Int)
-  final case class FetchRow(fr: FrontierRow, t: Long, hostIdx: Int, kind: Int, seq: Long)
+  final case class DeqOut(kind: Int, fr: FrontierRow, t: Long, hostIdx: Int,
+      slot: String)
+  final case class FetchRow(fr: FrontierRow, t: Long, hostIdx: Int, kind: Int,
+      seq: Long, slot: String)
   final case class RobotsCacheRow(host: String, body: Array[Byte], ok: Boolean)
   final case class HostMeta(
-      host: String, lastT: Long, robotsKnown: Boolean,
+      host: String, slot: String, lastT: Long, robotsKnown: Boolean,
       knownBody: Array[Byte], knownOk: Boolean,
       corpusBody: Array[Byte])
   final case class Enriched(fr: FrontierRow, meta: HostMeta)
@@ -85,6 +87,7 @@ object CrawlEngine {
       cookieJar: Dataset[CookieRow],
       pages: DataFrame, // corpus pages (url=canonical, status, location, body, imageId)
       robotsCorpus: DataFrame, // (host, body)
+      dns: DataFrame, // (host, ip) resolver cache; nullable (host-keyed slots)
       images: DataFrame, // corpus images, nullable (media off when null)
       withMedia: Boolean,
       bloom: Option[org.apache.spark.broadcast.Broadcast[
@@ -103,21 +106,31 @@ object CrawlEngine {
       tPhase = now
     }
 
-    // ---- host metadata joined straight onto the frontier ------------------
-    // The three host-keyed state tables are tiny next to the frontier — AQE
-    // turns these into broadcast joins (at 10^7-host scale they become
-    // co-partitioned shuffle joins on the same host key; plan unchanged).
+    // ---- slot + host metadata joined straight onto the frontier -----------
+    // Politeness slot (contract step 1): the host, or its resolved IP when
+    // perIpSlots — hosts sharing an IP share one budget/delay sequence. The
+    // state tables are tiny next to the frontier — AQE turns these into
+    // broadcast joins (at 10^7-host scale they become co-partitioned shuffle
+    // joins on the same key; plan unchanged).
     val frCols = Seq("url", "fp", "host", "priority", "depth", "isStart",
       "dEpoch", "dParent", "dLink", "retryTimes", "redirectTimes", "dontFilter",
       "referer")
-    val enriched = frontier.toDF()
-      .join(hostState.toDF().select($"host", $"lastTMs".as("lastT")), Seq("host"), "left")
+    val withSlot =
+      if (cfg.perIpSlots && dns != null)
+        frontier.toDF()
+          .join(dns.select($"host", $"ip"), Seq("host"), "left")
+          .withColumn("slot", coalesce($"ip", $"host")) // dnscache.get(host, host)
+          .drop("ip")
+      else frontier.toDF().withColumn("slot", $"host")
+    val enriched = withSlot
+      .join(hostState.toDF().select($"host".as("slot"), $"lastTMs".as("lastT")),
+        Seq("slot"), "left")
       .join(robotsCache.toDF().select($"host", $"body".as("knownBody"),
         $"ok".as("knownOk"), lit(true).as("robotsKnown")), Seq("host"), "left")
       .join(robotsCorpus.select($"host", $"body".as("corpusBody")), Seq("host"), "left")
       .select(
         struct(frCols.map(col): _*).as("fr"),
-        struct($"host",
+        struct($"host", $"slot",
           coalesce($"lastT", lit(Long.MinValue / 2)).as("lastT"),
           coalesce($"robotsKnown", lit(false)).as("robotsKnown"),
           $"knownBody", coalesce($"knownOk", lit(false)).as("knownOk"),
@@ -134,64 +147,80 @@ object CrawlEngine {
 
     // Observation metrics ride along with the first job that materializes
     // each cached dataset — no extra counting jobs (Spark `observe` API).
-    // Dequeue: one hash repartition by host (no sort — cheaper than a
+    // Dequeue: one hash repartition by SLOT (no sort — cheaper than a
     // sorted groupByKey), then per-partition bounded PQs: kept rows are
-    // emitted as they're evicted, so memory is O(hosts_in_partition·budget)
-    // even when a hot host holds a huge frontier slice.
+    // emitted as they're evicted, so memory is O(slots_in_partition·budget)
+    // even when a hot slot holds a huge frontier slice. The flush walks the
+    // slot's priority order charging the budget per contract step 2.
     val obsDeq = org.apache.spark.sql.Observation()
     val deqOut0: Dataset[DeqOut] = enriched
-      .repartition($"fr.host")
+      .repartition($"meta.slot")
       .mapPartitions { it =>
-        final class HostAcc(val meta: HostMeta) {
-          val budget: Int =
-            math.max(hostBudget - (if (robotsObey && !meta.robotsKnown) 1 else 0), 0)
-          val pq = new java.util.PriorityQueue[FrontierRow](math.max(budget, 1),
-            (x: FrontierRow, y: FrontierRow) => if (lt(x, y)) 1 else -1) // head = worst
+        final class SlotAcc(var lastT: Long) {
+          val pq = new java.util.PriorityQueue[Enriched](hostBudget + 1,
+            (x: Enriched, y: Enriched) => if (lt(x.fr, y.fr)) 1 else -1) // head = worst
         }
-        val states = new java.util.HashMap[String, HostAcc]()
+        val states = new java.util.HashMap[String, SlotAcc]()
         val keptIter: Iterator[DeqOut] = it.flatMap { e =>
-          var st = states.get(e.fr.host)
-          if (st == null) { st = new HostAcc(e.meta); states.put(e.fr.host, st) }
-          if (st.budget == 0) Iterator.single(DeqOut(KKept, e.fr, 0L, -1))
-          else {
-            st.pq.offer(e.fr)
-            if (st.pq.size > st.budget) Iterator.single(DeqOut(KKept, st.pq.poll(), 0L, -1))
-            else Iterator.empty
-          }
+          var st = states.get(e.meta.slot)
+          if (st == null) { st = new SlotAcc(e.meta.lastT); states.put(e.meta.slot, st) }
+          st.pq.offer(e)
+          if (st.pq.size > hostBudget)
+            Iterator.single(DeqOut(KKept, st.pq.poll().fr, 0L, -1, e.meta.slot))
+          else Iterator.empty
         }
         def tailIter: Iterator[DeqOut] = { // evaluated after keptIter drains
           val out = scala.collection.mutable.ArrayBuffer.empty[DeqOut]
-          states.forEach { (host, st) =>
-            val meta = st.meta
-            val deq = new Array[FrontierRow](st.pq.size)
+          states.forEach { (slot, st) =>
+            val deq = new Array[Enriched](st.pq.size)
             var n = deq.length - 1
             while (n >= 0) { deq(n) = st.pq.poll(); n -= 1 } // worst→best, back→front
-            var t = math.max(meta.lastT + delayMs, epochStart)
-            val needRobots = robotsObey && !meta.robotsKnown
-            val rules =
-              if (!robotsObey) RobotsRules.AllowAll
+            var t = math.max(st.lastT + delayMs, epochStart)
+            var budgetLeft = hostBudget
+            var stopped = false
+            val robotsDone = scala.collection.mutable.HashSet.empty[String]
+            val rulesByHost = scala.collection.mutable.HashMap.empty[String, RobotsRules]
+            val hostIdx = scala.collection.mutable.HashMap.empty[String, Int]
+            for (e <- deq) {
+              if (stopped) out += DeqOut(KKept, e.fr, 0L, -1, slot)
               else {
-                val body = if (meta.robotsKnown) {
-                  if (meta.knownOk) meta.knownBody else null
-                } else meta.corpusBody
-                if (body == null) RobotsRules.AllowAll else RobotsRules.parse(body)
-              }
-            if (needRobots) {
-              val robotsUrl = s"http://$host/robots.txt"
-              val fp = UrlKit.fingerprint(robotsUrl)
-              out += DeqOut(KRobots,
-                FrontierRow(robotsUrl, fp, host, 1000, 0, isStart = false,
-                  epoch, -1L, -1, 0, 0, dontFilter = true), t, -1)
-              t += delayMs
-            }
-            var i = 0
-            for (row <- deq) {
-              if (robotsObey && !rules.allowed(row.url, robotsUA)) {
-                out += DeqOut(KForbidden, row, 0L, -1)
-              } else {
-                out += DeqOut(KFetch, row, t, i)
-                t += delayMs
-                i += 1
+                val host = e.fr.host
+                val rules = rulesByHost.getOrElseUpdate(host, {
+                  if (!robotsObey) RobotsRules.AllowAll
+                  else {
+                    val body = if (e.meta.robotsKnown) {
+                      if (e.meta.knownOk) e.meta.knownBody else null
+                    } else e.meta.corpusBody
+                    if (body == null) RobotsRules.AllowAll else RobotsRules.parse(body)
+                  }
+                })
+                // robots fetch charged once per host per epoch, before its
+                // first row — even when no page unit remains after it
+                if (robotsObey && !e.meta.robotsKnown && !robotsDone.contains(host) &&
+                    budgetLeft >= 1) {
+                  val robotsUrl = s"http://$host/robots.txt"
+                  val fp = UrlKit.fingerprint(robotsUrl)
+                  out += DeqOut(KRobots,
+                    FrontierRow(robotsUrl, fp, host, 1000, 0, isStart = false,
+                      epoch, -1L, -1, 0, 0, dontFilter = true), t, -1, slot)
+                  robotsDone += host
+                  t += delayMs
+                  budgetLeft -= 1
+                }
+                if (budgetLeft >= 1) {
+                  budgetLeft -= 1
+                  if (robotsObey && !rules.allowed(e.fr.url, robotsUA)) {
+                    out += DeqOut(KForbidden, e.fr, 0L, -1, slot)
+                  } else {
+                    val i = hostIdx.getOrElse(host, 0)
+                    out += DeqOut(KFetch, e.fr, t, i, slot)
+                    hostIdx(host) = i + 1
+                    t += delayMs
+                  }
+                } else {
+                  out += DeqOut(KKept, e.fr, 0L, -1, slot)
+                  stopped = true
+                }
               }
             }
           }
@@ -228,7 +257,8 @@ object CrawlEngine {
         spark.createDataset(
           toFetch.orderBy($"t", $"fr.host", $"hostIdx")
             .rdd.zipWithIndex()
-            .map { case (d, i) => FetchRow(d.fr, d.t, d.hostIdx, d.kind, baseSeq + i) })
+            .map { case (d, i) =>
+              FetchRow(d.fr, d.t, d.hostIdx, d.kind, baseSeq + i, d.slot) })
       } else {
         val fetchKeys = toFetch.map(d => (d.t, d.fr.host, d.hostIdx)).collect()
         java.util.Arrays.sort(fetchKeys, Ordering[(Long, String, Int)])
@@ -241,7 +271,8 @@ object CrawlEngine {
         seqBc = spark.sparkContext.broadcast(seqMap)
         val bc = seqBc
         toFetch.map(d =>
-          FetchRow(d.fr, d.t, d.hostIdx, d.kind, bc.value.get((d.t, d.fr.host, d.hostIdx))))
+          FetchRow(d.fr, d.t, d.hostIdx, d.kind,
+            bc.value.get((d.t, d.fr.host, d.hostIdx)), d.slot))
       }).persist()
     lap("dequeue+seqAssign")
 
@@ -505,7 +536,9 @@ object CrawlEngine {
     val seenDelta = survivors
       .select(hex($"fp").as("fpHex"), bucketUdf($"fp").as("bucket")).distinct()
 
-    val touched = fetches.toDF().groupBy($"fr.host".as("host"))
+    // politeness state is keyed by SLOT (host-state table's `host` column
+    // holds the slot id — equal to the host when perIpSlots is off)
+    val touched = fetches.toDF().groupBy($"slot".as("host"))
       .agg(max($"t").as("newLastT"))
     val newHostState = hostState.toDF()
       .join(touched, Seq("host"), "full_outer")

@@ -29,7 +29,8 @@ object Oracle {
       cfg: CrawlConfig,
       seeds: Seq[SeedRow],
       pages: Map[String, PageRow], // canonical url -> page
-      robots: Map[String, Option[Array[Byte]]]): Result = {
+      robots: Map[String, Option[Array[Byte]]],
+      dns: Map[String, String] = Map.empty): Result = { // host -> ip (resolver cache)
 
     val counters = mutable.Map.empty[String, Long].withDefaultValue(0L)
     def inc(k: String, by: Long = 1): Unit = counters(k) += by
@@ -37,7 +38,11 @@ object Oracle {
 
     val urlSeen = mutable.HashSet.empty[String]
     var frontier = Vector.empty[FrontierRow]
-    val hostLastT = mutable.Map.empty[String, Long].withDefaultValue(Long.MinValue)
+    // politeness state keyed by SLOT (contract step 1: host, or resolved IP
+    // under perIpSlots — hosts missing from dns fall back to host)
+    def slotOf(host: String): String =
+      if (cfg.perIpSlots) dns.getOrElse(host, host) else host
+    val slotLastT = mutable.Map.empty[String, Long].withDefaultValue(Long.MinValue)
     val robotsCache = mutable.Map.empty[String, RobotsRules]
     // per-host cookie jar (graft.operators.Cookies contract): header from the
     // epoch-start snapshot; Set-Cookie applied at epoch end in seq order
@@ -83,51 +88,60 @@ object Oracle {
     var stop = false
     while (frontier.nonEmpty && epoch < cfg.maxEpochs && !stop) {
       val epochStart = epoch.toLong * cfg.epochMs
-      val byHost = frontier.groupBy(_.host)
+      val bySlot = frontier.groupBy(r => slotOf(r.host))
       val epochFetches = mutable.ArrayBuffer.empty[(Long, String, Int, FrontierRow, Boolean)]
       // (virtualT, host, perHostIdx, row-or-robots, isRobots)
       var remaining = Vector.newBuilder[FrontierRow]
-      val dequeuedRows = mutable.ArrayBuffer.empty[(FrontierRow, String)] // with host
 
-      for ((host, rows) <- byHost.toSeq.sortBy(_._1)) {
-        val needsRobots = cfg.robotsObey && !robotsCache.contains(host)
-        val budget = cfg.hostBudget - (if (needsRobots) 1 else 0)
+      for ((slot, rows) <- bySlot.toSeq.sortBy(_._1)) {
         val sorted = rows.sortWith(dequeueLt)
-        val (deq, rest) = sorted.splitAt(math.max(budget, 0))
-        rest.foreach(remaining += _)
-        var t = math.max(hostLastT(host) + cfg.delayMs, epochStart)
-        if (needsRobots) {
-          val robotsUrl = s"http://$host/robots.txt"
-          val fp = UrlKit.fingerprint(robotsUrl)
-          val rules = robots.get(host).flatten match {
-            case Some(body) => RobotsRules.parse(body)
-            case None => RobotsRules.AllowAll // missing/errored → allow
+        var t = math.max(slotLastT(slot) + cfg.delayMs, epochStart)
+        var budgetLeft = cfg.hostBudget
+        var stopped = false
+        val hostIdx = mutable.Map.empty[String, Int].withDefaultValue(0)
+        for (row <- sorted) {
+          if (stopped) remaining += row
+          else {
+            val host = row.host
+            // robots fetch charged once per host per epoch, before its first
+            // row — even when no page unit remains after it (contract step 2)
+            if (cfg.robotsObey && !robotsCache.contains(host) && budgetLeft >= 1) {
+              val robotsUrl = s"http://$host/robots.txt"
+              val fp = UrlKit.fingerprint(robotsUrl)
+              val rules = robots.get(host).flatten match {
+                case Some(body) => RobotsRules.parse(body)
+                case None => RobotsRules.AllowAll // missing/errored → allow
+              }
+              robotsCache(host) = rules
+              inc("robotstxt/request_count")
+              val status = if (robots.get(host).flatten.isDefined) 200 else 599
+              epochFetches += ((t, host,
+                -1, FrontierRow(robotsUrl, fp, host, 1000, 0, isStart = false,
+                  dEpoch = epoch, dParent = -1, dLink = -1, 0, 0, dontFilter = true),
+                true))
+              inc(s"downloader/response_status_count/$status")
+              slotLastT(slot) = t
+              t += cfg.delayMs
+              budgetLeft -= 1
+            }
+            if (budgetLeft >= 1) {
+              budgetLeft -= 1
+              inc("scheduler/dequeued")
+              val rules = robotsCache.getOrElse(host, RobotsRules.AllowAll)
+              if (cfg.robotsObey && !rules.allowed(row.url, cfg.robotsUserAgent)) {
+                inc("robotstxt/forbidden")
+              } else {
+                epochFetches += ((t, host, hostIdx(host), row, false))
+                hostIdx(host) += 1
+                slotLastT(slot) = t
+                t += cfg.delayMs
+              }
+            } else {
+              remaining += row
+              stopped = true
+            }
           }
-          robotsCache(host) = rules
-          inc("robotstxt/request_count")
-          val status = if (robots.get(host).flatten.isDefined) 200 else 599
-          epochFetches += ((t, host,
-            -1, FrontierRow(robotsUrl, fp, host, 1000, 0, isStart = false,
-              dEpoch = epoch, dParent = -1, dLink = -1, 0, 0, dontFilter = true),
-            true))
-          inc(s"downloader/response_status_count/$status")
-          hostLastT(host) = t
-          t += cfg.delayMs
         }
-        val rules = robotsCache.getOrElse(host, RobotsRules.AllowAll)
-        var i = 0
-        for (row <- deq) {
-          inc("scheduler/dequeued")
-          if (cfg.robotsObey && !rules.allowed(row.url, cfg.robotsUserAgent)) {
-            inc("robotstxt/forbidden")
-          } else {
-            epochFetches += ((t, host, i, row, false))
-            hostLastT(host) = t
-            t += cfg.delayMs
-            i += 1
-          }
-        }
-        deq.foreach(r => dequeuedRows += ((r, host)))
       }
 
       // global order: (t, host, perHostIdx)

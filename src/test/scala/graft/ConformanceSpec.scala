@@ -30,7 +30,8 @@ class ConformanceSpec extends AnyFunSuite {
       .collect().toVector
 
     val pages = Corpus.allPages(spec).map(p => p.url -> p).toMap
-    val o = Oracle.run(cfg, Corpus.seeds(spec), pages, Corpus.allRobots(spec))
+    val o = Oracle.run(cfg, Corpus.seeds(spec), pages, Corpus.allRobots(spec),
+      Corpus.allDns(spec))
     val oracleLog = o.fetchLog.map(f =>
       (f.epoch, f.seq, f.host, f.url, UrlKit.toHex(f.fp), f.virtualTMs, f.status,
         f.isRobots, Option(f.referer), Option(f.cookies)))
@@ -88,6 +89,14 @@ class ConformanceSpec extends AnyFunSuite {
     // smaller ones decode — both paths must match the oracle exactly
     compare(Corpus.Small,
       CrawlConfig(maxEpochs = 8, downloadMaxSize = 400), "decomp-maxsize")
+  }
+
+  test("per-IP slots variant conforms (hosts sharing an IP share a budget)") {
+    // ~30% of corpus hosts resolve into a small shared IP pool; politeness
+    // budget/delay/virtual time then key by IP (CONCURRENT_REQUESTS_PER_IP
+    // analogue) — the walk, robots surcharges and cross-host interleaving
+    // must match the oracle exactly
+    compare(Corpus.Small, CrawlConfig(maxEpochs = 8, perIpSlots = true), "perip")
   }
 
   test("zero-delay + distributed seq assignment conforms byte-for-byte") {
