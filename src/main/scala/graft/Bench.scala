@@ -92,6 +92,12 @@ object Bench {
 
     // ---- 1) operator queries on the sf tables -----------------------------
     val spark = session(cpus)
+    // session warmup (codegen, parquet footer cache, executor spin-up) so the
+    // alphabetically-first query doesn't absorb one-time JVM costs
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    SparkEntry.queries.get("q_counter_agg").foreach { fn =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }

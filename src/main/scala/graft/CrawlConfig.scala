@@ -19,6 +19,14 @@ package graft
   *     Per-slot fetch budget per epoch:
   *     `budget = max(1, epochMs / max(delayMs,1))` capped at
   *     `maxPerHostPerEpoch`.
+  *  1b. Global epoch cap (`maxFetchesPerEpoch` > 0 — the BSP form of the
+  *     reference's min-active DownloaderAware pop, `scrapy/pqueues.py:
+  *     241-335`, + CONCURRENT_REQUESTS): per-slot budgets become the
+  *     max-min fair allocation of `cap` units — with
+  *     demand_s = min(frontierRows_s, budget), F = the largest integer
+  *     with Σ_s min(demand_s, F) ≤ cap; slots with demand > F then receive
+  *     one extra unit each in ascending slot order until the remainder is
+  *     exhausted. Budget units pay for robots fetches too (step 2).
   *  2. Dequeue order per slot (reference `scrapy/pqueues.py:143-198` +
   *     start-queue separation `:146-186`, LIFO default
   *     `default_settings.py:480-484`): sort by
@@ -122,6 +130,7 @@ final case class CrawlConfig(
     refererPolicy: String = "scrapy-default", // REFERRER_POLICY default policy
     metarefreshMaxDelay: Double = 100.0, // METAREFRESH_MAXDELAY (seconds)
     perIpSlots: Boolean = false, // CONCURRENT_REQUESTS_PER_IP analogue (step 1)
+    maxFetchesPerEpoch: Long = 0, // global epoch cap, 0 = off (step 1b)
     maxEpochs: Int = 1000,
     closespiderPageCount: Long = 0, // 0 = off
     /** Engine sizing knob, NOT part of the semantics contract (the oracle

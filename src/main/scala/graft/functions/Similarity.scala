@@ -25,89 +25,74 @@ object Similarity {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Deterministic farthest-point (maximin) centroid selection: start from
-    * the min-id vector, then repeatedly take the vector LEAST similar to any
-    * chosen centroid (ties by vec_id). Spreads centroids across the data's
-    * actual clusters — unlike first-N-by-id, which degenerates when ids
-    * correlate with clusters. Each step is one distributed top-1 scan
-    * (TakeOrderedAndProject — no full sort); only nLists 1-row results reach
-    * the driver. At 10^9 vectors, run the selection over a deterministic
-    * hash-sample (pmod(xxhash64(vec_id), S) = 0) — centroid quality needs a
-    * sample, not the corpus.
-    */
-  def maximinCentroids(spark: SparkSession, e: DataFrame, // vec_id, emb
-      nLists: Int): Seq[(Int, Array[Double])] = {
-    import spark.implicits._
-    val first = e.orderBy($"vec_id").limit(1)
-      .select($"emb").as[Seq[Double]].head().toArray
-    val chosen = scala.collection.mutable.ArrayBuffer[Array[Double]](first)
-    while (chosen.size < nLists) {
-      val cs = chosen.toArray
-      val maxSimUdf = udf((emb: Seq[Double]) => cs.map(c => cosine(emb, c)).max)
-      val next = e.select($"vec_id", $"emb", maxSimUdf($"emb").as("ms"))
-        .orderBy($"ms".asc, $"vec_id".asc).limit(1)
-        .select($"emb").as[Seq[Double]].head().toArray
-      chosen += next
-    }
-    chosen.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
-  }
-
-  /** Scaled-integer fixed point for centroid means: Long sums are
-    * order-independent (unlike float sums), so k-means refinement is
-    * deterministic under any partitioning — the engine's determinism
-    * invariant. 2^24 scale ≈ 6e-8 precision; 10^9 unit-range values per
-    * cluster stay far below Long overflow. */
-  private val MeanScale = (1L << 24).toDouble
-
-  private class MeanAgg extends org.apache.spark.sql.expressions.Aggregator[
-      Seq[Double], (Array[Long], Long), Seq[Double]] {
-    override def zero: (Array[Long], Long) = (Array.empty[Long], 0L)
-    override def reduce(b: (Array[Long], Long), emb: Seq[Double]): (Array[Long], Long) = {
-      val arr = if (b._1.isEmpty) new Array[Long](emb.length) else b._1
-      var i = 0
-      while (i < emb.length) { arr(i) += math.round(emb(i) * MeanScale); i += 1 }
-      (arr, b._2 + 1)
-    }
-    override def merge(a: (Array[Long], Long), b: (Array[Long], Long)): (Array[Long], Long) =
-      if (a._1.isEmpty) b
-      else if (b._1.isEmpty) a
-      else {
-        var i = 0
-        while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
-        (a._1, a._2 + b._2)
-      }
-    override def finish(r: (Array[Long], Long)): Seq[Double] =
-      if (r._2 == 0) Seq.empty else r._1.toSeq.map(v => v / MeanScale / r._2)
-    override def bufferEncoder = org.apache.spark.sql.Encoders.kryo[(Array[Long], Long)]
-    override def outputEncoder =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
-  }
-
-  /** Trained coarse quantizer: maximin init (well-spread, but outlier-
-    * biased) + deterministic Lloyd iterations pulling centroids to cluster
-    * means. Each iteration = one assignment aggregation + one mean
-    * aggregation; only nLists mean vectors reach the driver. Empty lists
-    * keep their previous centroid. */
+  /** Trained coarse quantizer over a deterministic hash-sample: maximin
+    * (farthest-point) init — well-spread, unlike first-N-by-id which
+    * degenerates when ids correlate with clusters — refined by Lloyd
+    * iterations toward cluster means. Training runs DRIVER-SIDE over a
+    * bounded sample (the standard quantizer recipe — faiss-style training
+    * on a sample, not the corpus): one count + one collect job regardless
+    * of nLists/iters, instead of an O(nLists + iters) chain of cluster
+    * jobs. The sample is `pmod(xxhash64(vec_id), S) = 0` — deterministic
+    * under any partitioning; datasets at or under `sampleCap` train on
+    * everything (so small-SF results are exact and reproducible). */
   def trainCentroids(spark: SparkSession, e: DataFrame, // vec_id, emb
-      nLists: Int, iters: Int = 3): Seq[(Int, Array[Double])] = {
+      nLists: Int, iters: Int = 3, sampleCap: Int = 2048): Seq[(Int, Array[Double])] = {
     import spark.implicits._
-    var cents = maximinCentroids(spark, e, nLists)
-    val meanUdaf = udaf(new MeanAgg, implicitly[org.apache.spark.sql.Encoder[Seq[Double]]])
+    val n = e.count()
+    val stride = math.max(n / math.max(sampleCap, nLists), 1L)
+    val sampled =
+      if (stride <= 1L) e
+      else {
+        val s = e.filter(pmod(xxhash64($"vec_id"), lit(stride)) === 0)
+        // pathological hash clumping could under-sample below nLists
+        if (s.limit(nLists).count() < nLists) e.orderBy($"vec_id").limit(sampleCap) else s
+      }
+    val sample = sampled.select($"vec_id", $"emb").as[(Long, Seq[Double])]
+      .collect().sortBy(_._1).map(_._2.toArray)
+    require(sample.nonEmpty, "cannot train a quantizer on an empty dataset")
+
+    // maximin init: start from the min-id vector, repeatedly take the
+    // sample vector least similar to any chosen centroid (ties by position)
+    val chosen = scala.collection.mutable.ArrayBuffer[Array[Double]](sample.head)
+    val maxSim = Array.fill(sample.length)(-2.0)
+    while (chosen.size < math.min(nLists, sample.length)) {
+      val newest = chosen.last
+      var argmin = 0; var best = Double.MaxValue
+      var i = 0
+      while (i < sample.length) {
+        val s = math.max(maxSim(i), cosine(sample(i), newest))
+        maxSim(i) = s
+        if (s < best) { best = s; argmin = i }
+        i += 1
+      }
+      chosen += sample(argmin)
+    }
+    while (chosen.size < nLists) chosen += chosen.head // degenerate tiny inputs
+
+    // Lloyd refinement over the sample (deterministic: fixed iteration
+    // order); empty clusters keep their previous centroid
+    var cents = chosen.toArray
     for (_ <- 1 to iters) {
-      val cdf = spark.createDataFrame(cents).toDF("list_id", "centroid")
-      val means = e.crossJoin(broadcast(cdf))
-        .withColumn("sim", cosExpr("emb", "centroid"))
-        .groupBy($"vec_id")
-        .agg(max_by($"list_id", struct($"sim", -$"list_id")).as("list_id"),
-          first($"emb").as("emb"))
-        .groupBy($"list_id")
-        .agg(meanUdaf($"emb").as("mean"))
-        .as[(Int, Seq[Double])].collect().toMap
-      cents = cents.map { case (lid, old) =>
-        (lid, means.get(lid).filter(_.nonEmpty).map(_.toArray).getOrElse(old))
+      val dim = cents(0).length
+      val sums = Array.fill(nLists)(new Array[Double](dim))
+      val counts = new Array[Long](nLists)
+      for (v <- sample) {
+        var bestL = 0; var bestS = -2.0
+        var l = 0
+        while (l < nLists) {
+          val s = cosine(v, cents(l))
+          if (s > bestS) { bestS = s; bestL = l }
+          l += 1
+        }
+        var d = 0
+        while (d < dim) { sums(bestL)(d) += v(d); d += 1 }
+        counts(bestL) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, l) =>
+        if (counts(l) == 0) old else sums(l).map(_ / counts(l))
       }
     }
-    cents
+    cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
   }
 
   /** IVF top-k. The quantizer is broadcast (nLists is small by design);

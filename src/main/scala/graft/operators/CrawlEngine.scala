@@ -42,7 +42,7 @@ object CrawlEngine {
       seq: Long, slot: String)
   final case class RobotsCacheRow(host: String, body: Array[Byte], ok: Boolean)
   final case class HostMeta(
-      host: String, slot: String, lastT: Long, robotsKnown: Boolean,
+      host: String, slot: String, lastT: Long, budget: Int, robotsKnown: Boolean,
       knownBody: Array[Byte], knownOk: Boolean,
       corpusBody: Array[Byte])
   final case class Enriched(fr: FrontierRow, meta: HostMeta)
@@ -73,6 +73,21 @@ object CrawlEngine {
       else if (x.dParent != y.dParent) x.dParent < y.dParent
       else x.dLink < y.dLink
     }
+  }
+
+  /** Peek (reference `scrapy/pqueues.py` peek / ScrapyPriorityQueue.peek):
+    * the request each politeness slot would serve next, WITHOUT dequeuing —
+    * a map-side-combined min_by per slot under the same comparator the
+    * dequeue uses (no window, no sort). `slotOf` defaults to host keying. */
+  def peek(spark: SparkSession, cfg: CrawlConfig,
+      frontier: Dataset[FrontierRow],
+      slotOf: FrontierRow => String = _.host): Dataset[FrontierRow] = {
+    import spark.implicits._
+    val lt = dequeueLt(cfg) _
+    frontier
+      .groupByKey(slotOf)
+      .reduceGroups((a: FrontierRow, b: FrontierRow) => if (lt(a, b)) a else b)
+      .map(_._2)
   }
 
   def runEpoch(
@@ -122,7 +137,43 @@ object CrawlEngine {
           .withColumn("slot", coalesce($"ip", $"host")) // dnscache.get(host, host)
           .drop("ip")
       else frontier.toDF().withColumn("slot", $"host")
-    val enriched = withSlot
+
+    // per-slot budgets: the static politeness budget, or — under the global
+    // epoch cap — its max-min fair allocation (contract step 1b: the BSP
+    // form of min-active DownloaderAware scheduling). F is found by a
+    // ≤log2(budget) binary search of tiny aggregations over the per-slot
+    // demand table; only the demand>F slots pass through one rank shuffle
+    // (#slots rows — far smaller than the frontier).
+    val staticBudget = cfg.hostBudget
+    val withBudget =
+      if (cfg.maxFetchesPerEpoch <= 0)
+        withSlot.withColumn("slotBudget", lit(staticBudget))
+      else {
+        val cap = cfg.maxFetchesPerEpoch
+        val demands = withSlot.groupBy($"slot")
+          .agg(least(count(lit(1)), lit(staticBudget.toLong)).as("demand"))
+          .persist()
+        def allocated(f: Int): Long =
+          demands.agg(sum(least($"demand", lit(f.toLong)))).head().getLong(0)
+        var lo = 0
+        var hi = staticBudget
+        while (lo < hi) { // largest F with Σ min(demand, F) <= cap
+          val mid = (lo + hi + 1) / 2
+          if (allocated(mid) <= cap) lo = mid else hi = mid - 1
+        }
+        val fShare = lo
+        val remainder = cap - (if (fShare == 0) 0L else allocated(fShare))
+        val wSlots = Window.orderBy($"slot")
+        val extras = demands.filter($"demand" > fShare)
+          .withColumn("rk", row_number().over(wSlots))
+          .select($"slot",
+            (lit(fShare) + when($"rk" <= remainder, 1).otherwise(0)).as("slotBudget"))
+        withSlot.join(extras, Seq("slot"), "left")
+          // absent slot ⇒ demand ≤ F ⇒ fully satisfied by F units
+          .withColumn("slotBudget", coalesce($"slotBudget", lit(fShare)))
+      }
+
+    val enriched = withBudget
       .join(hostState.toDF().select($"host".as("slot"), $"lastTMs".as("lastT")),
         Seq("slot"), "left")
       .join(robotsCache.toDF().select($"host", $"body".as("knownBody"),
@@ -132,6 +183,7 @@ object CrawlEngine {
         struct(frCols.map(col): _*).as("fr"),
         struct($"host", $"slot",
           coalesce($"lastT", lit(Long.MinValue / 2)).as("lastT"),
+          $"slotBudget".cast("int").as("budget"),
           coalesce($"robotsKnown", lit(false)).as("robotsKnown"),
           $"knownBody", coalesce($"knownOk", lit(false)).as("knownOk"),
           $"corpusBody").as("meta"))
@@ -156,18 +208,24 @@ object CrawlEngine {
     val deqOut0: Dataset[DeqOut] = enriched
       .repartition($"meta.slot")
       .mapPartitions { it =>
-        final class SlotAcc(var lastT: Long) {
-          val pq = new java.util.PriorityQueue[Enriched](hostBudget + 1,
+        final class SlotAcc(var lastT: Long, val budget: Int) {
+          val pq = new java.util.PriorityQueue[Enriched](budget + 1,
             (x: Enriched, y: Enriched) => if (lt(x.fr, y.fr)) 1 else -1) // head = worst
         }
         val states = new java.util.HashMap[String, SlotAcc]()
         val keptIter: Iterator[DeqOut] = it.flatMap { e =>
           var st = states.get(e.meta.slot)
-          if (st == null) { st = new SlotAcc(e.meta.lastT); states.put(e.meta.slot, st) }
-          st.pq.offer(e)
-          if (st.pq.size > hostBudget)
-            Iterator.single(DeqOut(KKept, st.pq.poll().fr, 0L, -1, e.meta.slot))
-          else Iterator.empty
+          if (st == null) {
+            st = new SlotAcc(e.meta.lastT, e.meta.budget)
+            states.put(e.meta.slot, st)
+          }
+          if (st.budget == 0) Iterator.single(DeqOut(KKept, e.fr, 0L, -1, e.meta.slot))
+          else {
+            st.pq.offer(e)
+            if (st.pq.size > st.budget)
+              Iterator.single(DeqOut(KKept, st.pq.poll().fr, 0L, -1, e.meta.slot))
+            else Iterator.empty
+          }
         }
         def tailIter: Iterator[DeqOut] = { // evaluated after keptIter drains
           val out = scala.collection.mutable.ArrayBuffer.empty[DeqOut]
@@ -176,7 +234,7 @@ object CrawlEngine {
             var n = deq.length - 1
             while (n >= 0) { deq(n) = st.pq.poll(); n -= 1 } // worst→best, back→front
             var t = math.max(st.lastT + delayMs, epochStart)
-            var budgetLeft = hostBudget
+            var budgetLeft = st.budget
             var stopped = false
             val robotsDone = scala.collection.mutable.HashSet.empty[String]
             val rulesByHost = scala.collection.mutable.HashMap.empty[String, RobotsRules]

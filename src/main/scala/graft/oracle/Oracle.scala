@@ -93,10 +93,35 @@ object Oracle {
       // (virtualT, host, perHostIdx, row-or-robots, isRobots)
       var remaining = Vector.newBuilder[FrontierRow]
 
+      // per-slot budgets (contract step 1b): static, or the max-min fair
+      // allocation of the global epoch cap — mirrors CrawlEngine exactly
+      val budgetOf: String => Int =
+        if (cfg.maxFetchesPerEpoch <= 0) _ => cfg.hostBudget
+        else {
+          val cap = cfg.maxFetchesPerEpoch
+          val demand = bySlot.view
+            .mapValues(rows => math.min(rows.size, cfg.hostBudget)).toMap
+          def allocated(f: Int): Long =
+            demand.valuesIterator.map(d => math.min(d, f).toLong).sum
+          var lo = 0
+          var hi = cfg.hostBudget
+          while (lo < hi) {
+            val mid = (lo + hi + 1) / 2
+            if (allocated(mid) <= cap) lo = mid else hi = mid - 1
+          }
+          val f = lo
+          var rem = cap - (if (f == 0) 0L else allocated(f))
+          val extra = mutable.Map.empty[String, Int]
+          for (slot <- demand.keys.toSeq.sorted if demand(slot) > f) {
+            if (rem > 0) { extra(slot) = 1; rem -= 1 }
+          }
+          s => f + extra.getOrElse(s, 0)
+        }
+
       for ((slot, rows) <- bySlot.toSeq.sortBy(_._1)) {
         val sorted = rows.sortWith(dequeueLt)
         var t = math.max(slotLastT(slot) + cfg.delayMs, epochStart)
-        var budgetLeft = cfg.hostBudget
+        var budgetLeft = budgetOf(slot)
         var stopped = false
         val hostIdx = mutable.Map.empty[String, Int].withDefaultValue(0)
         for (row <- sorted) {

@@ -91,6 +91,13 @@ class ConformanceSpec extends AnyFunSuite {
       CrawlConfig(maxEpochs = 8, downloadMaxSize = 400), "decomp-maxsize")
   }
 
+  test("global epoch cap variant conforms (max-min fair slot allocation)") {
+    // cap well below total demand → F-share + remainder distribution kicks
+    // in every epoch; allocation, walk and counters must match the oracle
+    compare(Corpus.Small,
+      CrawlConfig(maxEpochs = 10, maxFetchesPerEpoch = 120), "fairshare")
+  }
+
   test("per-IP slots variant conforms (hosts sharing an IP share a budget)") {
     // ~30% of corpus hosts resolve into a small shared IP pool; politeness
     // budget/delay/virtual time then key by IP (CONCURRENT_REQUESTS_PER_IP

@@ -134,6 +134,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- peek ------------------------------------------------------------------
+  test("peek returns each slot's next request under the dequeue comparator") {
+    import spark.implicits._
+    def fr(url: String, host: String, prio: Int, dEpoch: Int, dParent: Long, dLink: Int) =
+      FrontierRow(url, Array[Byte](1), host, prio, 0, isStart = false,
+        dEpoch, dParent, dLink, 0, 0, dontFilter = false)
+    val frontier = Seq(
+      fr("http://a.test/low", "a.test", 0, 1, 1L, 0),
+      fr("http://a.test/hi", "a.test", 5, 2, 9L, 3), // priority wins
+      fr("http://b.test/old", "b.test", 0, 1, 4L, 0),
+      fr("http://b.test/new", "b.test", 0, 3, 7L, 1) // LIFO: newest discovery
+    ).toDS()
+    val peeked = graft.operators.CrawlEngine
+      .peek(spark, CrawlConfig(), frontier)
+      .collect().map(r => r.host -> r.url).toMap
+    assert(peeked === Map(
+      "a.test" -> "http://a.test/hi",
+      "b.test" -> "http://b.test/new"))
+    // FIFO variant flips the tie-break
+    val fifo = graft.operators.CrawlEngine
+      .peek(spark, CrawlConfig(queueOrder = "fifo"), frontier)
+      .collect().map(r => r.host -> r.url).toMap
+    assert(fifo("b.test") === "http://b.test/old")
+  }
+
   // ---- sitemap --------------------------------------------------------------
   test("sitemap: urlset, index recursion, gzip, robots discovery") {
     val urlset =
