@@ -79,6 +79,10 @@ object Bench {
       .filter(_.nonEmpty)
       .map { kv => val Array(f, s) = kv.split(":"); (f.toLong, s.toDouble) }
     val total = stats.map(_._1).sum
+    // snapshots are only needed for the measurement — reclaim the space
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+      .toSeq.reverse.foreach(f => java.nio.file.Files.deleteIfExists(f))
     // steady-state throughput: drop warm-up epochs (JIT, cache fill, ramp-up)
     val steady = stats.drop(warmupEpochs)
     (steady.map(_._1).sum / steady.map(_._2).sum, total)
@@ -125,6 +129,14 @@ object Bench {
     val (thrN, fetchesN) = crawlThroughput(n, corpusDir, benchEpochs, warmup)
     val (thr4N, fetches4N) = crawlThroughput(4 * n, corpusDir, benchEpochs, warmup)
     val efficiency = thr4N / (4.0 * thrN)
+    // a bench corpus is multiple GB — repeated rounds must not fill /tmp
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    rmTree(java.nio.file.Paths.get(corpusDir))
     require(fetchesN == fetches4N,
       s"parallelism changed the crawl! $fetchesN vs $fetches4N") // determinism guard
 
