@@ -27,14 +27,22 @@ object CrawlMain {
     case "small" :: Nil => Corpus.Small
     case "bench" :: Nil => Corpus.bench()
     case "bench" :: n :: Nil => Corpus.bench(n.toInt)
+    // frontier-scale spec: pages spread over ~2/3 as many hosts (most hosts
+    // hold 1-2 pages — the broad-crawl shape where the fetch batch is huge
+    // and the distributed seq-assign path matters)
+    case "wide" :: n :: rest if rest.size <= 1 =>
+      CorpusSpec(nHosts = math.max(1000, (n.toInt * 2) / 3), totalPages = n.toInt,
+        hotHostShare = 0.02,
+        seedCount = rest.headOption.map(_.toInt).getOrElse(math.max(500, n.toInt / 50)))
     case other => sys.error(s"unknown corpus spec $other")
   }
 
   def main(args: Array[String]): Unit = args.toList match {
-    case "gen" :: name :: dir :: Nil =>
+    case "gen" :: name :: dir :: rest =>
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")
-      CorpusWriter.writeAll(spark, specOf(name), dir)
+      CorpusWriter.writeAll(spark, specOf(name), dir,
+        withImages = rest.headOption.forall(_ != "img=0"))
       println(s"corpus $name written to $dir")
       spark.stop()
 
@@ -47,7 +55,8 @@ object CrawlMain {
       val cfg = CrawlConfig(
         delayMs = sys.env.getOrElse("GRAFT_DELAY_MS", "100").toLong,
         epochMs = sys.env.getOrElse("GRAFT_EPOCH_MS", "1000").toLong,
-        maxPerHostPerEpoch = sys.env.getOrElse("GRAFT_PER_HOST", "16").toInt)
+        maxPerHostPerEpoch = sys.env.getOrElse("GRAFT_PER_HOST", "16").toInt,
+        seqCollectMax = sys.env.getOrElse("GRAFT_SEQ_COLLECT_MAX", "2000000").toLong)
       val t0 = System.nanoTime()
       val res = CrawlDriver.run(spark, cfg, corpusDir, root,
         withMedia = withMedia, maxEpochsOverride = maxEpochs)

@@ -34,9 +34,19 @@ final case class CorpusSpec(
     }
   }
   def hostName(k: Int): String = s"h$k.test"
+
+  // prefix offsets memoized once (recomputed per executor after
+  // deserialization — O(nHosts), trivial): pageGlobalIdx must be O(1) or a
+  // 10^6-host corpus generation goes quadratic
+  @transient private lazy val hostOffsets: Array[Int] = {
+    val off = new Array[Int](nHosts + 1)
+    var k = 0
+    while (k < nHosts) { off(k + 1) = off(k) + pagesOnHost(k); k += 1 }
+    off
+  }
+
   /** Global page index of (host k, page j) — image FK + PRNG stream id. */
-  def pageGlobalIdx(k: Int, j: Int): Int =
-    (0 until k).map(pagesOnHost).sum + j
+  def pageGlobalIdx(k: Int, j: Int): Int = hostOffsets(k) + j
 }
 
 object Corpus {

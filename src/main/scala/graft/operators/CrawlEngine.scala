@@ -209,7 +209,11 @@ object CrawlEngine {
       .repartition($"meta.slot")
       .mapPartitions { it =>
         final class SlotAcc(var lastT: Long, val budget: Int) {
-          val pq = new java.util.PriorityQueue[Enriched](budget + 1,
+          // start SMALL and grow: pre-allocating `budget` slots (e.g. 5000)
+          // per PQ is O(slots × budget) memory — at 10^6 one-page hosts that
+          // is gigabytes for queues holding one row each
+          val pq = new java.util.PriorityQueue[Enriched](
+            math.min(budget, 16) + 1,
             (x: Enriched, y: Enriched) => if (lt(x.fr, y.fr)) 1 else -1) // head = worst
         }
         val states = new java.util.HashMap[String, SlotAcc]()

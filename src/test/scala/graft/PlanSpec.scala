@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape gates: the properties the 100 TB story depends on
+  * must hold in the ACTUAL Catalyst plans, not just in prose — predicate
+  * pushdown reaching the parquet scan, column pruning, broadcast joins for
+  * dimension tables, map-side partial aggregation, and no cartesian product
+  * where an equi-join is intended. A regression here is a performance bug
+  * even while results stay correct. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("filters push down to the parquet scan and columns are pruned") {
+    val p = plan("q_httperror_filter")
+    assert(p.contains("PushedFilters:") &&
+      p.matches("(?s).*PushedFilters: \\[[^\\]]*event_type[^\\]]*\\].*"),
+      s"expected event_type in PushedFilters:\n$p")
+    // projection needs only 3 of the events columns
+    assert(!p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string,ts:timestamp,value:double>"),
+      "scan must not read all columns for a 1-column projection")
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side for dims)") {
+    val p = plan("q_broadcast_dim_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"nation/region joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("counter aggregation is map-side partial (two-phase HashAggregate)") {
+    val p = plan("q_counter_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial + final HashAggregate:\n$p")
+  }
+
+  test("first-wins dedup via struct-min aggregation has no window sort in the engine form") {
+    // the ENGINE's first-wins is a groupBy(min(struct)) — pin the aggregate
+    // shape on an equivalent mini-plan (q_first_wins_dedup intentionally
+    // demonstrates the window form for the DuckDB oracle)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, 2, "a"), (1, 1, "b")).toDF("k", "ord", "v")
+      .groupBy($"k").agg(min(struct($"ord", $"v")).as("r"))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), s"struct-min must not plan a window:\n$p")
+    assert(p.contains("Aggregate") || p.contains("HashAggregate") ||
+      p.contains("SortAggregate"))
+  }
+
+  test("anti-join dedup keeps an equi-join (no cartesian) and prunes the seen side") {
+    val p = plan("q_dupefilter_anti_join")
+    assert(p.contains("LeftAnti"), s"expected LEFT ANTI join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("embedding near-dup argmax is an aggregate, not a window over the join") {
+    val p = plan("q_embedding_neardup")
+    assert(!p.contains("Window"),
+      s"nearest-neighbor argmax must be max_by aggregation, not a window:\n$p")
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r.findAllIn(p).nonEmpty)
+  }
+}
