@@ -30,10 +30,14 @@ class ResumeSpec extends AnyFunSuite {
     assert(a.manifest.snapshotId === b.manifest.snapshotId)
     assert(a.manifest.pageFetches === b.manifest.pageFetches)
     assert(a.manifest.counters === b.manifest.counters)
+    // full row incl. Referer/Cookie headers: pins that the cookie jar and
+    // referer state survive the kill/resume boundary exactly
     val logA = CrawlDriver.fetchLog(spark, a.manifest)
-      .select($"seq", $"url", $"virtualTMs", $"status").as[(Long, String, Long, Int)].collect().toSeq
+      .select($"seq", $"url", $"virtualTMs", $"status", $"referer", $"cookies")
+      .as[(Long, String, Long, Int, Option[String], Option[String])].collect().toSeq
     val logB = CrawlDriver.fetchLog(spark, b.manifest)
-      .select($"seq", $"url", $"virtualTMs", $"status").as[(Long, String, Long, Int)].collect().toSeq
+      .select($"seq", $"url", $"virtualTMs", $"status", $"referer", $"cookies")
+      .as[(Long, String, Long, Int, Option[String], Option[String])].collect().toSeq
     assert(logA === logB)
     val seenA = CrawlDriver.readSeen(spark, a.manifest.seenDirs)
       .select("fpHex").as[String].collect().toSet
