@@ -116,33 +116,45 @@ object Bench {
       f"""{"metric":"queries_total","value":$queriesSecs%.1f,"unit":"sec","queries":$qs0,"sf":"$sfDir","note":"preliminary - crawl phase follows"}""")
     Console.flush()
 
-    // ---- 2) crawl scaling: N vs 4N cores on the same corpus ---------------
+    // ---- 2) crawl scaling: N vs 4N cores, trap-full AND trap-free ----------
+    // The A/B pair disambiguates corpus weight from code speed (BASELINE.md):
+    // same engine, same politeness budget, one corpus with the full
+    // compression/meta-refresh/cookie/referer trap mix (the production
+    // shape) and one round-1-shaped corpus without them (equal-work
+    // baseline against the round-1/round-2 numbers).
+    val benchSpec = CrawlMain.specOf(s"bench:$benchPages")
     val corpusDir = java.nio.file.Files.createTempDirectory("bench-corpus").toString
-    CorpusWriter.writeAll(spark, CrawlMain.specOf(s"bench:$benchPages"),
-      corpusDir, withImages = true)
+    CorpusWriter.writeAll(spark, benchSpec, corpusDir, withImages = true)
+    val corpusDirNT = java.nio.file.Files.createTempDirectory("bench-corpus-nt").toString
+    CorpusWriter.writeAll(spark, benchSpec.copy(richTraps = false),
+      corpusDirNT, withImages = true)
     spark.stop()
 
     val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "2").toInt
     // two "cluster sizes": local[N] vs local[4N] (BASELINE.md; N=2 default
     // keeps the 4N run inside the box while epochs stay CPU-dominated)
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES_N", "2").toInt
-    val (thrN, fetchesN) = crawlThroughput(n, corpusDir, benchEpochs, warmup)
-    val (thr4N, fetches4N) = crawlThroughput(4 * n, corpusDir, benchEpochs, warmup)
-    val efficiency = thr4N / (4.0 * thrN)
-    // a bench corpus is multiple GB — repeated rounds must not fill /tmp
     def rmTree(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
       if (java.nio.file.Files.exists(p))
         java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
           .foreach(f => java.nio.file.Files.deleteIfExists(f))
     }
-    rmTree(java.nio.file.Paths.get(corpusDir))
-    require(fetchesN == fetches4N,
-      s"parallelism changed the crawl! $fetchesN vs $fetches4N") // determinism guard
+    def pair(dir: String): (Double, Double, Long, Double) = {
+      val (thrN, fetchesN) = crawlThroughput(n, dir, benchEpochs, warmup)
+      val (thr4N, fetches4N) = crawlThroughput(4 * n, dir, benchEpochs, warmup)
+      require(fetchesN == fetches4N,
+        s"parallelism changed the crawl! $fetchesN vs $fetches4N") // determinism guard
+      // a bench corpus is multiple GB — repeated rounds must not fill /tmp
+      rmTree(java.nio.file.Paths.get(dir))
+      (thrN, thr4N, fetches4N, thr4N / (4.0 * thrN))
+    }
+    val (thrN, thr4N, fetches, efficiency) = pair(corpusDir)
+    val (ntThrN, ntThr4N, ntFetches, ntEfficiency) = pair(corpusDirNT)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"crawl_urls_per_sec","value":$thr4N%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","queries_total_sec":$queriesSecs%.1f,"crawl":{"pages":$benchPages,"epochs":$benchEpochs,"fetches":$fetches4N,"throughput_n":$thrN%.1f,"throughput_4n":$thr4N%.1f,"cores_n":$n,"cores_4n":${4 * n},"scaling_efficiency":$efficiency%.3f}}""")
+      f"""{"metric":"crawl_urls_per_sec","value":$thr4N%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","queries_total_sec":$queriesSecs%.1f,"crawl":{"pages":$benchPages,"epochs":$benchEpochs,"fetches":$fetches,"throughput_n":$thrN%.1f,"throughput_4n":$thr4N%.1f,"cores_n":$n,"cores_4n":${4 * n},"scaling_efficiency":$efficiency%.3f},"crawl_ab_noTraps":{"pages":$benchPages,"epochs":$benchEpochs,"fetches":$ntFetches,"throughput_n":$ntThrN%.1f,"throughput_4n":$ntThr4N%.1f,"cores_n":$n,"cores_4n":${4 * n},"scaling_efficiency":$ntEfficiency%.3f}}""")
   }
 }

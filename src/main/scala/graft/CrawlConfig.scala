@@ -19,11 +19,34 @@ package graft
   *     Per-slot fetch budget per epoch:
   *     `budget = max(1, epochMs / max(delayMs,1))` capped at
   *     `maxPerHostPerEpoch`.
+  *  1a. Per-slot delay and cap (DOWNLOAD_SLOTS + AutoThrottle,
+  *     `scrapy/core/downloader/__init__.py:131-166`,
+  *     `scrapy/extensions/throttle.py:62-140`): each slot's delay for the
+  *     epoch is resolved AT EPOCH START and stays fixed through the epoch
+  *     (BSP visibility, like cookies):
+  *       delay_s = slotOverrides(s).delayMs            if set and no stored
+  *                                                     adaptive delay yet
+  *               | storedDelay_s                       if autothrottle and the
+  *                                                     slot has state
+  *               | max(delayMs, autothrottleStartDelayMs)  if autothrottle
+  *                                                     (reference _start_delay)
+  *               | delayMs                             otherwise
+  *     cap_s = slotOverrides(s).maxPerEpoch | maxPerHostPerEpoch, and the
+  *     slot's politeness budget becomes
+  *     `budget_s = min(max(1, epochMs / max(delay_s, 1)), cap_s)`.
+  *     When autothrottle is on, the slot's stored delay is updated at EPOCH
+  *     END by replaying the epoch's page responses (only fetches that found
+  *     a corpus page and did not time out carry a latency) in global seq
+  *     order through the reference's `_adjust_delay`
+  *     (`throttle.py:104-140`): target = latency/targetConcurrency;
+  *     next = max(target, (old+target)/2) clamped to
+  *     [delayMs, autothrottleMaxDelayMs]; a non-200 response never lowers
+  *     the delay. The updated delay takes effect next epoch.
   *  1b. Global epoch cap (`maxFetchesPerEpoch` > 0 — the BSP form of the
   *     reference's min-active DownloaderAware pop, `scrapy/pqueues.py:
   *     241-335`, + CONCURRENT_REQUESTS): per-slot budgets become the
   *     max-min fair allocation of `cap` units — with
-  *     demand_s = min(frontierRows_s, budget), F = the largest integer
+  *     demand_s = min(frontierRows_s, budget_s), F = the largest integer
   *     with Σ_s min(demand_s, F) ≤ cap; slots with demand > F then receive
   *     one extra unit each in ascending slot order until the remainder is
   *     exhausted. Budget units pay for robots fetches too (step 2).
@@ -47,13 +70,32 @@ package graft
   *     `robotstxt/forbidden`; their fp stays in url_seen — the reference
   *     inserts into url_seen at schedule time, before robots runs,
   *     SURVEY.md §2.7). They do not consume a politeness slot.
-  *  4. Virtual fetch times per SLOT: t_0 = max(lastT_s + delayMs, epochStart),
-  *     t_{i+1} = t_i + delayMs; lastT_s := t_last. A pending robots fetch
-  *     takes its host's first position in the slot's sequence.
+  *  4. Virtual fetch times per SLOT: t_0 = max(lastT_s + delay_s, epochStart),
+  *     t_{i+1} = t_i + delay_s; lastT_s := t_last (delay_s from step 1a — equal
+  *     to delayMs when no override/autothrottle applies). A pending robots
+  *     fetch takes its host's first position in the slot's sequence.
   *  5. Global fetch-log order within the epoch: (virtualT ASC, host ASC,
   *     per-host index ASC); `seq` continues across epochs.
   *  6. Fetch = corpus lookup by sanitized URL (unknown → 404). Status counts
   *     recorded as `downloader/response_status_count/<n>`.
+  *  6a. Request headers recorded per fetch (part of the byte compare):
+  *     User-Agent = cfg.userAgent on every fetch (`downloadermiddlewares/
+  *     useragent.py:1-39` + `defaultheaders.py`); Authorization = Basic
+  *     base64(user:pass) when httpUser/httpPass are set and the host is
+  *     httpAuthDomain or a subdomain (null domain = every host, the
+  *     reference's legacy mode; `httpauth.py:36-53`); proxy = the
+  *     cfg.proxies entry for the request's scheme unless the host matches a
+  *     noProxy suffix (`httpproxy.py:45-106` env-proxy semantics). Robots
+  *     fetches are ordinary downloads and carry all three.
+  *  6c. Download timeout (`downloadtimeout.py:1-41` + the handlers'
+  *     TimeoutError path): a corpus page whose latencyMs ≥ downloadTimeoutMs
+  *     (0 = off) produces NO response — fetch-log status 599, counters
+  *     `downloader/exception_count` and `downloader/exception_type_count/
+  *     twisted.internet.error.TimeoutError` instead of a response_status
+  *     count, no Set-Cookie/body/delay-adjust effects — and the request is
+  *     retried exactly like a retryable status (priority-1, retryTimes+1,
+  *     dontFilter, dLink=-2; `retry.py` EXCEPTIONS_TO_RETRY) until
+  *     retryTimes, then `retry/max_reached`.
   *  6b. Response decompression (`downloadermiddlewares/httpcompression.py:
   *     112-165`): a response carrying a Content-Encoding header is decoded
   *     rightmost-coding-first (gzip/x-gzip/deflate; unknown codings stop the
@@ -119,6 +161,9 @@ final case class CrawlConfig(
     depthPriority: Int = 0, // DEPTH_PRIORITY (1 → BFO)
     queueOrder: String = "lifo", // "lifo" (DFO, default) | "fifo" (BFO)
     robotsObey: Boolean = true, // north-rule runs enable it
+    // ROBOTSTXT_USER_AGENT: the UA robots rules are matched against; null/""
+    // falls back to userAgent (the request's UA), mirroring
+    // `downloadermiddlewares/robotstxt.py:64-80`
     robotsUserAgent: String = "graftbot",
     retryTimes: Int = 2, // RETRY_TIMES
     maxRedirectTimes: Int = 20, // REDIRECT_MAX_TIMES
@@ -131,6 +176,18 @@ final case class CrawlConfig(
     metarefreshMaxDelay: Double = 100.0, // METAREFRESH_MAXDELAY (seconds)
     perIpSlots: Boolean = false, // CONCURRENT_REQUESTS_PER_IP analogue (step 1)
     maxFetchesPerEpoch: Long = 0, // global epoch cap, 0 = off (step 1b)
+    userAgent: String = "graft/1.0 (+local)", // USER_AGENT analogue (step 6a)
+    httpUser: String = null, // HttpAuthMiddleware http_user (step 6a)
+    httpPass: String = null, // HttpAuthMiddleware http_pass
+    httpAuthDomain: String = null, // http_auth_domain; null = all hosts (legacy)
+    proxies: Map[String, String] = Map.empty, // scheme -> proxy URL (step 6a)
+    noProxy: Seq[String] = Nil, // NO_PROXY host suffixes (proxy_bypass analogue)
+    downloadTimeoutMs: Long = 180000, // DOWNLOAD_TIMEOUT (step 6c); 0 = off
+    slotOverrides: Map[String, SlotOverride] = Map.empty, // DOWNLOAD_SLOTS (step 1a)
+    autothrottle: Boolean = false, // AUTOTHROTTLE_ENABLED (step 1a)
+    autothrottleStartDelayMs: Long = 5000, // AUTOTHROTTLE_START_DELAY
+    autothrottleMaxDelayMs: Long = 60000, // AUTOTHROTTLE_MAX_DELAY
+    autothrottleTargetConcurrency: Double = 1.0, // AUTOTHROTTLE_TARGET_CONCURRENCY
     maxEpochs: Int = 1000,
     closespiderPageCount: Long = 0, // 0 = off
     /** Engine sizing knob, NOT part of the semantics contract (the oracle
@@ -148,9 +205,76 @@ final case class CrawlConfig(
     allowedDomains.isEmpty ||
       allowedDomains.exists(d => host == d || host.endsWith("." + d))
   require(queueOrder == "lifo" || queueOrder == "fifo", s"bad queueOrder $queueOrder")
-  def hostBudget: Int =
-    math.min(math.max(1L, epochMs / math.max(delayMs, 1L)), maxPerHostPerEpoch.toLong).toInt
+
+  /** Budget at delay `delay` under per-epoch cap `cap` (contract step 1a). */
+  def budgetFor(delay: Long, cap: Int): Int =
+    math.min(math.max(1L, epochMs / math.max(delay, 1L)), cap.toLong).toInt
+
+  /** Default budget (no override, no adaptive delay) — step 1's formula. */
+  def hostBudget: Int = budgetFor(delayMs, maxPerHostPerEpoch)
+
+  /** Slot's configured (non-adaptive) delay: DOWNLOAD_SLOTS override or the
+    * global DOWNLOAD_DELAY (contract step 1a). */
+  def baseDelayOf(slot: String): Long =
+    slotOverrides.get(slot).flatMap(_.delayMs).getOrElse(delayMs)
+
+  /** Slot's per-epoch fetch cap: DOWNLOAD_SLOTS concurrency override or the
+    * global maxPerHostPerEpoch. */
+  def slotCapOf(slot: String): Int =
+    slotOverrides.get(slot).flatMap(_.maxPerEpoch).getOrElse(maxPerHostPerEpoch)
+
+  /** The slot's delay for an epoch, from its stored adaptive delay
+    * (-1 = none) — contract step 1a; shared by engine and oracle. */
+  def resolveSlotDelay(slot: String, storedDelayMs: Long): Long =
+    if (!autothrottle) baseDelayOf(slot)
+    else if (storedDelayMs >= 0) storedDelayMs
+    else slotOverrides.get(slot).flatMap(_.delayMs)
+      .getOrElse(math.max(delayMs, autothrottleStartDelayMs))
+
+  /** Politeness budget of a slot for an epoch (steps 1a + 1). */
+  def slotBudgetOf(slot: String, storedDelayMs: Long): Int =
+    budgetFor(resolveSlotDelay(slot, storedDelayMs), slotCapOf(slot))
+
+  /** Upper bound on any slot's budget under this config — the fair-share
+    * histogram/binary-search ceiling (budget_s ≤ cap_s always). */
+  def maxSlotBudget: Int =
+    (maxPerHostPerEpoch +: slotOverrides.valuesIterator.flatMap(_.maxPerEpoch).toSeq).max
+
+  /** Authorization header for a host (`httpauth.py:36-53`; w3lib
+    * basic_auth_header, ISO-8859-1 credentials), or null. */
+  def authorizationFor(host: String): String = {
+    val hasCreds = (httpUser != null && httpUser.nonEmpty) ||
+      (httpPass != null && httpPass.nonEmpty)
+    if (!hasCreds) null
+    else if (httpAuthDomain == null || host == httpAuthDomain ||
+        host.endsWith("." + httpAuthDomain)) {
+      val u = Option(httpUser).getOrElse("")
+      val p = Option(httpPass).getOrElse("")
+      "Basic " + java.util.Base64.getEncoder.encodeToString(
+        s"$u:$p".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    } else null
+  }
+
+  /** Proxy for a request (`httpproxy.py:45-106` env-proxy semantics:
+    * per-scheme proxy unless the host matches a no-proxy suffix), or null. */
+  def proxyFor(scheme: String, host: String): String =
+    if (noProxy.exists(s => host == s || host.endsWith("." + s))) null
+    else proxies.getOrElse(scheme, null)
+
+  /** UA robots rules are matched against: ROBOTSTXT_USER_AGENT, falling back
+    * to the request's User-Agent (`robotstxt.py:64-80`). */
+  def effectiveRobotsUserAgent: String =
+    if (robotsUserAgent == null || robotsUserAgent.isEmpty) userAgent
+    else robotsUserAgent
 }
+
+/** One DOWNLOAD_SLOTS entry (`scrapy/core/downloader/__init__.py:131-166`):
+  * per-slot delay and/or per-epoch fetch-cap override; None = inherit the
+  * global setting. Keyed by the politeness slot id (host, or IP under
+  * perIpSlots). */
+final case class SlotOverride(
+    delayMs: Option[Long] = None,
+    maxPerEpoch: Option[Int] = None)
 
 object CrawlConfig {
   /** Retryable HTTP codes, `default_settings.py:456-463`. */

@@ -256,6 +256,14 @@ object SparkEntry {
       graft.functions.Similarity.ivfTopK(s,
         t(s, dir, "embeddings"), (0L until 10L).toSeq, k = 3, nLists = 16, nProbe = 4)),
 
+    // embedding near-dup at scale: IVF-blocked nearest-neighbor edge list —
+    // candidates bounded to the nProbe nearest lists per vector (no label
+    // block, no O(n²) pocket). Recall vs brute force gated in OperatorsSpec;
+    // no DuckDB oracle (trained quantizer isn't SQL-expressible).
+    "q_embedding_neardup_ivf" -> ((s, dir) =>
+      graft.functions.Similarity.ivfNearDup(s,
+        t(s, dir, "embeddings"), nLists = 16, nProbe = 4)),
+
     // embedding cosine near-dup: each vector's nearest in-label neighbor
     // (the dedup-candidate edge list). Label-blocking bounds the self-join;
     // the argmax is a map-side-combined max_by aggregation, not a window

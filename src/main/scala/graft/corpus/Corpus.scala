@@ -21,7 +21,11 @@ final case class CorpusSpec(
     hotHostShare: Double = 0.2, // top host's share of pages (skew knob)
     maxLinks: Int = 8,
     imageMaxDim: Int = 96,
-    seedCount: Int = 20) {
+    seedCount: Int = 20,
+    // false = round-1-shaped corpus: no Content-Encoding, Referrer-Policy,
+    // Set-Cookie or meta-refresh traps — the equal-work A/B baseline for
+    // benchmarking the heavier per-page pipeline (BASELINE.md)
+    richTraps: Boolean = true) {
 
   /** Pages on host k: host 0 is the hot host; the rest share uniformly. */
   def pagesOnHost(k: Int): Int = {
@@ -98,7 +102,7 @@ object Corpus {
       PageRow(url, 301, s"http://${spec.hostName(k)}/p/$tgt", Array.emptyByteArray, null, 10 + r.nextInt(100))
     } else if (roll < 0.10) { // 503 retryable
       PageRow(url, 503, null, Array.emptyByteArray, null, 200 + r.nextInt(400))
-    } else if (roll < 0.125 && nK > 1) { // meta-refresh traps
+    } else if (roll < 0.125 && nK > 1 && spec.richTraps) { // meta-refresh traps
       val tgt = r.nextInt(nK)
       val mr = r.nextDouble()
       val html =
@@ -112,6 +116,11 @@ object Corpus {
           s"""<html><head><noscript><meta http-equiv="refresh" content="0; url=/p/$tgt"></noscript></head><body><a href="/p/$tgt">ns</a></body></html>"""
       PageRow(url, 200, null, html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         null, 10 + r.nextInt(100))
+    } else if (!spec.richTraps) {
+      // round-1-shaped content page: raw body, no response-header traps
+      val html = pageHtml(spec, k, j, r)
+      val raw = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      PageRow(url, 200, null, raw, f"img$gIdx%09d", 10 + r.nextInt(490))
     } else {
       val html = pageHtml(spec, k, j, r)
       val raw = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -143,11 +152,22 @@ object Corpus {
       val ckRoll = r.nextDouble()
       val setCookie =
         if (ckRoll < 0.80) null
-        else if (ckRoll < 0.90) s"sid=v$j; Path=/; HttpOnly"
-        else if (ckRoll < 0.95) s"pref=p${j % 3}"
+        else if (ckRoll < 0.88) s"sid=v$j; Path=/; HttpOnly"
+        else if (ckRoll < 0.92) s"pref=p${j % 3}"
+        // non-ASCII collation traps: the two names share a prefix and then
+        // diverge on a supplementary char (U+1F600, UTF-16 surrogates) vs a
+        // high-BMP char (U+FFE5) — UTF-8 byte order and UTF-16 code-unit
+        // order DISAGREE on which sorts first, so the Cookie-header render
+        // must use one shared collation on both sides
+        else if (ckRoll < 0.94) "z😀=emoji"
+        else if (ckRoll < 0.955) "z￥=yen"
         else if (ckRoll < 0.97) "sid=; Max-Age=0" // deletion
         else "malformed-no-equals" // ignored
-      PageRow(url, 200, null, body, f"img$gIdx%09d", 10 + r.nextInt(100), enc,
+      // latency draw LAST (and widened for the timeout/autothrottle traps:
+      // content pages span 10–500 ms so DOWNLOAD_TIMEOUT variants trip on
+      // real 200s, not just slow 503s) — it must stay the final draw of this
+      // page's RNG stream so earlier content bytes are unaffected
+      PageRow(url, 200, null, body, f"img$gIdx%09d", 10 + r.nextInt(490), enc,
         refPolicy, setCookie)
     }
   }

@@ -29,6 +29,38 @@ object MetaRefresh {
   private val ContentRe =
     """(?is)^\s*(\d+(?:\.\d+)?)\s*(?:[;,]\s*url\s*=\s*['"]?(.*?)['"]?\s*)?$""".r
 
+  private val Token = "http-equiv"
+
+  /** ASCII case-insensitive token scan over raw bytes. Exact as a
+    * prefilter: UTF-8 multi-byte sequences have the high bit set, so they
+    * can never alias the ASCII token. */
+  private def containsTokenAscii(body: Array[Byte]): Boolean = {
+    val n = Token.length
+    var i = 0
+    val max = body.length - n
+    while (i <= max) {
+      var j = 0
+      var ok = true
+      while (ok && j < n) {
+        var c = body(i + j).toInt
+        if (c >= 'A' && c <= 'Z') c += 32
+        if (c != Token.charAt(j)) ok = false
+        j += 1
+      }
+      if (ok) return true
+      i += 1
+    }
+    false
+  }
+
+  /** [[find]] over the raw body bytes with a cheap prefilter: a page without
+    * the `http-equiv` token (the ~97% case) can't match MetaRe1/2, so it
+    * skips both the String decode and the comment/noscript regex passes.
+    * This is the hot-path entry the engine and the oracle share. */
+  def findInBytes(body: Array[Byte]): Option[(Double, String)] =
+    if (!containsTokenAscii(body)) None
+    else find(new String(body, java.nio.charset.StandardCharsets.UTF_8))
+
   /** First refresh directive as (delaySeconds, rawTargetUrl); None when the
     * page has none (or it carries no url — a self-refresh is not followed,
     * matching the reference's `if not url: return response`). */

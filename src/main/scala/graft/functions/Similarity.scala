@@ -148,6 +148,54 @@ object Similarity {
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"))
   }
 
+  /** Embedding near-dup edge list at scale: every vector's nearest neighbor
+    * restricted to its `nProbe` nearest IVF lists — the 100 TB shape of
+    * `q_embedding_neardup`. Label-blocking (the exact small-sf oracle query)
+    * is O(n²) within a block when labels are few; IVF blocking bounds the
+    * candidate set at ~nProbe·n/nLists PER VECTOR regardless of the label
+    * distribution, and the block key is learned from the data itself. The
+    * argmax stays a map-side-combined max_by — no window over the candidate
+    * join. Recall is gated in OperatorsSpec against the brute-force nn. */
+  def ivfNearDup(
+      spark: SparkSession,
+      embeddings: DataFrame, // vec_id, embedding
+      nLists: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = embeddings
+      .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+      .persist()
+    val centroids = spark.createDataFrame(
+      trainCentroids(spark, e, nLists)).toDF("list_id", "centroid")
+
+    // membership: nearest list per vector (one bounded max_by shuffle)
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosExpr("emb", "centroid"))
+      .groupBy($"vec_id")
+      .agg(
+        max_by($"list_id", struct($"sim", -$"list_id")).as("list_id"),
+        first($"emb").as("ve"))
+
+    // probing: every vector expands to its nProbe nearest lists (bounded by
+    // nLists per vector pre-aggregation, nProbe rows after)
+    val probes = e.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosExpr("emb", "centroid"))
+      .groupBy($"vec_id")
+      .agg(
+        first($"emb").as("qe"),
+        slice(sort_array(collect_list(
+          struct((-$"sim").as("nsim"), $"list_id".as("list_id")))), 1, nProbe).as("top"))
+      .select($"vec_id", $"qe", explode($"top.list_id").as("list_id"))
+
+    // candidate join co-partitioned on list_id; nearest via max_by
+    val cands = assigned.select($"list_id", $"vec_id".as("cand_id"), $"ve")
+    probes.join(cands, Seq("list_id"))
+      .filter($"vec_id" =!= $"cand_id")
+      .withColumn("cos", cosExpr("qe", "ve"))
+      .groupBy($"vec_id")
+      .agg(max_by($"cand_id", struct($"cos", -$"cand_id")).as("nn_id"))
+  }
+
   /** The vector→list assignment alone (for tests that check IVF's only error
     * source is probe misses, i.e. exact-rank-within-probed-lists). */
   def ivfAssignment(spark: SparkSession, embeddings: DataFrame, nLists: Int): DataFrame = {

@@ -45,10 +45,13 @@ final case class FetchLogRow(
     url: String,
     fp: Array[Byte],
     virtualTMs: Long,
-    status: Int,
+    status: Int, // 599 on a non-robots row = download timeout (contract 6c)
     isRobots: Boolean,
     referer: String = null, // Referer header sent with the fetch
-    cookies: String = null) // Cookie header sent with the fetch
+    cookies: String = null, // Cookie header sent with the fetch
+    userAgent: String = null, // User-Agent header (UserAgentMiddleware analogue)
+    authorization: String = null, // Basic auth header (HttpAuthMiddleware)
+    proxy: String = null) // proxy the fetch is routed through (HttpProxyMiddleware)
 
 /** A page of the synthetic web (the offline stand-in for HTTP fetch;
   * SURVEY.md §2.1 "Synthetic fetch"). `url` is the canonical URL — the fetch
@@ -82,9 +85,13 @@ final case class RobotsRow(host: String, body: Array[Byte])
 /** Ordered seed row. */
 final case class SeedRow(seq: Long, url: String, priority: Int)
 
-/** Per-host politeness state carried across epochs (reference: downloader
-  * Slot.lastseen, `scrapy/core/downloader/__init__.py:148-177`). */
-final case class HostState(host: String, lastTMs: Long, robotsFetched: Boolean)
+/** Per-slot politeness state carried across epochs (reference: downloader
+  * Slot.lastseen + Slot.delay, `scrapy/core/downloader/__init__.py:148-177`).
+  * `delayMs` is the slot's adaptive AutoThrottle delay (-1 = unset: the
+  * engine resolves the slot's base/start delay; always -1 when AutoThrottle
+  * is off). */
+final case class HostState(host: String, lastTMs: Long, robotsFetched: Boolean,
+    delayMs: Long = -1L)
 
 /** One cookie in the per-host jar (reference CookiesMiddleware state,
   * see [[graft.operators.Cookies]]). */

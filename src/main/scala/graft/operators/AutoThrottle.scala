@@ -3,30 +3,34 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** AutoThrottle: adaptive per-host download delay
-  * (`scrapy/extensions/throttle.py:104-129`, defaults
+/** AutoThrottle: adaptive per-host download delay — the exact
+  * `_adjust_delay` policy (`scrapy/extensions/throttle.py:104-140`, defaults
   * `default_settings.py:200-204`):
   *
-  *   target = latency / targetConcurrency
-  *   newDelay = clamp((oldDelay + target) / 2, minDelay, maxDelay)
-  *   and never decreases on a non-2xx response.
+  *   target   = latency / targetConcurrency
+  *   newDelay = max(target, (oldDelay + target) / 2)   // mean, floored at target
+  *   newDelay = clamp(newDelay, minDelay, maxDelay)
+  *   a non-200 response never LOWERS the delay (error pages are small and
+  *   fast — adopting their latency would be a positive feedback loop).
   *
-  * In the epoch model this is a per-host aggregation across the epoch's
-  * fetch results feeding the next epoch's politeness plan. It sits OUTSIDE
-  * the fixed-delay conformance contract (the oracle pins delayMs); enable
-  * it for adaptive production crawls.
+  * In the epoch model this is a per-slot fold over the epoch's fetch
+  * results in global seq order, feeding the NEXT epoch's politeness plan
+  * (CrawlConfig contract step 1a). When `cfg.autothrottle` is on, the
+  * engine wires this into the dequeue via HostState.delayMs and the oracle
+  * replays the identical fold, so conformance stays byte-exact.
   */
 object AutoThrottle {
 
   final case class HostDelay(host: String, delayMs: Long)
 
   def clampedUpdate(
-      oldDelayMs: Long, latencyMs: Long, ok: Boolean,
+      oldDelayMs: Long, latencyMs: Long, status: Int,
       targetConcurrency: Double, minDelayMs: Long, maxDelayMs: Long): Long = {
     val target = (latencyMs / targetConcurrency).toLong
-    val next = (oldDelayMs + target) / 2
+    val mean = (oldDelayMs + target) / 2
+    val next = math.max(target, mean)
     val bounded = math.min(math.max(next, minDelayMs), maxDelayMs)
-    if (!ok && bounded < oldDelayMs) oldDelayMs else bounded
+    if (status != 200 && bounded <= oldDelayMs) oldDelayMs else bounded
   }
 
   /** Fold an epoch's fetch results (host, latencyMs, status[, seq]) into
@@ -63,7 +67,7 @@ object AutoThrottle {
       .map { case (host, start, events) =>
         var d = start
         for ((_, latency, status) <- events) {
-          d = clampedUpdate(d, latency, status >= 200 && status < 300,
+          d = clampedUpdate(d, latency, status,
             targetConcurrency, minDelayMs, maxDelayMs)
         }
         HostDelay(host, d)

@@ -30,10 +30,17 @@ object Cookies {
     else Some((first.substring(0, eq).trim, first.substring(eq + 1).trim))
   }
 
+  /** Render from pre-rendered `n=v` pair strings. THE single collation
+    * authority for the Cookie header: Scala String ordering (UTF-16 code
+    * units). Both the oracle and the engine (via a UDF) call this — a SQL
+    * array_sort would sort UTF-8 bytes and diverge on supplementary
+    * characters (U+10000+ sorts after U+E000..U+FFFF in UTF-16 surrogates
+    * but before in UTF-8), silently breaking the byte-for-byte compare. */
+  def renderRendered(rendered: Seq[String]): Option[String] =
+    if (rendered.isEmpty) None else Some(rendered.sorted.mkString("; "))
+
   /** Render a Cookie request header: `n1=v1; n2=v2` sorted by the rendered
-    * pair string (matches the engine's array_sort over the same strings);
-    * None when the jar holds nothing for the host (header omitted). */
+    * pair string; None when the jar holds nothing for the host. */
   def renderHeader(cookies: Seq[(String, String)]): Option[String] =
-    if (cookies.isEmpty) None
-    else Some(cookies.map { case (n, v) => s"$n=$v" }.sorted.mkString("; "))
+    renderRendered(cookies.map { case (n, v) => s"$n=$v" })
 }

@@ -118,11 +118,14 @@ object CrawlDriver {
     // url_seen Bloom filter (advisory prescreen; exactness from the
     // anti-join), sharded per fp-bucket (graft.plans.BloomShards) — the same
     // bucketing the seen table is partitioned by, so the prescreen layout
-    // survives a 10^10-fp seen set instead of saturating one bitmap. Delta
+    // survives a 10^10-fp seen set instead of saturating one bitmap. Each
+    // shard's capacity GROWS with its bucket's exact seen count (saturated
+    // shards are rebuilt from the bucket's seen partition, see below). Delta
     // shards are built distributed each epoch; resume restores the persisted
-    // shard table (or rebuilds it per-bucket from the seen parquet).
+    // shard table (or rebuilds it per-bucket from the seen parquet, sized
+    // from the actual per-bucket counts).
     import graft.plans.BloomShards
-    val bloomItems = 4L * 1000 * 1000
+    val bloomItems = 4L * 1000 * 1000 // initial total; shards grow per bucket
     val bloomFpp = 0.03
     val shards: BloomShards =
       if (m.bloomPath.nonEmpty && new java.io.File(m.bloomPath).exists()) {
@@ -130,9 +133,11 @@ object CrawlDriver {
       } else if (m.seenDirs.nonEmpty &&
           readSeen(spark, m.seenDirs).limit(1).count() > 0) {
         val s = BloomShards.create(bloomItems, bloomFpp)
-        BloomShards.buildShards(spark, readSeen(spark, m.seenDirs),
-          bloomItems, bloomFpp)
-          .foreach(r => s.merge(r.bucket, BloomShards.fromBytes(r.bits)))
+        val seenAll = readSeen(spark, m.seenDirs)
+        val cnts = seenAll.groupBy("bucket").count()
+          .as[(Int, Long)].collect().toMap
+        val capOf = (b: Int) => BloomShards.grownCapacity(cnts.getOrElse(b, 0L))
+        BloomShards.buildShards(spark, seenAll, capOf, bloomFpp).foreach(s.replace)
         s
       } else BloomShards.create(bloomItems, bloomFpp)
 
@@ -173,18 +178,31 @@ object CrawlDriver {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
+      // snapshot write parallelism scales with the session's shuffle
+      // parallelism (≈ cluster size), not a hardcoded 8: the fetch log and
+      // seen delta are O(epoch fetches) — at 10^7-fetch epochs on a real
+      // cluster, 8 write tasks would serialize the write phase. Small state
+      // tables (host_state/robots/cookies) stay at the floor to avoid a
+      // thousand tiny files per epoch.
+      val writeParts = math.max(8, joinParts / 2)
+      val smallParts = 8
       val seenDelta = r.seenDelta.persist()
       val seenWrite = Future {
-        seenDelta.coalesce(8).write.partitionBy("bucket")
+        // repartition BY BUCKET (not coalesce): each of the NumBuckets write
+        // tasks owns exactly its bucket dir → one file per bucket per epoch,
+        // the layout compaction/bloom-rebuild scans cheaply. (coalesce(k) ×
+        // partitionBy would fan out to k × NumBuckets small files.)
+        seenDelta.repartition(Model.NumBuckets, col("bucket"))
+          .write.partitionBy("bucket")
           .mode(SaveMode.Overwrite).parquet(seenDir)
       }
       val writeJobs = scala.collection.mutable.ArrayBuffer[Future[Unit]](
         Future(r.nextFrontier.write.mode(SaveMode.Overwrite).parquet(fDir)),
         seenWrite,
-        Future(r.hostState.coalesce(8).write.mode(SaveMode.Overwrite).parquet(hsDir)),
-        Future(r.robotsCache.coalesce(8).write.mode(SaveMode.Overwrite).parquet(rcDir)),
-        Future(r.cookieJar.coalesce(8).write.mode(SaveMode.Overwrite).parquet(cjDir)),
-        Future(r.fetchLog.coalesce(8).write.mode(SaveMode.Overwrite).parquet(flDir)))
+        Future(r.hostState.coalesce(smallParts).write.mode(SaveMode.Overwrite).parquet(hsDir)),
+        Future(r.robotsCache.coalesce(smallParts).write.mode(SaveMode.Overwrite).parquet(rcDir)),
+        Future(r.cookieJar.coalesce(smallParts).write.mode(SaveMode.Overwrite).parquet(cjDir)),
+        Future(r.fetchLog.coalesce(writeParts).write.mode(SaveMode.Overwrite).parquet(flDir)))
       val mediaDirs =
         if (withMedia && images != null) {
           val mDir = dataDir(root, e1, "media")
@@ -193,18 +211,17 @@ object CrawlDriver {
         } else m.mediaDirs
       // merge this epoch's per-bucket delta filters into the resident shards
       // while the writes run (same parallel phase; the delta scan happens on
-      // executors from the cached delta), then persist the shard table
+      // executors from the cached delta) — the save happens after the
+      // saturation check below
       val bloomF = seenWrite.map { _ =>
         if (r.seenDeltaCount > 0) {
-          BloomShards.buildShards(spark, seenDelta, bloomItems, bloomFpp)
-            .foreach(row => shards.merge(row.bucket, BloomShards.fromBytes(row.bits)))
+          val caps = shards.capacities // delta shards must match resident sizing
+          BloomShards.buildShards(spark, seenDelta, b => caps(b), bloomFpp)
+            .foreach(shards.merge)
         }
-        val bPath = dataDir(root, e1, "bloom")
-        BloomShards.save(spark, bPath, shards)
-        bPath
       }
       writeJobs.foreach(Await.result(_, Duration.Inf))
-      val bloomPath = Await.result(bloomF, Duration.Inf)
+      Await.result(bloomF, Duration.Inf)
       seenDelta.unpersist(false)
       lapW("all-writes")
 
@@ -233,6 +250,24 @@ object CrawlDriver {
         seenDirs = Seq(cDir)
       }
 
+      // saturated-shard rebuild: a bucket whose exact seen count outgrew its
+      // filter capacity gets a fresh 2×-headroom filter built from its full
+      // seen partition — doubling means O(log n) rebuilds per bucket over the
+      // whole crawl. Without this, a saturated shard's fpp → 1 and the
+      // prescreen silently degrades to a no-op that still pays its UDF.
+      val saturated = shards.saturatedBuckets
+      if (saturated.nonEmpty) {
+        val newCaps = saturated.map(b =>
+          b -> BloomShards.grownCapacity(shards.counts(b))).toMap
+        System.err.println(s"[graft] bloom rebuild: buckets=${saturated.size} " +
+          s"maxNewCap=${newCaps.values.max}")
+        BloomShards.buildShards(spark,
+          readSeen(spark, seenDirs).filter(col("bucket").isin(saturated: _*)),
+          newCaps, bloomFpp).foreach(shards.replace)
+      }
+      val bloomPath = dataDir(root, e1, "bloom")
+      BloomShards.save(spark, bloomPath, shards)
+
       val mergedCounters = (m.counters.keySet ++ r.counters.keySet).map { k =>
         k -> (m.counters.getOrElse(k, 0L) + r.counters.getOrElse(k, 0L))
       }.toMap
@@ -246,8 +281,16 @@ object CrawlDriver {
       r.cleanup() // drop only this epoch's caches; the corpus stays resident
       val epochSecs = (System.nanoTime() - tEpoch) / 1e9
       epochStats += ((r.pageFetchCount, epochSecs))
+      val prescreen =
+        if (r.prescreenDefNew < 0) ""
+        else {
+          val tot = r.prescreenDefNew + r.prescreenMaybe
+          val rate = if (tot == 0) 1.0 else r.prescreenDefNew.toDouble / tot
+          f" prescreenNew=${r.prescreenDefNew} maybe=${r.prescreenMaybe} " +
+            f"hitRate=$rate%.3f"
+        }
       System.err.println(f"[graft] epoch=$epoch fetches=${r.pageFetchCount} " +
-        f"frontier=$frontierCount secs=$epochSecs%.2f")
+        f"frontier=$frontierCount secs=$epochSecs%.2f$prescreen")
     }
     pages.unpersist(false)
     if (images != null) images.unpersist(false)

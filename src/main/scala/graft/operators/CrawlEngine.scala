@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft._
 import graft.extract.LinkExtract
@@ -42,8 +41,8 @@ object CrawlEngine {
       seq: Long, slot: String)
   final case class RobotsCacheRow(host: String, body: Array[Byte], ok: Boolean)
   final case class HostMeta(
-      host: String, slot: String, lastT: Long, budget: Int, robotsKnown: Boolean,
-      knownBody: Array[Byte], knownOk: Boolean,
+      host: String, slot: String, lastT: Long, budget: Int, delay: Long,
+      robotsKnown: Boolean, knownBody: Array[Byte], knownOk: Boolean,
       corpusBody: Array[Byte])
   final case class Enriched(fr: FrontierRow, meta: HostMeta)
 
@@ -60,6 +59,11 @@ object CrawlEngine {
       pageFetchCount: Long,
       nextFrontierCount: Long,
       seenDeltaCount: Long,
+      // Bloom prescreen effectiveness this epoch (-1 = prescreen off):
+      // candidates the filter proved new (skip the anti-join) vs. maybes
+      // that paid it — the per-epoch hit-rate log the sizing work is judged by
+      prescreenDefNew: Long,
+      prescreenMaybe: Long,
       cleanup: () => Unit)
 
   /** The dequeue comparator of the crawl contract (CrawlConfig step 2). */
@@ -88,6 +92,62 @@ object CrawlEngine {
       .groupByKey(slotOf)
       .reduceGroups((a: FrontierRow, b: FrontierRow) => if (lt(a, b)) a else b)
       .map(_._2)
+  }
+
+  /** Per-slot budgets under the global epoch cap (contract step 1b: max-min
+    * fair allocation — the BSP form of min-active DownloaderAware
+    * scheduling). `withState` carries one row per frontier request with a
+    * `slot` and its step-1a `slotCap`; returns the frame with a `slotBudget`
+    * column plus the persisted demands handle the caller must unpersist
+    * (null when the cap is off).
+    *
+    * SINGLE-PASS at any slot count: one job collects the bounded
+    * (demand, count) histogram (≤ maxSlotBudget distinct demand values,
+    * independent of slot count) and F is solved on the driver; the +1
+    * remainder goes to the first over-F slots in ascending slot order via a
+    * distributed range sort + zipWithIndex — never a single-partition
+    * window, never a sequential agg().head() binary-search chain. */
+  def fairShareBudgets(spark: SparkSession, cfg: CrawlConfig,
+      withState: DataFrame): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    if (cfg.maxFetchesPerEpoch <= 0)
+      return (withState.withColumn("slotBudget", $"slotCap"), null)
+    val cap = cfg.maxFetchesPerEpoch
+    val demands = withState.groupBy($"slot")
+      .agg(least(count(lit(1)), min($"slotCap").cast("long")).as("demand"))
+      .persist()
+    val hist = demands.groupBy($"demand").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+    def allocated(f: Long): Long =
+      hist.iterator.map { case (d, n) => math.min(d, f) * n }.sum
+    var lo = 0L
+    var hi = cfg.maxSlotBudget.toLong
+    while (lo < hi) { // largest F with Σ min(demand, F) <= cap
+      val mid = (lo + hi + 1) / 2
+      if (allocated(mid) <= cap) lo = mid else hi = mid - 1
+    }
+    val fShare = lo
+    val remainder = cap - (if (fShare == 0L) 0L else allocated(fShare))
+    val capped =
+      if (remainder <= 0)
+        withState.withColumn("slotBudget",
+          least($"slotCap".cast("long"), lit(fShare)))
+      else {
+        val plusOne = spark.createDataset(
+          demands.filter($"demand" > fShare).select($"slot").orderBy($"slot")
+            .as[String].rdd.zipWithIndex()
+            .filter(_._2 < remainder).map(_._1))
+          .toDF("slot")
+          .withColumn("extra", lit(1L))
+        withState.join(plusOne, Seq("slot"), "left")
+          // absent slot ⇒ either demand ≤ F (fully satisfied) or past the
+          // remainder cut ⇒ F units; always within the step-1a cap
+          .withColumn("slotBudget",
+            least($"slotCap".cast("long"),
+              lit(fShare) + coalesce($"extra", lit(0L))))
+          .drop("extra")
+      }
+    (capped, demands)
   }
 
   def runEpoch(
@@ -138,44 +198,25 @@ object CrawlEngine {
           .drop("ip")
       else frontier.toDF().withColumn("slot", $"host")
 
-    // per-slot budgets: the static politeness budget, or — under the global
-    // epoch cap — its max-min fair allocation (contract step 1b: the BSP
-    // form of min-active DownloaderAware scheduling). F is found by a
-    // ≤log2(budget) binary search of tiny aggregations over the per-slot
-    // demand table; only the demand>F slots pass through one rank shuffle
-    // (#slots rows — far smaller than the frontier).
-    val staticBudget = cfg.hostBudget
-    val withBudget =
-      if (cfg.maxFetchesPerEpoch <= 0)
-        withSlot.withColumn("slotBudget", lit(staticBudget))
-      else {
-        val cap = cfg.maxFetchesPerEpoch
-        val demands = withSlot.groupBy($"slot")
-          .agg(least(count(lit(1)), lit(staticBudget.toLong)).as("demand"))
-          .persist()
-        def allocated(f: Int): Long =
-          demands.agg(sum(least($"demand", lit(f.toLong)))).head().getLong(0)
-        var lo = 0
-        var hi = staticBudget
-        while (lo < hi) { // largest F with Σ min(demand, F) <= cap
-          val mid = (lo + hi + 1) / 2
-          if (allocated(mid) <= cap) lo = mid else hi = mid - 1
-        }
-        val fShare = lo
-        val remainder = cap - (if (fShare == 0) 0L else allocated(fShare))
-        val wSlots = Window.orderBy($"slot")
-        val extras = demands.filter($"demand" > fShare)
-          .withColumn("rk", row_number().over(wSlots))
-          .select($"slot",
-            (lit(fShare) + when($"rk" <= remainder, 1).otherwise(0)).as("slotBudget"))
-        withSlot.join(extras, Seq("slot"), "left")
-          // absent slot ⇒ demand ≤ F ⇒ fully satisfied by F units
-          .withColumn("slotBudget", coalesce($"slotBudget", lit(fShare)))
-      }
+    // per-slot state join + epoch delay/cap resolution (contract step 1a):
+    // the slot's delay for this epoch — DOWNLOAD_SLOTS override, stored
+    // AutoThrottle delay, or the global default — and the budget it implies.
+    // hostState is tiny next to the frontier (broadcast under AQE).
+    val resolveDelayUdf = udf((slot: String, stored: java.lang.Long) =>
+      cfg.resolveSlotDelay(slot, if (stored == null) -1L else stored.longValue()))
+    val capUdf = udf((slot: String, delay: Long) =>
+      cfg.budgetFor(delay, cfg.slotCapOf(slot)))
+    val withState = withSlot
+      .join(hostState.toDF().select($"host".as("slot"), $"lastTMs".as("lastT"),
+        $"delayMs".as("storedDelay")), Seq("slot"), "left")
+      .withColumn("slotDelay", resolveDelayUdf($"slot", $"storedDelay"))
+      .withColumn("slotCap", capUdf($"slot", $"slotDelay"))
+
+    // per-slot budgets: the step-1a cap, or — under the global epoch cap —
+    // its max-min fair allocation (contract step 1b)
+    val (withBudget, demandsHandle) = fairShareBudgets(spark, cfg, withState)
 
     val enriched = withBudget
-      .join(hostState.toDF().select($"host".as("slot"), $"lastTMs".as("lastT")),
-        Seq("slot"), "left")
       .join(robotsCache.toDF().select($"host", $"body".as("knownBody"),
         $"ok".as("knownOk"), lit(true).as("robotsKnown")), Seq("host"), "left")
       .join(robotsCorpus.select($"host", $"body".as("corpusBody")), Seq("host"), "left")
@@ -184,6 +225,7 @@ object CrawlEngine {
         struct($"host", $"slot",
           coalesce($"lastT", lit(Long.MinValue / 2)).as("lastT"),
           $"slotBudget".cast("int").as("budget"),
+          $"slotDelay".as("delay"),
           coalesce($"robotsKnown", lit(false)).as("robotsKnown"),
           $"knownBody", coalesce($"knownOk", lit(false)).as("knownOk"),
           $"corpusBody").as("meta"))
@@ -191,10 +233,8 @@ object CrawlEngine {
 
     // ---- politeness dequeue per host: bounded PQ, O(n log k) --------------
     val epochStart = epoch.toLong * cfg.epochMs
-    val hostBudget = cfg.hostBudget
     val robotsObey = cfg.robotsObey
-    val robotsUA = cfg.robotsUserAgent
-    val delayMs = cfg.delayMs
+    val robotsUA = cfg.effectiveRobotsUserAgent
     val lt = dequeueLt(cfg) _
 
     // Observation metrics ride along with the first job that materializes
@@ -208,7 +248,7 @@ object CrawlEngine {
     val deqOut0: Dataset[DeqOut] = enriched
       .repartition($"meta.slot")
       .mapPartitions { it =>
-        final class SlotAcc(var lastT: Long, val budget: Int) {
+        final class SlotAcc(var lastT: Long, val budget: Int, val delay: Long) {
           // start SMALL and grow: pre-allocating `budget` slots (e.g. 5000)
           // per PQ is O(slots × budget) memory — at 10^6 one-page hosts that
           // is gigabytes for queues holding one row each
@@ -220,7 +260,7 @@ object CrawlEngine {
         val keptIter: Iterator[DeqOut] = it.flatMap { e =>
           var st = states.get(e.meta.slot)
           if (st == null) {
-            st = new SlotAcc(e.meta.lastT, e.meta.budget)
+            st = new SlotAcc(e.meta.lastT, e.meta.budget, e.meta.delay)
             states.put(e.meta.slot, st)
           }
           if (st.budget == 0) Iterator.single(DeqOut(KKept, e.fr, 0L, -1, e.meta.slot))
@@ -237,7 +277,7 @@ object CrawlEngine {
             val deq = new Array[Enriched](st.pq.size)
             var n = deq.length - 1
             while (n >= 0) { deq(n) = st.pq.poll(); n -= 1 } // worst→best, back→front
-            var t = math.max(st.lastT + delayMs, epochStart)
+            var t = math.max(st.lastT + st.delay, epochStart)
             var budgetLeft = st.budget
             var stopped = false
             val robotsDone = scala.collection.mutable.HashSet.empty[String]
@@ -266,7 +306,7 @@ object CrawlEngine {
                     FrontierRow(robotsUrl, fp, host, 1000, 0, isStart = false,
                       epoch, -1L, -1, 0, 0, dontFilter = true), t, -1, slot)
                   robotsDone += host
-                  t += delayMs
+                  t += st.delay
                   budgetLeft -= 1
                 }
                 if (budgetLeft >= 1) {
@@ -277,7 +317,7 @@ object CrawlEngine {
                     val i = hostIdx.getOrElse(host, 0)
                     out += DeqOut(KFetch, e.fr, t, i, slot)
                     hostIdx(host) = i + 1
-                    t += delayMs
+                    t += st.delay
                   }
                 } else {
                   out += DeqOut(KKept, e.fr, 0L, -1, slot)
@@ -345,9 +385,16 @@ object CrawlEngine {
     val canonUdf = udf((u: String) => UrlKit.canonicalizeUrl(u))
     val pageFetches = fetches.filter(_.kind == KFetch).toDF()
       .withColumn("canonical", canonUdf($"fr.url"))
+    // download timeout (contract step 6c): a page whose modeled latency hits
+    // DOWNLOAD_TIMEOUT produces no response — status 599, retried as an
+    // exception. Unknown URLs (no corpus page) have no latency: plain 404.
+    val timeoutMs = cfg.downloadTimeoutMs
     val fetched = pageFetches
       .join(pages, Seq("canonical"), "left")
-      .withColumn("status", coalesce($"status", lit(404)))
+      .withColumn("timedOut",
+        lit(timeoutMs > 0) && coalesce($"latencyMs" >= lit(timeoutMs), lit(false)))
+      .withColumn("status",
+        when($"timedOut", lit(599)).otherwise(coalesce($"status", lit(404))))
       .persist()
 
     val robotsFetchLog = fetches.filter(_.kind == KRobots).toDF()
@@ -358,12 +405,23 @@ object CrawlEngine {
 
     // Cookie header per host, from the jar snapshot at epoch start
     // (CookiesMiddleware analogue, see graft.operators.Cookies): a tiny
-    // host-keyed table — broadcast join under AQE like the other host state
+    // host-keyed table — broadcast join under AQE like the other host state.
+    // Rendering goes through Cookies.renderRendered so the sort collation
+    // (UTF-16 code units) is byte-identical to the oracle's.
+    val renderCookiesUdf = udf((pairs: Seq[String]) =>
+      Cookies.renderRendered(pairs).orNull)
     val jarHeaders = cookieJar.toDF()
       .groupBy($"host")
-      .agg(concat_ws("; ",
-        array_sort(collect_list(concat($"name", lit("="), $"value")))).as("cookies"))
+      .agg(renderCookiesUdf(
+        collect_list(concat($"name", lit("="), $"value"))).as("cookies"))
 
+    // request headers (contract step 6a): User-Agent is the configured
+    // constant; Authorization and proxy are pure per-row functions of
+    // (cfg, host, scheme) — robots fetches are ordinary downloads and carry
+    // all three, exactly like the oracle
+    val authUdf = udf((host: String) => cfg.authorizationFor(host))
+    val proxyUdf = udf((url: String, host: String) =>
+      cfg.proxyFor(graft.urlkit.PyUrl.urlparse(url).scheme, host))
     val fetchLog = fetched
       .select($"fr.*", $"t", $"seq", $"status", lit(false).as("isRobots"))
       .unionByName(robotsFetchLog
@@ -372,7 +430,10 @@ object CrawlEngine {
         allowMissingColumns = true)
       .join(jarHeaders, Seq("host"), "left")
       .select(lit(epoch).as("epoch"), $"seq", $"host", $"url", $"fp",
-        $"t".as("virtualTMs"), $"status", $"isRobots", $"referer", $"cookies")
+        $"t".as("virtualTMs"), $"status", $"isRobots", $"referer", $"cookies",
+        lit(cfg.userAgent).as("userAgent"),
+        authUdf($"host").as("authorization"),
+        proxyUdf($"url", $"host").as("proxy"))
       .persist()
 
     // ---- expansion: decompression / redirect / retry / links ---------------
@@ -381,9 +442,9 @@ object CrawlEngine {
     val maxBodySize = cfg.downloadMaxSize
     val defaultRefererPolicy = graft.urlkit.Referer.named(cfg.refererPolicy)
     val toExpand = fetched
-      .select($"fr", $"seq", $"status", $"location", $"body", $"contentEncoding",
-        $"refererPolicy")
-      .as[(FrontierRow, Long, Int, Option[String], Option[Array[Byte]],
+      .select($"fr", $"seq", $"status", $"timedOut", $"location", $"body",
+        $"contentEncoding", $"refererPolicy")
+      .as[(FrontierRow, Long, Int, Boolean, Option[String], Option[Array[Byte]],
         Option[String], Option[String])]
 
     // candidate kind: 0 candidate, 1 retry/max_reached, 2 depth/filtered,
@@ -392,8 +453,19 @@ object CrawlEngine {
     // 7 decompression decode-error drop
     val obsCand = org.apache.spark.sql.Observation()
     val candsRaw0: Dataset[(Int, FrontierRow, Long)] = toExpand.flatMap {
-      case (row, seq, status, location, rawBody, contentEncoding, refPolicyHeader) =>
+      case (row, seq, status, timedOut, location, rawBody, contentEncoding,
+          refPolicyHeader) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[(Int, FrontierRow, Long)]
+        // download timeout (contract step 6c): no response at all — retried
+        // as an exception (same rewrite as a retryable status), nothing else
+        if (timedOut) {
+          if (row.retryTimes < cfg.retryTimes) {
+            out += ((0, FrontierRow(row.url, row.fp, row.host, row.priority - 1,
+              row.depth, isStart = false, epoch, seq, -2,
+              row.retryTimes + 1, row.redirectTimes, dontFilter = true,
+              referer = row.referer), 0L))
+          } else out += ((1, row, 0L))
+        } else {
         // decompression stage (contract step 6b): decode before any body use;
         // an undecodable remainder coding leaves the body opaque (no links)
         var body: Option[Array[Byte]] = rawBody.filter(_ != null)
@@ -437,7 +509,7 @@ object CrawlEngine {
           // meta-refresh intercept (contract step 7a): runs below the spider,
           // so a qualifying directive pre-empts link extraction entirely
           val mrTarget = graft.extract.MetaRefresh
-            .find(new String(body.get, java.nio.charset.StandardCharsets.UTF_8))
+            .findInBytes(body.get)
             .filter(_._1 < cfg.metarefreshMaxDelay)
             .map { case (_, u) => UrlKit.safeUrlString(UrlKit.urljoin(row.url, u)) }
             .filter { t =>
@@ -474,6 +546,7 @@ object CrawlEngine {
           } else links.foreach(_ => out += ((2, row, 0L)))
           }
         }
+        } // end !timedOut
         out
     }
     val candsRaw = candsRaw0.toDF("kind", "fr", "bytes")
@@ -515,12 +588,16 @@ object CrawlEngine {
     // exact anti-join. No false negatives, so the result is still exact.
     // Sharded per fp-bucket (graft.plans.BloomShards) so the filter grows
     // with the seen set instead of saturating one fixed-size bitmap.
+    val obsBloomNew = org.apache.spark.sql.Observation()
+    val obsBloomMaybe = org.apache.spark.sql.Observation()
     val survivors = (bloom match {
       case Some(b) =>
         val mightContain = udf((fp: Array[Byte], hexs: String) =>
           b.value.mightContain(Model.bucketOf(fp), hexs))
         val definitelyNew = firstWins.filter(!mightContain($"fp", $"fpHex"))
+          .observe(obsBloomNew, count(lit(1)).as("n"))
         val maybeSeen = firstWins.filter(mightContain($"fp", $"fpHex"))
+          .observe(obsBloomMaybe, count(lit(1)).as("n"))
           .join(urlSeen.select($"fpHex"), Seq("fpHex"), "left_anti")
         definitelyNew.unionByName(maybeSeen)
       case None =>
@@ -572,8 +649,15 @@ object CrawlEngine {
     counters("robotstxt/forbidden") = kindCounts.getOrElse(KForbidden, 0L)
     counters("robotstxt/request_count") = robotsFetchCount
     counters("downloader/request_count") = pageFetchCount
-    for ((status, _, cnt) <- statusCounts)
-      counters(s"downloader/response_status_count/$status") += cnt
+    // contract 6c: a non-robots 599 is a download timeout — an exception,
+    // not a response (robots 599 = robots fetch error, a response status)
+    for ((status, isRobots, cnt) <- statusCounts) {
+      if (!isRobots && status == 599) {
+        counters("downloader/exception_count") += cnt
+        counters(
+          "downloader/exception_type_count/twisted.internet.error.TimeoutError") += cnt
+      } else counters(s"downloader/response_status_count/$status") += cnt
+    }
     counters("retry/count") = nRetries
     counters("retry/max_reached") = nRetryMax
     counters("redirect/max_reached") = metric(candMetrics, "redirectMax")
@@ -602,18 +686,51 @@ object CrawlEngine {
     // holds the slot id — equal to the host when perIpSlots is off)
     val touched = fetches.toDF().groupBy($"slot".as("host"))
       .agg(max($"t").as("newLastT"))
+    // AutoThrottle (contract step 1a): replay this epoch's page responses in
+    // global seq order per slot through _adjust_delay — only fetches that
+    // found a corpus page and did not time out carry a latency. The per-slot
+    // event list is politeness-bounded (≤ cap), so the collect_list is
+    // map-side-combined and bounded, not data-sized.
+    val delayUpdates: DataFrame =
+      if (!cfg.autothrottle)
+        spark.emptyDataset[(String, Long)].toDF("host", "newDelay")
+      else {
+        fetched.filter(!$"timedOut" && $"latencyMs".isNotNull)
+          .select($"slot", $"seq", $"latencyMs", $"status")
+          .groupBy($"slot")
+          .agg(sort_array(collect_list(struct(
+            $"seq".cast("long").as("seq"),
+            $"latencyMs".cast("long").as("latencyMs"),
+            $"status".cast("int").as("status")))).as("events"))
+          .join(hostState.toDF().select($"host".as("slot"),
+            $"delayMs".as("storedDelay")), Seq("slot"), "left")
+          .select($"slot", coalesce($"storedDelay", lit(-1L)).as("stored"), $"events")
+          .as[(String, Long, Seq[(Long, Long, Int)])]
+          .map { case (slot, stored, events) =>
+            var d = cfg.resolveSlotDelay(slot, stored)
+            for ((_, latency, st) <- events) {
+              d = AutoThrottle.clampedUpdate(d, latency, st,
+                cfg.autothrottleTargetConcurrency, cfg.delayMs,
+                cfg.autothrottleMaxDelayMs)
+            }
+            (slot, d)
+          }
+          .toDF("host", "newDelay")
+      }
     val newHostState = hostState.toDF()
       .join(touched, Seq("host"), "full_outer")
+      .join(delayUpdates, Seq("host"), "left")
       .select($"host",
         greatest(coalesce($"lastTMs", lit(Long.MinValue / 2)),
           coalesce($"newLastT", lit(Long.MinValue / 2))).as("lastTMs"),
-        lit(true).as("robotsFetched"))
+        lit(true).as("robotsFetched"),
+        coalesce($"newDelay", $"delayMs", lit(-1L)).as("delayMs"))
       .as[HostState]
 
     // cookie-jar update: Set-Cookie headers from this epoch's page responses,
     // last writer by global fetch seq per (host, name); empty value deletes
     val epochCookies = fetched
-      .filter($"setCookie".isNotNull)
+      .filter($"setCookie".isNotNull && !$"timedOut") // a timeout has no response
       .select($"fr.host".as("host"), $"setCookie", $"seq")
       .as[(String, String, Long)]
       .flatMap { case (host, sc, seq) =>
@@ -661,6 +778,7 @@ object CrawlEngine {
     val nextFrontierCount = kindCounts.getOrElse(KKept, 0L) + nSurvivors + nDontFilter
     val cleanup = () => {
       if (seqBc != null) seqBc.destroy()
+      if (demandsHandle != null) demandsHandle.unpersist(false)
       deqOut.unpersist(false)
       fetches.unpersist(false)
       fetched.unpersist(false)
@@ -670,9 +788,14 @@ object CrawlEngine {
       survivors.unpersist(false)
       ()
     }
+    // survivors.count() above materialized both prescreen branches
+    val (preNew, preMaybe) =
+      if (bloom.isDefined)
+        (metric(obsBloomNew.get, "n"), metric(obsBloomMaybe.get, "n"))
+      else (-1L, -1L)
     // zero-valued counters are dropped on both sides of the conformance compare
     EpochResult(fetchLog, nextFrontier, seenDelta, newHostState, nextRobotsCache,
       nextCookieJar, media, counters.toMap.filter(_._2 != 0L), baseSeq + nFetches,
-      pageFetchCount, nextFrontierCount, nSurvivors, cleanup)
+      pageFetchCount, nextFrontierCount, nSurvivors, preNew, preMaybe, cleanup)
   }
 }

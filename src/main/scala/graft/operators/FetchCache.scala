@@ -67,13 +67,22 @@ object FetchCache {
   final case class Revalidate(fpHex: String, url: String,
       validators: Map[String, String], cached: Entry)
 
+  /** The three RFC2616 split legs plus the cache-release handle: call
+    * `unpersist()` once the legs have been consumed (mirrors
+    * CrawlEngine.EpochResult.cleanup — without it every invocation leaks one
+    * cached join until LRU eviction). */
+  final case class Rfc2616Split(
+      fresh: Dataset[(Req, Entry)],
+      revalidate: Dataset[Revalidate],
+      misses: Dataset[Req],
+      unpersist: () => Unit)
+
   /** Split a fetch batch against an RFC2616 cache at virtual time `nowSec`:
     * (freshHits — served from cache, no fetch), (stale entries to
     * revalidate with conditional headers), (true misses). One equi-join on
     * the fingerprint; the policy evaluates per-row on executors. */
   def splitRfc2616(spark: SparkSession, requests: Dataset[Req],
-      cache: Dataset[Entry], nowSec: Long):
-      (Dataset[(Req, Entry)], Dataset[Revalidate], Dataset[Req]) = {
+      cache: Dataset[Entry], nowSec: Long): Rfc2616Split = {
     import spark.implicits._
     val joined = requests
       .joinWith(cache, requests("fpHex") === cache("fpHex"), "left_outer")
@@ -88,7 +97,7 @@ object FetchCache {
     }.map { case (r, e) =>
       Revalidate(r.fpHex, r.url, Rfc2616Policy.validators(e.headers), e)
     }
-    (fresh, revalidate, misses)
+    Rfc2616Split(fresh, revalidate, misses, () => { joined.unpersist(); () })
   }
 
   /** Resolve revalidation fetches (`is_cached_response_valid`): on 304 — or

@@ -43,7 +43,14 @@ object Oracle {
     def slotOf(host: String): String =
       if (cfg.perIpSlots) dns.getOrElse(host, host) else host
     val slotLastT = mutable.Map.empty[String, Long].withDefaultValue(Long.MinValue)
+    // stored adaptive AutoThrottle delay per slot (contract step 1a); absent
+    // = unset (-1 on the engine side)
+    val slotDelayState = mutable.Map.empty[String, Long]
     val robotsCache = mutable.Map.empty[String, RobotsRules]
+    // request headers (contract step 6a)
+    def authOf(host: String): String = cfg.authorizationFor(host)
+    def proxyOf(url: String): String =
+      cfg.proxyFor(graft.urlkit.PyUrl.urlparse(url).scheme, UrlKit.hostOf(url))
     // per-host cookie jar (graft.operators.Cookies contract): header from the
     // epoch-start snapshot; Set-Cookie applied at epoch end in seq order
     val cookieJar = mutable.Map.empty[(String, String), String] // (host,name)->value
@@ -92,19 +99,29 @@ object Oracle {
       val epochFetches = mutable.ArrayBuffer.empty[(Long, String, Int, FrontierRow, Boolean)]
       // (virtualT, host, perHostIdx, row-or-robots, isRobots)
       var remaining = Vector.newBuilder[FrontierRow]
+      // per-response delay-adjust events replayed at epoch end (step 1a):
+      // (seq, slot, latencyMs, status)
+      val delayEvents = mutable.ArrayBuffer.empty[(Long, String, Long, Int)]
 
-      // per-slot budgets (contract step 1b): static, or the max-min fair
-      // allocation of the global epoch cap — mirrors CrawlEngine exactly
+      // per-slot delay resolved at epoch start + the step-1a budget it
+      // implies — mirrors CrawlEngine's withState exactly
+      val dlyOf: Map[String, Long] = bySlot.keysIterator.map(s =>
+        s -> cfg.resolveSlotDelay(s, slotDelayState.getOrElse(s, -1L))).toMap
+      val capOf: Map[String, Int] = bySlot.keysIterator.map(s =>
+        s -> cfg.budgetFor(dlyOf(s), cfg.slotCapOf(s))).toMap
+
+      // per-slot budgets (contract step 1b): the step-1a cap, or the max-min
+      // fair allocation of the global epoch cap — mirrors CrawlEngine exactly
       val budgetOf: String => Int =
-        if (cfg.maxFetchesPerEpoch <= 0) _ => cfg.hostBudget
+        if (cfg.maxFetchesPerEpoch <= 0) capOf
         else {
           val cap = cfg.maxFetchesPerEpoch
           val demand = bySlot.view
-            .mapValues(rows => math.min(rows.size, cfg.hostBudget)).toMap
+            .map { case (s, rows) => s -> math.min(rows.size, capOf(s)) }.toMap
           def allocated(f: Int): Long =
             demand.valuesIterator.map(d => math.min(d, f).toLong).sum
           var lo = 0
-          var hi = cfg.hostBudget
+          var hi = cfg.maxSlotBudget
           while (lo < hi) {
             val mid = (lo + hi + 1) / 2
             if (allocated(mid) <= cap) lo = mid else hi = mid - 1
@@ -115,12 +132,12 @@ object Oracle {
           for (slot <- demand.keys.toSeq.sorted if demand(slot) > f) {
             if (rem > 0) { extra(slot) = 1; rem -= 1 }
           }
-          s => f + extra.getOrElse(s, 0)
+          s => math.min(capOf(s), f + extra.getOrElse(s, 0))
         }
 
       for ((slot, rows) <- bySlot.toSeq.sortBy(_._1)) {
         val sorted = rows.sortWith(dequeueLt)
-        var t = math.max(slotLastT(slot) + cfg.delayMs, epochStart)
+        var t = math.max(slotLastT(slot) + dlyOf(slot), epochStart)
         var budgetLeft = budgetOf(slot)
         var stopped = false
         val hostIdx = mutable.Map.empty[String, Int].withDefaultValue(0)
@@ -146,20 +163,20 @@ object Oracle {
                 true))
               inc(s"downloader/response_status_count/$status")
               slotLastT(slot) = t
-              t += cfg.delayMs
+              t += dlyOf(slot)
               budgetLeft -= 1
             }
             if (budgetLeft >= 1) {
               budgetLeft -= 1
               inc("scheduler/dequeued")
               val rules = robotsCache.getOrElse(host, RobotsRules.AllowAll)
-              if (cfg.robotsObey && !rules.allowed(row.url, cfg.robotsUserAgent)) {
+              if (cfg.robotsObey && !rules.allowed(row.url, cfg.effectiveRobotsUserAgent)) {
                 inc("robotstxt/forbidden")
               } else {
                 epochFetches += ((t, host, hostIdx(host), row, false))
                 hostIdx(host) += 1
                 slotLastT(slot) = t
-                t += cfg.delayMs
+                t += dlyOf(slot)
               }
             } else {
               remaining += row
@@ -179,17 +196,42 @@ object Oracle {
         if (isRobots) {
           val status = if (robots.get(host).flatten.isDefined) 200 else 599
           fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status,
-            isRobots = true, cookies = cookieHeader(host))
+            isRobots = true, cookies = cookieHeader(host),
+            userAgent = cfg.userAgent, authorization = authOf(host),
+            proxy = proxyOf(row.url))
         } else {
           pageFetches += 1
           val canonical = UrlKit.canonicalizeUrl(row.url)
           val pageOpt = pages.get(canonical)
-          val status = pageOpt.map(_.status).getOrElse(404)
+          // download timeout (contract step 6c): no response — an exception,
+          // retried like a retryable status
+          val timedOut = cfg.downloadTimeoutMs > 0 &&
+            pageOpt.exists(_.latencyMs >= cfg.downloadTimeoutMs)
+          val status =
+            if (timedOut) 599 else pageOpt.map(_.status).getOrElse(404)
           inc("downloader/request_count")
-          inc(s"downloader/response_status_count/$status")
+          if (timedOut) {
+            inc("downloader/exception_count")
+            inc("downloader/exception_type_count/twisted.internet.error.TimeoutError")
+          } else inc(s"downloader/response_status_count/$status")
           fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status,
-            isRobots = false, referer = row.referer, cookies = cookieHeader(host))
-          pageOpt.foreach { page =>
+            isRobots = false, referer = row.referer, cookies = cookieHeader(host),
+            userAgent = cfg.userAgent, authorization = authOf(host),
+            proxy = proxyOf(row.url))
+          if (timedOut) {
+            if (row.retryTimes < cfg.retryTimes) {
+              inc("retry/count")
+              candidates += FrontierRow(row.url, row.fp, row.host,
+                row.priority - 1, row.depth, isStart = false,
+                dEpoch = epoch, dParent = seq, dLink = -2,
+                row.retryTimes + 1, row.redirectTimes, dontFilter = true,
+                referer = row.referer)
+            } else inc("retry/max_reached")
+          } else pageOpt.foreach { page =>
+            // AutoThrottle adjust event: every fetch with a real response
+            // (contract step 1a), replayed at epoch end in seq order
+            if (cfg.autothrottle)
+              delayEvents += ((seq, slotOf(host), page.latencyMs.toLong, status))
             for ((n, v) <- graft.operators.Cookies.parseSetCookie(page.setCookie))
               epochSetCookies += ((seq, host, n, v))
             // decompression stage (contract step 6b) — must mirror
@@ -235,7 +277,7 @@ object Oracle {
             } else if (status >= 200 && status < 300 && body != null) {
               // meta-refresh intercept (contract step 7a) — mirrors CrawlEngine
               val mrTarget = graft.extract.MetaRefresh
-                .find(new String(body, java.nio.charset.StandardCharsets.UTF_8))
+                .findInBytes(body)
                 .filter(_._1 < cfg.metarefreshMaxDelay)
                 .map { case (_, u) => UrlKit.safeUrlString(UrlKit.urljoin(row.url, u)) }
                 .filter { tgt =>
@@ -297,6 +339,19 @@ object Oracle {
       for ((_, host, n, v) <- epochSetCookies.sortBy(_._1)) {
         if (v.isEmpty) cookieJar.remove((host, n))
         else cookieJar((host, n)) = v
+      }
+
+      // replay AutoThrottle adjustments per slot in global seq order (step
+      // 1a) — the updated delay takes effect next epoch, like cookies
+      if (cfg.autothrottle) {
+        for ((slot, evs) <- delayEvents.groupBy(_._2).toSeq.sortBy(_._1)) {
+          var d = dlyOf(slot)
+          for ((_, _, latency, status) <- evs.sortBy(_._1))
+            d = graft.operators.AutoThrottle.clampedUpdate(d, latency, status,
+              cfg.autothrottleTargetConcurrency, cfg.delayMs,
+              cfg.autothrottleMaxDelayMs)
+          slotDelayState(slot) = d
+        }
       }
 
       frontier = remaining.result()

@@ -9,8 +9,12 @@ import org.apache.spark.util.sketch.BloomFilter
 
 import graft.Model
 
-/** Serialized per-bucket Bloom filter row (persisted next to the snapshot). */
-final case class BloomShardRow(bucket: Int, bits: Array[Byte])
+/** Serialized per-bucket Bloom filter row (persisted next to the snapshot):
+  * the filter bits plus its capacity (expected-items sizing) and the exact
+  * number of fingerprints inserted so far — deltas carry only new fps, so
+  * the running count per bucket is the bucket's true seen-set size. */
+final case class BloomShardRow(bucket: Int, bits: Array[Byte],
+    capacity: Long, n: Long)
 
 /** URL-seen Bloom filter sharded by fingerprint bucket ([[Model.bucketOf]] —
   * the same key the seen table is partitioned by), so the prescreen
@@ -21,25 +25,58 @@ final case class BloomShardRow(bucket: Int, bits: Array[Byte])
   * definitely-new (no false negatives), so exactness is preserved. Each
   * epoch's delta shards are built DISTRIBUTED (one aggregation keyed by
   * bucket — the scan of the new fingerprints happens on executors), then the
-  * 64 small filters merge into the resident shards on the driver and persist
-  * with the manifest. At 10^10 fps this layout holds: shard count scales with
-  * [[Model.NumBuckets]] and each shard stays bounded by its bucket's load,
-  * where a single filter's fpp would silently degrade to 1
-  * (reference dupefilter analogue: `scrapy/dupefilters.py:94-105`).
+  * small filters merge into the resident shards on the driver and persist
+  * with the manifest.
+  *
+  * Capacity is PER BUCKET and GROWS with the bucket's actual seen count
+  * (tracked exactly — delta fps are new by the anti-join): when a bucket's
+  * count exceeds its capacity the shard is saturated (fpp degrades toward 1
+  * and the prescreen silently becomes a no-op that still pays its UDF), so
+  * [[saturatedBuckets]] flags it and the driver REBUILDS it from the
+  * bucket's compacted seen partition at the next compaction epoch, sized at
+  * 2× the current count. At 10^10 fps this layout holds: shard count scales
+  * with [[Model.NumBuckets]] and each shard's capacity tracks its bucket's
+  * load (reference dupefilter analogue: `scrapy/dupefilters.py:94-105`).
   */
-final class BloomShards(val filters: Array[BloomFilter]) extends Serializable {
+final class BloomShards(
+    val filters: Array[BloomFilter],
+    val capacities: Array[Long],
+    val counts: Array[Long]) extends Serializable {
+
   def mightContain(bucket: Int, fpHex: String): Boolean =
     filters(bucket).mightContain(fpHex)
 
-  /** Merge a per-bucket delta filter (must share (items, fpp) sizing). */
-  def merge(bucket: Int, delta: BloomFilter): Unit =
-    filters(bucket).mergeInPlace(delta)
+  /** Merge a per-bucket delta filter built at THIS shard's capacity
+    * (BloomFilter.mergeInPlace requires identical sizing). */
+  def merge(row: BloomShardRow): Unit = {
+    require(row.capacity == capacities(row.bucket),
+      s"delta shard capacity ${row.capacity} != resident ${capacities(row.bucket)}")
+    filters(row.bucket).mergeInPlace(BloomShards.fromBytes(row.bits))
+    counts(row.bucket) += row.n
+  }
+
+  /** Replace a shard wholesale (saturation rebuild / resume restore). */
+  def replace(row: BloomShardRow): Unit = {
+    filters(row.bucket) = BloomShards.fromBytes(row.bits)
+    capacities(row.bucket) = row.capacity
+    counts(row.bucket) = row.n
+  }
+
+  /** Buckets whose exact insert count exceeds their sized capacity — the
+    * shard's fpp is past nominal and it should be rebuilt larger. */
+  def saturatedBuckets: Seq[Int] =
+    counts.indices.filter(b => counts(b) > capacities(b))
 
   def toRows: Seq[BloomShardRow] =
-    filters.zipWithIndex.map { case (f, b) => BloomShardRow(b, BloomShards.toBytes(f)) }
+    filters.indices.map(b =>
+      BloomShardRow(b, BloomShards.toBytes(filters(b)), capacities(b), counts(b)))
 }
 
 object BloomShards {
+
+  /** Smallest per-shard capacity — keeps tiny buckets' filters cheap but
+    * non-degenerate. */
+  val MinShardItems = 1024L
 
   def toBytes(f: BloomFilter): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -50,52 +87,77 @@ object BloomShards {
   def fromBytes(b: Array[Byte]): BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(b))
 
-  /** Per-shard capacity so the TOTAL capacity matches `totalItems`. All
-    * shards (resident, delta, restored) must use the same sizing or
-    * `mergeInPlace` rejects them as incompatible. */
+  /** Capacity a bucket should be (re)built at for `count` current items:
+    * 2× headroom so a rebuild survives many epochs of growth. */
+  def grownCapacity(count: Long): Long =
+    math.max(MinShardItems, java.lang.Long.highestOneBit(math.max(count, 1)) * 4)
+
+  /** Initial per-shard capacity so the TOTAL initial capacity matches
+    * `totalItems` (shards then grow independently per bucket). */
   def itemsPerShard(totalItems: Long): Long =
-    math.max(totalItems / Model.NumBuckets, 1024L)
+    math.max(totalItems / Model.NumBuckets, MinShardItems)
 
-  def create(totalItems: Long, fpp: Double): BloomShards =
-    new BloomShards(Array.fill(Model.NumBuckets)(
-      BloomFilter.create(itemsPerShard(totalItems), fpp)))
+  def create(totalItems: Long, fpp: Double): BloomShards = {
+    val per = itemsPerShard(totalItems)
+    new BloomShards(
+      Array.fill(Model.NumBuckets)(BloomFilter.create(per, fpp)),
+      Array.fill(Model.NumBuckets)(per),
+      Array.fill(Model.NumBuckets)(0L))
+  }
 
-  /** Distributed per-bucket filter build over a (fpHex, bucket) frame: one
-    * partial-aggregated groupBy — executors scan the fingerprints, the driver
-    * only receives ≤ NumBuckets serialized filters. */
+  /** Aggregation buffer: the filter is created lazily on the first row so
+    * its sizing can come from the row's per-bucket capacity. */
+  final case class Buf(var f: BloomFilter, var n: Long)
+
+  /** Distributed per-bucket filter build over a (fpHex, bucket) frame, each
+    * bucket sized by `capacityOf(bucket)`: one partial-aggregated groupBy —
+    * executors scan the fingerprints, the driver only receives ≤ NumBuckets
+    * serialized filters (+ exact insert counts). */
   def buildShards(spark: SparkSession, seen: DataFrame,
-      totalItems: Long, fpp: Double): Seq[BloomShardRow] = {
+      capacityOf: Int => Long, fpp: Double): Seq[BloomShardRow] = {
     import spark.implicits._
-    val items = itemsPerShard(totalItems)
-    val agg = new Aggregator[String, BloomFilter, Array[Byte]] {
-      override def zero: BloomFilter = BloomFilter.create(items, fpp)
-      override def reduce(b: BloomFilter, s: String): BloomFilter = { b.putString(s); b }
-      override def merge(a: BloomFilter, b: BloomFilter): BloomFilter = { a.mergeInPlace(b); a }
-      override def finish(b: BloomFilter): Array[Byte] = toBytes(b)
-      override def bufferEncoder = Encoders.javaSerialization[BloomFilter]
-      override def outputEncoder = Encoders.BINARY
+    val agg = new Aggregator[(String, Long), Buf, (Array[Byte], Long)] {
+      override def zero: Buf = Buf(null, 0L)
+      override def reduce(b: Buf, in: (String, Long)): Buf = {
+        if (b.f == null) b.f = BloomFilter.create(in._2, fpp)
+        b.f.putString(in._1)
+        b.n += 1
+        b
+      }
+      override def merge(a: Buf, b: Buf): Buf = {
+        if (a.f == null) b
+        else if (b.f == null) a
+        else { a.f.mergeInPlace(b.f); a.n += b.n; a }
+      }
+      override def finish(b: Buf): (Array[Byte], Long) =
+        (if (b.f == null) null else toBytes(b.f), b.n)
+      override def bufferEncoder = Encoders.javaSerialization[Buf]
+      override def outputEncoder =
+        Encoders.tuple(Encoders.BINARY, Encoders.scalaLong)
     }
-    val bloomUdaf = udaf(agg, Encoders.STRING)
-    seen.groupBy($"bucket")
-      .agg(bloomUdaf($"fpHex").as("bits"))
-      .as[(Int, Array[Byte])]
+    val bloomUdaf = udaf(agg, Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+    val capUdf = udf((b: Int) => capacityOf(b))
+    seen.select($"fpHex", $"bucket", capUdf($"bucket").as("cap"))
+      .groupBy($"bucket")
+      .agg(bloomUdaf($"fpHex", $"cap").as("out"))
+      .select($"bucket", $"out._1".as("bits"), $"out._2".as("n"))
+      .as[(Int, Array[Byte], Long)]
       .collect()
-      .map { case (b, bits) => BloomShardRow(b, bits) }
+      .filter(_._2 != null)
+      .map { case (b, bits, n) => BloomShardRow(b, bits, capacityOf(b), n) }
       .toSeq
   }
 
   /** Restore resident shards from a persisted shard table (resume path);
-    * buckets absent from the table stay fresh. */
+    * buckets absent from the table stay fresh at the initial sizing. */
   def load(spark: SparkSession, path: String, totalItems: Long, fpp: Double): BloomShards = {
     import spark.implicits._
     val shards = create(totalItems, fpp)
-    spark.read.parquet(path).as[BloomShardRow].collect().foreach { r =>
-      shards.filters(r.bucket) = fromBytes(r.bits)
-    }
+    spark.read.parquet(path).as[BloomShardRow].collect().foreach(shards.replace)
     shards
   }
 
-  /** Persist the resident shards (overwrites; 64 small rows). */
+  /** Persist the resident shards (overwrites; ≤ NumBuckets small rows). */
   def save(spark: SparkSession, path: String, shards: BloomShards): Unit = {
     import spark.implicits._
     spark.createDataset(shards.toRows)

@@ -143,7 +143,10 @@ object Referer {
     * None (caller falls back to the configured default). */
   def fromHeader(header: String): Option[Policy] = {
     if (header == null) return None
-    header.toLowerCase(java.util.Locale.ROOT).split(",").map(_.trim)
+    // split limit -1: a trailing empty token ("same-origin,") must survive —
+    // the rightmost "" resolves to no-referrer-when-downgrade per the W3C
+    // empty-string rule (`referer.py` _load_policy_class + `:310-311`)
+    header.toLowerCase(java.util.Locale.ROOT).split(",", -1).map(_.trim)
       .reverseIterator.collectFirst { case t if byName.contains(t) => byName(t) }
   }
 

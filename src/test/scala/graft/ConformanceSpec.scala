@@ -24,9 +24,11 @@ class ConformanceSpec extends AnyFunSuite {
       .select($"epoch", $"seq", $"host", $"url",
         org.apache.spark.sql.functions.lower(
           org.apache.spark.sql.functions.hex($"fp")).as("fp"),
-        $"virtualTMs", $"status", $"isRobots", $"referer", $"cookies")
+        $"virtualTMs", $"status", $"isRobots", $"referer", $"cookies",
+        $"userAgent", $"authorization", $"proxy")
       .as[(Int, Long, String, String, String, Long, Int, Boolean,
-        Option[String], Option[String])]
+        Option[String], Option[String], Option[String], Option[String],
+        Option[String])]
       .collect().toVector
 
     val pages = Corpus.allPages(spec).map(p => p.url -> p).toMap
@@ -34,7 +36,8 @@ class ConformanceSpec extends AnyFunSuite {
       Corpus.allDns(spec))
     val oracleLog = o.fetchLog.map(f =>
       (f.epoch, f.seq, f.host, f.url, UrlKit.toHex(f.fp), f.virtualTMs, f.status,
-        f.isRobots, Option(f.referer), Option(f.cookies)))
+        f.isRobots, Option(f.referer), Option(f.cookies), Option(f.userAgent),
+        Option(f.authorization), Option(f.proxy)))
 
     // fetch log: ordered list equality
     assert(engineLog.size === oracleLog.size,
@@ -104,6 +107,41 @@ class ConformanceSpec extends AnyFunSuite {
     // analogue) — the walk, robots surcharges and cross-host interleaving
     // must match the oracle exactly
     compare(Corpus.Small, CrawlConfig(maxEpochs = 8, perIpSlots = true), "perip")
+  }
+
+  test("download-timeout variant conforms (599 exceptions retried + counted)") {
+    // content-page latencies span 10–500 ms; a 300 ms DOWNLOAD_TIMEOUT trips
+    // on plenty of 200s AND slow 503s — fetch-log status 599, exception
+    // counters, retry rewrite must all match the oracle
+    compare(Corpus.Small,
+      CrawlConfig(maxEpochs = 8, downloadTimeoutMs = 300), "timeout")
+  }
+
+  test("autothrottle variant conforms (adaptive per-slot delay + budget)") {
+    // delays start at 200 ms and chase per-page latency (10–500 ms) through
+    // the reference _adjust_delay fold; budgets derive from the adaptive
+    // delay each epoch, so virtual times AND walk lengths both move
+    compare(Corpus.Small,
+      CrawlConfig(maxEpochs = 10, delayMs = 50, autothrottle = true,
+        autothrottleStartDelayMs = 200, autothrottleMaxDelayMs = 1500),
+      "autothrottle")
+  }
+
+  test("DOWNLOAD_SLOTS per-slot overrides conform (two overridden slots)") {
+    compare(Corpus.Small,
+      CrawlConfig(maxEpochs = 8, slotOverrides = Map(
+        "h1.test" -> SlotOverride(delayMs = Some(20), maxPerEpoch = Some(3)),
+        "h2.test" -> SlotOverride(delayMs = Some(400)))), "slots")
+  }
+
+  test("UA/auth/proxy header variant conforms (robots UA falls back to request UA)") {
+    compare(Corpus.Small,
+      CrawlConfig(maxEpochs = 8,
+        userAgent = "graftbot", // keeps robots matching = baseline while…
+        robotsUserAgent = "", // …exercising the ROBOTSTXT_USER_AGENT fallback
+        httpUser = "u", httpPass = "p", httpAuthDomain = "h3.test",
+        proxies = Map("http" -> "http://proxy.local:8080"),
+        noProxy = Seq("h4.test")), "headers")
   }
 
   test("zero-delay + distributed seq assignment conforms byte-for-byte") {

@@ -134,12 +134,13 @@ class FetchCacheSpec extends AnyFunSuite {
       FetchCache.Req("aa", "http://h.test/a", ""),
       FetchCache.Req("bb", "http://h.test/b", ""),
       FetchCache.Req("cc", "http://h.test/c", "")).toDS()
-    val (freshHits, reval, misses) = FetchCache.splitRfc2616(spark, reqs, cache, now)
-    assert(freshHits.collect().map(_._1.fpHex).toSet === Set("aa"))
-    val rv = reval.collect()
+    val split = FetchCache.splitRfc2616(spark, reqs, cache, now)
+    assert(split.fresh.collect().map(_._1.fpHex).toSet === Set("aa"))
+    val rv = split.revalidate.collect()
     assert(rv.map(_.fpHex).toSet === Set("bb"))
     assert(rv.head.validators === Map("If-None-Match" -> "\"b7\""))
-    assert(misses.collect().map(_.fpHex).toSet === Set("cc"))
+    assert(split.misses.collect().map(_.fpHex).toSet === Set("cc"))
+    split.unpersist() // release the split's cached join (no leaked cache)
 
     // revalidation fetch comes back 304 → cached body served; 200 → replaced
     val resolved = FetchCache.resolveRevalidated(spark, Seq(

@@ -16,12 +16,18 @@ class OperatorsSpec extends AnyFunSuite {
   test("autothrottle update follows the reference formula and clamps") {
     import AutoThrottle.clampedUpdate
     // target = latency/conc; new = (old+target)/2
-    assert(clampedUpdate(5000, 3000, ok = true, 1.0, 100, 60000) === 4000)
-    // never decreases on error
-    assert(clampedUpdate(5000, 100, ok = false, 1.0, 100, 60000) === 5000)
-    assert(clampedUpdate(5000, 100, ok = true, 1.0, 100, 60000) === 2550)
+    assert(clampedUpdate(5000, 3000, 200, 1.0, 100, 60000) === 4000)
+    // never decreases on a non-200 response
+    assert(clampedUpdate(5000, 100, 503, 1.0, 100, 60000) === 5000)
+    assert(clampedUpdate(5000, 100, 200, 1.0, 100, 60000) === 2550)
+    // a non-200 CAN still raise the delay (throttle.py:135-139 only blocks
+    // decreases)
+    assert(clampedUpdate(1000, 9000, 503, 1.0, 100, 60000) === 9000)
+    // `new_delay = max(target_delay, new_delay)`: target above the mean wins
+    // (throttle.py:117-119 — problematic-site rule)
+    assert(clampedUpdate(1000, 9000, 200, 1.0, 100, 60000) === 9000)
     // clamped to max
-    assert(clampedUpdate(60000, 500000, ok = true, 1.0, 100, 60000) === 60000)
+    assert(clampedUpdate(60000, 500000, 200, 1.0, 100, 60000) === 60000)
   }
 
   test("autothrottle per-host dataset update") {
@@ -135,6 +141,23 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   // ---- peek ------------------------------------------------------------------
+  test("IVF-blocked near-dup finds the true nearest neighbor with high recall") {
+    // the 100 TB shape of q_embedding_neardup: candidate set bounded by the
+    // nProbe nearest IVF lists instead of a label block (which is O(n²) when
+    // labels are few). On the isotropic testdata embeddings recall is
+    // governed by P(true nn shares a probed list) — same geometry bound as
+    // the ivfTopK test above; the gate has margin below its measured ~0.9.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val all = (0L until 500L).toSeq
+    val exactNN = Similarity.bruteTopK(spark, emb, all, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val blocked = Similarity.ivfNearDup(spark, emb, nLists = 8, nProbe = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(blocked.size === 500, "every vector must get a neighbor")
+    val recall = all.count(i => blocked.get(i) == exactNN.get(i)).toDouble / all.size
+    assert(recall >= 0.8, s"IVF-blocked near-dup recall too low: $recall")
+  }
+
   test("peek returns each slot's next request under the dequeue comparator") {
     import spark.implicits._
     def fr(url: String, host: String, prio: Int, dEpoch: Int, dParent: Long, dLink: Int) =

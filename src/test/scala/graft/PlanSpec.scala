@@ -62,6 +62,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("fair-share budget allocation plans no window (and allocates the cap)") {
+    import spark.implicits._
+    // 60 slots with varying demand and per-slot caps — the step-1b input shape
+    val withState = (0 until 60).flatMap { i =>
+      Seq.fill(1 + i % 9)((f"h$i%03d.test", 3 + i % 5))
+    }.toDF("slot", "slotCap")
+    val cfg = CrawlConfig(maxFetchesPerEpoch = 100)
+    val (budgets, handle) =
+      graft.operators.CrawlEngine.fairShareBudgets(spark, cfg, withState)
+    val p = budgets.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the round-2 form ranked over-F slots with Window.orderBy(slot) — a
+    // single-task sort at 10^6 slots; the rewrite must never plan a Window
+    assert(!p.contains("Window"), s"fair share must not plan a window:\n$p")
+    // allocation sanity: per-slot usable units sum to ≤ cap, and the fair
+    // share is tight (adding one more unit to every unsatisfied slot busts it)
+    val perSlot = budgets.groupBy($"slot")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"),
+        org.apache.spark.sql.functions.min($"slotBudget").as("b"),
+        org.apache.spark.sql.functions.min($"slotCap").as("c"))
+      .as[(String, Long, Long, Long)].collect()
+    val used = perSlot.map { case (_, rows, b, c) =>
+      math.min(math.min(rows, c), b) }.sum
+    assert(used <= 100, s"allocated $used > cap")
+    val unsatisfied = perSlot.count { case (_, rows, b, c) => math.min(rows, c) > b }
+    assert(used + unsatisfied > 100, "allocation is not max-min tight")
+    if (handle != null) handle.unpersist()
+  }
+
   test("embedding near-dup argmax is an aggregate, not a window over the join") {
     val p = plan("q_embedding_neardup")
     assert(!p.contains("Window"),
