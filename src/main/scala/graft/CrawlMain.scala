@@ -27,6 +27,8 @@ object CrawlMain {
     case "small" :: Nil => Corpus.Small
     case "bench" :: Nil => Corpus.bench()
     case "bench" :: n :: Nil => Corpus.bench(n.toInt)
+    case "bench" :: n :: "notraps" :: Nil => // round-1-shaped A/B baseline
+      Corpus.bench(n.toInt).copy(richTraps = false)
     // frontier-scale spec: pages spread over ~2/3 as many hosts (most hosts
     // hold 1-2 pages — the broad-crawl shape where the fetch batch is huge
     // and the distributed seq-assign path matters)
@@ -56,6 +58,8 @@ object CrawlMain {
         delayMs = sys.env.getOrElse("GRAFT_DELAY_MS", "100").toLong,
         epochMs = sys.env.getOrElse("GRAFT_EPOCH_MS", "1000").toLong,
         maxPerHostPerEpoch = sys.env.getOrElse("GRAFT_PER_HOST", "16").toInt,
+        maxFetchesPerEpoch = sys.env.getOrElse("GRAFT_MAX_FETCHES_PER_EPOCH", "0").toLong,
+        autothrottle = sys.env.get("GRAFT_AUTOTHROTTLE").contains("1"),
         seqCollectMax = sys.env.getOrElse("GRAFT_SEQ_COLLECT_MAX", "2000000").toLong)
       val t0 = System.nanoTime()
       val res = CrawlDriver.run(spark, cfg, corpusDir, root,

@@ -132,6 +132,10 @@ object Corpus {
         if (encRoll < 0.40) (graft.extract.HttpCompression.gzipBytes(raw), "gzip")
         else if (encRoll < 0.50) (graft.extract.HttpCompression.deflateBytes(raw), "deflate")
         else if (encRoll < 0.53) (graft.extract.HttpCompression.gzipBytes(raw), "x-gzip")
+        else if (encRoll < 0.56) (graft.extract.HttpCompression.zstdBytes(raw), "zstd")
+        // brotli: no codec in this build — the unknown-coding keep path
+        // (body opaque, NO httpcompression counters, reference parity)
+        else if (encRoll < 0.575) (raw, "br")
         else (raw, null)
       // Referrer-Policy header traps: valid names, mixed case, comma lists
       // with unknown tokens (rightmost-valid wins), pure-unknown (falls back

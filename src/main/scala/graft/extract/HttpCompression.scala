@@ -33,9 +33,12 @@ object HttpCompression {
   private def checkMax(size: Long, maxSize: Long): Unit =
     if (maxSize > 0 && size > maxSize) throw new MaxSizeExceeded(size, maxSize)
 
-  /** Codings this build can decode (reference ACCEPTED_ENCODINGS minus the
-    * optional brotli/zstd, plus the x-gzip alias). */
-  val SupportedEncodings: Set[String] = Set("gzip", "x-gzip", "deflate")
+  /** Codings this build can decode — reference ACCEPTED_ENCODINGS with the
+    * optional zstd present (zstd-jni ships with Spark), plus the x-gzip
+    * alias; brotli has no codec in this container and stays an unknown
+    * coding (kept, body opaque), like a reference install without the
+    * brotli package (`httpcompression.py:31-54`). */
+  val SupportedEncodings: Set[String] = Set("gzip", "x-gzip", "deflate", "zstd")
 
   /** Split a Content-Encoding header into (toDecode rightmost-first, kept) —
     * reference `_split_encodings`. */
@@ -103,10 +106,32 @@ object HttpCompression {
     }
   }
 
+  /** Streaming zstd decode with the max-size guard
+    * (`scrapy/utils/_compression.py:50-63` _unzstd). zstd-jni errors extend
+    * IOException, which callers already map to the decode-error drop. */
+  def unzstd(data: Array[Byte], maxSize: Long = 0): Array[Byte] = {
+    val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+      new ByteArrayInputStream(data))
+    try {
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](ChunkSize)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        checkMax(out.size().toLong, maxSize)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } finally in.close()
+  }
+
   /** Decode a body per its Content-Encoding header. Returns the (possibly
     * partially) decoded body and the codings that could NOT be decoded
     * (empty = fully decoded; non-empty = treat the body as opaque, the way
-    * the reference falls back to a non-Text response class). */
+    * the reference falls back to a non-Text response class). When NOTHING is
+    * decodable (`toDecode` empty) the input array is returned as-is —
+    * callers skip the httpcompression counters then, matching the
+    * reference's early `if not to_decode: return response`. */
   def decode(body: Array[Byte], contentEncoding: String,
       maxSize: Long = 0): (Array[Byte], List[String]) = {
     val (toDecode, kept) = splitEncodings(contentEncoding)
@@ -115,6 +140,7 @@ object HttpCompression {
       b = enc match {
         case "gzip" | "x-gzip" => gunzip(b, maxSize)
         case "deflate" => inflate(b, maxSize)
+        case "zstd" => unzstd(b, maxSize)
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
     }
@@ -139,4 +165,9 @@ object HttpCompression {
     d.end()
     out.toByteArray
   }
+
+  /** Deterministic for a fixed zstd-jni version + level (same jar on both
+    * sides of the conformance compare). */
+  def zstdBytes(data: Array[Byte], level: Int = 3): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(data, level)
 }

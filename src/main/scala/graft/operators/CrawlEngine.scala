@@ -201,16 +201,26 @@ object CrawlEngine {
     // per-slot state join + epoch delay/cap resolution (contract step 1a):
     // the slot's delay for this epoch — DOWNLOAD_SLOTS override, stored
     // AutoThrottle delay, or the global default — and the budget it implies.
-    // hostState is tiny next to the frontier (broadcast under AQE).
-    val resolveDelayUdf = udf((slot: String, stored: java.lang.Long) =>
-      cfg.resolveSlotDelay(slot, if (stored == null) -1L else stored.longValue()))
-    val capUdf = udf((slot: String, delay: Long) =>
-      cfg.budgetFor(delay, cfg.slotCapOf(slot)))
-    val withState = withSlot
+    // hostState is tiny next to the frontier (broadcast under AQE). With no
+    // overrides and AutoThrottle off (the common broad-crawl config) both
+    // columns are CONSTANTS — no per-frontier-row UDF calls.
+    val joinedState = withSlot
       .join(hostState.toDF().select($"host".as("slot"), $"lastTMs".as("lastT"),
         $"delayMs".as("storedDelay")), Seq("slot"), "left")
-      .withColumn("slotDelay", resolveDelayUdf($"slot", $"storedDelay"))
-      .withColumn("slotCap", capUdf($"slot", $"slotDelay"))
+    val withState =
+      if (!cfg.autothrottle && cfg.slotOverrides.isEmpty)
+        joinedState
+          .withColumn("slotDelay", lit(cfg.delayMs))
+          .withColumn("slotCap", lit(cfg.hostBudget))
+      else {
+        val resolveDelayUdf = udf((slot: String, stored: java.lang.Long) =>
+          cfg.resolveSlotDelay(slot, if (stored == null) -1L else stored.longValue()))
+        val capUdf = udf((slot: String, delay: Long) =>
+          cfg.budgetFor(delay, cfg.slotCapOf(slot)))
+        joinedState
+          .withColumn("slotDelay", resolveDelayUdf($"slot", $"storedDelay"))
+          .withColumn("slotCap", capUdf($"slot", $"slotDelay"))
+      }
 
     // per-slot budgets: the step-1a cap, or — under the global epoch cap —
     // its max-min fair allocation (contract step 1b)
@@ -418,10 +428,19 @@ object CrawlEngine {
     // request headers (contract step 6a): User-Agent is the configured
     // constant; Authorization and proxy are pure per-row functions of
     // (cfg, host, scheme) — robots fetches are ordinary downloads and carry
-    // all three, exactly like the oracle
-    val authUdf = udf((host: String) => cfg.authorizationFor(host))
-    val proxyUdf = udf((url: String, host: String) =>
-      cfg.proxyFor(graft.urlkit.PyUrl.urlparse(url).scheme, host))
+    // all three, exactly like the oracle. Unconfigured ⇒ constant nulls,
+    // no per-row UDF work.
+    val nullStr = lit(null).cast("string")
+    val hasAuth = (cfg.httpUser != null && cfg.httpUser.nonEmpty) ||
+      (cfg.httpPass != null && cfg.httpPass.nonEmpty)
+    val authCol =
+      if (!hasAuth) nullStr
+      else udf((host: String) => cfg.authorizationFor(host)).apply($"host")
+    val proxyCol =
+      if (cfg.proxies.isEmpty) nullStr
+      else udf((url: String, host: String) =>
+        cfg.proxyFor(graft.urlkit.PyUrl.urlparse(url).scheme, host))
+        .apply($"url", $"host")
     val fetchLog = fetched
       .select($"fr.*", $"t", $"seq", $"status", lit(false).as("isRobots"))
       .unionByName(robotsFetchLog
@@ -432,8 +451,8 @@ object CrawlEngine {
       .select(lit(epoch).as("epoch"), $"seq", $"host", $"url", $"fp",
         $"t".as("virtualTMs"), $"status", $"isRobots", $"referer", $"cookies",
         lit(cfg.userAgent).as("userAgent"),
-        authUdf($"host").as("authorization"),
-        proxyUdf($"url", $"host").as("proxy"))
+        authCol.as("authorization"),
+        proxyCol.as("proxy"))
       .persist()
 
     // ---- expansion: decompression / redirect / retry / links ---------------
@@ -467,11 +486,18 @@ object CrawlEngine {
           } else out += ((1, row, 0L))
         } else {
         // decompression stage (contract step 6b): decode before any body use;
-        // an undecodable remainder coding leaves the body opaque (no links)
+        // an undecodable remainder coding leaves the body opaque (no links).
+        // A header with NOTHING decodable (e.g. pure `br` with no codec) is
+        // the reference's early `if not to_decode: return response` — no
+        // httpcompression counters fire.
         var body: Option[Array[Byte]] = rawBody.filter(_ != null)
         val encOpt = contentEncoding.filter(e => e != null && e.nonEmpty)
         if (body.isDefined && encOpt.isDefined) {
-          try {
+          val (toDecode, keptPre) =
+            graft.extract.HttpCompression.splitEncodings(encOpt.get)
+          if (toDecode.isEmpty) {
+            if (keptPre.nonEmpty) body = None // unknown coding → opaque
+          } else try {
             val (decoded, kept) = graft.extract.HttpCompression.decode(
               body.get, encOpt.get, maxBodySize)
             out += ((5, row, decoded.length.toLong))

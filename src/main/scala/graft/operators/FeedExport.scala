@@ -24,13 +24,25 @@ object FeedExport {
       format: String, // json | csv | parquet | xml
       itemFilter: Option[Column] = None,
       fields: Seq[String] = Nil,
-      batchItemCount: Int = 0)
+      batchItemCount: Int = 0,
+      // FEED_EXPORT post-processing plugin chain (`scrapy/extensions/
+      // postprocessing.py`): gzip | bz2 | xz | lzma, applied in order (data
+      // flows through plugin 1 first, so on disk the LAST plugin's framing
+      // is outermost). A single gzip/bz2 on a text format uses the
+      // DataFrameWriter's distributed compression codec — the scalable
+      // path; other chains compress the written part files via
+      // commons-compress (plugin parity for formats Hadoop has no codec
+      // chain for). parquet is already columnar-compressed and rejects
+      // post-processing like the reference rejects it for binary exporters.
+      postProcessing: Seq[String] = Nil)
 
   /** Apply filter + field projection, then write. `orderCols` pins the item
     * order batching counts over (the reference inherits arrival order; a
     * distributed export must say its order out loud). */
   def export(spark: SparkSession, df0: DataFrame, feed: Feed, outDir: String,
       orderCols: Seq[String] = Nil): Unit = {
+    require(feed.postProcessing.isEmpty || feed.format != "parquet",
+      "post-processing applies to serialized item feeds, not parquet")
     var df = feed.itemFilter.map(df0.filter).getOrElse(df0)
     if (feed.fields.nonEmpty) df = df.select(feed.fields.map(col): _*)
 
@@ -48,8 +60,15 @@ object FeedExport {
           schema.add("batch", org.apache.spark.sql.types.LongType))
       }
 
+    // single gzip/bz2 plugin → the writer's own distributed codec
+    val writerCodec: Option[String] =
+      if (feed.postProcessing.size == 1)
+        Map("gzip" -> "gzip", "bz2" -> "bzip2").get(feed.postProcessing.head)
+      else None
+
     def writer(d: DataFrame) = {
-      val w = d.write.mode(SaveMode.Overwrite)
+      var w = d.write.mode(SaveMode.Overwrite)
+      writerCodec.foreach(c => w = w.option("compression", c))
       if (feed.batchItemCount > 0) w.partitionBy("batch") else w
     }
 
@@ -65,6 +84,9 @@ object FeedExport {
         writer(doc).text(outDir)
       case other => throw new IllegalArgumentException(s"unknown feed format $other")
     }
+
+    if (feed.postProcessing.nonEmpty && writerCodec.isEmpty)
+      PostProcessing.compressDir(outDir, feed.postProcessing)
   }
 
   /** One `<item>` element per row (XmlItemExporter `exporters.py:113-152`):
@@ -84,6 +106,75 @@ object FeedExport {
   private def xmlEscape(c: Column): Column =
     regexp_replace(regexp_replace(regexp_replace(c,
       lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+}
+
+/** Feed post-processing plugin chain — reference
+  * `scrapy/extensions/postprocessing.py:15-166` (GzipPlugin, Bz2Plugin,
+  * LZMAPlugin + PostProcessingManager chaining). Data flows through the
+  * plugins in declaration order (plugin 1 compresses first, the last plugin
+  * writes to disk), so a chain `[gzip, bz2]` produces `bz2(gzip(data))` on
+  * disk — mirrored here by wrapping output streams in reverse order.
+  * Backed by commons-compress (ships with Spark). */
+object PostProcessing {
+
+  import java.io.OutputStream
+  import org.apache.commons.compress.compressors.bzip2.{BZip2CompressorInputStream, BZip2CompressorOutputStream}
+  import org.apache.commons.compress.compressors.gzip.{GzipCompressorInputStream, GzipCompressorOutputStream}
+  import org.apache.commons.compress.compressors.lzma.{LZMACompressorInputStream, LZMACompressorOutputStream}
+  import org.apache.commons.compress.compressors.xz.{XZCompressorInputStream, XZCompressorOutputStream}
+
+  val Extensions: Map[String, String] =
+    Map("gzip" -> "gz", "bz2" -> "bz2", "xz" -> "xz", "lzma" -> "lzma")
+
+  private def wrapOut(plugin: String, out: OutputStream): OutputStream = plugin match {
+    case "gzip" => new GzipCompressorOutputStream(out)
+    case "bz2" => new BZip2CompressorOutputStream(out)
+    case "xz" => new XZCompressorOutputStream(out)
+    case "lzma" => new LZMACompressorOutputStream(out)
+    case other => throw new IllegalArgumentException(s"unknown plugin $other")
+  }
+
+  private def wrapIn(plugin: String, in: java.io.InputStream): java.io.InputStream =
+    plugin match {
+      case "gzip" => new GzipCompressorInputStream(in)
+      case "bz2" => new BZip2CompressorInputStream(in)
+      case "xz" => new XZCompressorInputStream(in)
+      case "lzma" => new LZMACompressorInputStream(in)
+      case other => throw new IllegalArgumentException(s"unknown plugin $other")
+    }
+
+  /** Compress one file through the chain; returns the new path (original
+    * removed). Extensions accumulate in plugin order like the reference's
+    * feed URI conventions. */
+  def compressFile(src: java.nio.file.Path, plugins: Seq[String]): java.nio.file.Path = {
+    val dst = src.resolveSibling(
+      src.getFileName.toString + plugins.map(p => "." + Extensions(p)).mkString)
+    var os: OutputStream = java.nio.file.Files.newOutputStream(dst)
+    for (p <- plugins.reverse) os = wrapOut(p, os)
+    try java.nio.file.Files.copy(src, os) finally os.close()
+    java.nio.file.Files.delete(src)
+    dst
+  }
+
+  /** Post-pass over a written feed dir: every part file (incl. batch
+    * subdirs) goes through the chain, in parallel across files. */
+  def compressDir(dir: String, plugins: Seq[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val parts = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.startsWith("part-"))
+      .toSeq
+    // parallel across part files (bounded by the machine; no extra deps)
+    parts.toList.asJava.parallelStream().forEach(p => compressFile(p, plugins))
+  }
+
+  /** Decompression for tests / consumers: invert the chain. */
+  def decompress(path: java.nio.file.Path, plugins: Seq[String]): Array[Byte] = {
+    var in: java.io.InputStream = java.nio.file.Files.newInputStream(path)
+    for (p <- plugins.reverse) in = wrapIn(p, in)
+    try in.readAllBytes() finally in.close()
+  }
 }
 
 /** item_completed gather — reference MediaPipeline.item_completed

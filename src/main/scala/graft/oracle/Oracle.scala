@@ -235,11 +235,17 @@ object Oracle {
             for ((n, v) <- graft.operators.Cookies.parseSetCookie(page.setCookie))
               epochSetCookies += ((seq, host, n, v))
             // decompression stage (contract step 6b) — must mirror
-            // CrawlEngine's expansion flatMap exactly
+            // CrawlEngine's expansion flatMap exactly: nothing decodable →
+            // no counters (reference `if not to_decode: return response`);
+            // an unknown remaining coding leaves the body opaque
             var body: Array[Byte] = page.body
             val enc = Option(page.contentEncoding).filter(_.nonEmpty)
             if (body != null && enc.isDefined) {
-              try {
+              val (toDecode, keptPre) =
+                graft.extract.HttpCompression.splitEncodings(enc.get)
+              if (toDecode.isEmpty) {
+                if (keptPre.nonEmpty) body = null
+              } else try {
                 val (decoded, kept) = graft.extract.HttpCompression.decode(
                   body, enc.get, cfg.downloadMaxSize)
                 inc("httpcompression/response_count")

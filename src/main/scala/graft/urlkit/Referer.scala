@@ -38,7 +38,53 @@ object Referer {
       if (stripFragment) "" else p.fragment)
   }
 
-  private def schemeOf(url: String): String = PyUrl.urlparse(url).scheme
+  /** Scheme per urlparse's rule ([a-zA-Z][a-zA-Z0-9+.-]* before ':'),
+    * without paying a full parse — this runs per extracted link. */
+  private def schemeOf(url: String): String = {
+    val i = url.indexOf(':')
+    if (i <= 0) return ""
+    val c0 = url.charAt(0)
+    if (!((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z'))) return ""
+    var k = 1
+    while (k < i) {
+      val c = url.charAt(k)
+      val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
+      if (!ok) return ""
+      k += 1
+    }
+    url.substring(0, i).toLowerCase(java.util.Locale.ROOT)
+  }
+
+  // Per-thread last-value memo for the link-INDEPENDENT policy pieces: one
+  // page's links all evaluate against the same response URL, so the full
+  // strip_url / origin parses run once per page instead of once per link.
+  // Pure-function caching — results are byte-identical.
+  private val stripMemo = new ThreadLocal[Array[AnyRef]] {
+    override def initialValue(): Array[AnyRef] = new Array[AnyRef](6)
+  }
+  private def stripDefaultCached(url: String): String = {
+    val c = stripMemo.get()
+    if (url == c(0)) c(1).asInstanceOf[String]
+    else { val v = stripUrl(url); c(0) = url; c(1) = v; v }
+  }
+  // LRU-2 for origin: same-origin-style policies probe BOTH the (fixed)
+  // response origin and each link's origin — one slot would thrash
+  private def originCached(url: String): String = {
+    val c = stripMemo.get()
+    if (url == c(2)) c(3).asInstanceOf[String]
+    else if (url == c(4)) { // promote to MRU
+      val v = c(5).asInstanceOf[String]
+      val u0 = c(2); val v0 = c(3)
+      c(2) = url; c(3) = v; c(4) = u0; c(5) = v0
+      v
+    } else { // miss: evict the LRU slot
+      val v = stripUrl(url, originOnly = true)
+      c(4) = c(2); c(5) = c(3)
+      c(2) = url; c(3) = v
+      v
+    }
+  }
 
   /** about/blob/data/filesystem (`referer.py:31-36`). */
   val LocalSchemes: Set[String] = Set("about", "blob", "data", "filesystem")
@@ -50,12 +96,13 @@ object Referer {
     def referrer(responseUrl: String, requestUrl: String): Option[String]
 
     protected def strippedReferrer(url: String): Option[String] =
-      if (!noReferrerSchemes.contains(schemeOf(url))) Some(stripUrl(url)) else None
+      if (!noReferrerSchemes.contains(schemeOf(url))) Some(stripDefaultCached(url))
+      else None
 
     protected def originReferrer(url: String): Option[String] =
       if (!noReferrerSchemes.contains(schemeOf(url))) Some(origin(url)) else None
 
-    protected def origin(url: String): String = stripUrl(url, originOnly = true)
+    protected def origin(url: String): String = originCached(url)
 
     protected def tlsProtected(url: String): Boolean =
       Set("https", "ftps").contains(schemeOf(url))

@@ -36,6 +36,46 @@ class FeedExportSpec extends AnyFunSuite {
     assert(back.columns.toSet === Set("seq", "url", "status"))
   }
 
+  test("post-processing: single gzip plugin uses the distributed writer codec") {
+    import spark.implicits._
+    val out = TestSpark.tempDir("feed-gz")
+    FeedExport.export(spark, sample(),
+      FeedExport.Feed("json", postProcessing = Seq("gzip")), out)
+    val files = new java.io.File(out).listFiles().filter(_.getName.startsWith("part-"))
+    assert(files.nonEmpty && files.forall(_.getName.endsWith(".gz")),
+      s"expected .gz parts, got ${files.map(_.getName).toSeq}")
+    assert(spark.read.json(out).count() === 10) // spark reads the codec back
+  }
+
+  test("post-processing: xz and chained gzip+bz2 plugins round-trip") {
+    import graft.operators.PostProcessing
+    for (chain <- Seq(Seq("xz"), Seq("lzma"), Seq("gzip", "bz2"))) {
+      val out = TestSpark.tempDir(s"feed-${chain.mkString("-")}")
+      FeedExport.export(spark, sample(),
+        FeedExport.Feed("json", postProcessing = chain), out)
+      val files = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val wantSuffix = chain.map(p => "." + PostProcessing.Extensions(p)).mkString
+      assert(files.nonEmpty && files.forall(_.getName.endsWith(wantSuffix)),
+        s"[$chain] expected *$wantSuffix, got ${files.map(_.getName).toSeq}")
+      // invert the chain: concatenated lines must be the 10 items
+      val lines = files.flatMap { f =>
+        new String(PostProcessing.decompress(f.toPath, chain), "UTF-8")
+          .split("\n").filter(_.nonEmpty)
+      }
+      assert(lines.length === 10, s"[$chain] got ${lines.length} items")
+      assert(lines.forall(_.contains("\"url\"")))
+    }
+  }
+
+  test("post-processing rejects parquet (binary, already compressed)") {
+    intercept[IllegalArgumentException] {
+      FeedExport.export(spark, sample(),
+        FeedExport.Feed("parquet", postProcessing = Seq("gzip")),
+        TestSpark.tempDir("feed-pq-gz"))
+    }
+  }
+
   test("batching splits output into numbered batches of <= N items") {
     import spark.implicits._
     val out = TestSpark.tempDir("feed-batch")

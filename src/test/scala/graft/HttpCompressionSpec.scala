@@ -52,6 +52,32 @@ class HttpCompressionSpec extends AnyFunSuite {
     assert(HttpCompression.splitEncodings(" GZIP ,  x-gzip")._1 === List("x-gzip", "gzip"))
   }
 
+  test("zstd round-trips and honors the max-size guard") {
+    val body = HttpCompression.zstdBytes(html)
+    val (decoded, kept) = HttpCompression.decode(body, "zstd")
+    assert(decoded === html)
+    assert(kept === Nil)
+    // chained with gzip outermost
+    val chained = HttpCompression.gzipBytes(HttpCompression.zstdBytes(html))
+    val (d2, k2) = HttpCompression.decode(chained, "zstd, gzip")
+    assert(d2 === html && k2 === Nil)
+    intercept[HttpCompression.MaxSizeExceeded](
+      HttpCompression.unzstd(HttpCompression.zstdBytes(html), maxSize = 4))
+    // corrupt zstd bytes surface as IOException (decode_error drop path)
+    intercept[java.io.IOException](
+      HttpCompression.unzstd(Array[Byte](1, 2, 3, 4, 5)))
+  }
+
+  test("pure-unsupported coding decodes nothing (reference early return)") {
+    // `br` alone: toDecode is empty → callers skip the httpcompression
+    // counters entirely (httpcompression.py `if not to_decode`)
+    val (toDecode, kept) = HttpCompression.splitEncodings("br")
+    assert(toDecode === Nil && kept === List("br"))
+    val (decoded, k) = HttpCompression.decode(html, "br")
+    assert(decoded eq html) // untouched, same array
+    assert(k === List("br"))
+  }
+
   test("gunzip is resilient to truncation once some output exists") {
     val gz = HttpCompression.gzipBytes(html)
     val truncated = gz.take(gz.length - 5) // clipped CRC/length trailer
