@@ -73,10 +73,27 @@ object LinkExtract {
   }
 
   /** `scrapy/utils/url.py url_has_any_extension`: lowercased path endswith
-    * ".ext" for any ignored extension. */
+    * ".ext" for any ignored extension. The path slice is a direct scan for
+    * the absolute sanitized URLs this is called on (every extracted link
+    * paid a full urlsplit here); anything without `://` falls back to the
+    * real parser. */
   def hasIgnoredExtension(url: String): Boolean = {
-    val path = graft.urlkit.PyUrl.urlsplit(url).path.toLowerCase(java.util.Locale.ROOT)
-    graft.CrawlConfig.IgnoredExtensions.exists(e => path.endsWith("." + e))
+    val ss = url.indexOf("://")
+    val path =
+      if (ss < 0) graft.urlkit.PyUrl.urlsplit(url).path
+      else {
+        var h = ss + 3 // netloc ends at the first of / ? #
+        while (h < url.length && url.charAt(h) != '/' && url.charAt(h) != '?' &&
+          url.charAt(h) != '#') h += 1
+        var end = url.length
+        val q = url.indexOf('?', h)
+        if (q >= 0) end = q
+        val f = url.indexOf('#', h)
+        if (f >= 0 && f < end) end = f
+        url.substring(h, end)
+      }
+    val lower = path.toLowerCase(java.util.Locale.ROOT)
+    graft.CrawlConfig.IgnoredExtensions.exists(e => lower.endsWith("." + e))
   }
 
   /** Full extraction pipeline: raw links → filter chain → per-document

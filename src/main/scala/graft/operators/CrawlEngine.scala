@@ -616,14 +616,19 @@ object CrawlEngine {
     // with the seen set instead of saturating one fixed-size bitmap.
     val obsBloomNew = org.apache.spark.sql.Observation()
     val obsBloomMaybe = org.apache.spark.sql.Observation()
+    val prescreenMetrics = !sys.env.contains("GRAFT_NO_PRESCREEN_METRICS")
     val survivors = (bloom match {
       case Some(b) =>
         val mightContain = udf((fp: Array[Byte], hexs: String) =>
           b.value.mightContain(Model.bucketOf(fp), hexs))
-        val definitelyNew = firstWins.filter(!mightContain($"fp", $"fpHex"))
-          .observe(obsBloomNew, count(lit(1)).as("n"))
-        val maybeSeen = firstWins.filter(mightContain($"fp", $"fpHex"))
-          .observe(obsBloomMaybe, count(lit(1)).as("n"))
+        val definitelyNew0 = firstWins.filter(!mightContain($"fp", $"fpHex"))
+        val definitelyNew =
+          if (prescreenMetrics) definitelyNew0.observe(obsBloomNew, count(lit(1)).as("n"))
+          else definitelyNew0
+        val maybeSeen0 = firstWins.filter(mightContain($"fp", $"fpHex"))
+        val maybeSeen =
+          (if (prescreenMetrics) maybeSeen0.observe(obsBloomMaybe, count(lit(1)).as("n"))
+           else maybeSeen0)
           .join(urlSeen.select($"fpHex"), Seq("fpHex"), "left_anti")
         definitelyNew.unionByName(maybeSeen)
       case None =>
@@ -816,7 +821,7 @@ object CrawlEngine {
     }
     // survivors.count() above materialized both prescreen branches
     val (preNew, preMaybe) =
-      if (bloom.isDefined)
+      if (bloom.isDefined && prescreenMetrics)
         (metric(obsBloomNew.get, "n"), metric(obsBloomMaybe.get, "n"))
       else (-1L, -1L)
     // zero-valued counters are dropped on both sides of the conformance compare
