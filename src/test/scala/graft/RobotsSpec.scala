@@ -69,6 +69,21 @@ class RobotsSpec extends AnyFunSuite {
     assert(rejected.allowed("http://h.test/f/x", "bot"))
   }
 
+  test("ROBOTSTXT_USER_AGENT vs request-UA fallback changes which group matches") {
+    // reference `downloadermiddlewares/robotstxt.py:64-80`: matching UA =
+    // ROBOTSTXT_USER_AGENT if set, else the request's User-Agent header.
+    // `otherbot` has a deny-all group above; the star group only blocks
+    // /private/. The same URL therefore flips allow/deny with the UA source.
+    val url = "http://h.test/p/1"
+    val asOther = CrawlConfig(robotsUserAgent = "otherbot", userAgent = "graft/1.0")
+    val asFallback = CrawlConfig(robotsUserAgent = "", userAgent = "graft/1.0")
+    assert(!rules.allowed(url, asOther.effectiveRobotsUserAgent))
+    assert(rules.allowed(url, asFallback.effectiveRobotsUserAgent))
+    // and the fallback can land in a specific group too
+    val asOtherViaUA = CrawlConfig(robotsUserAgent = null, userAgent = "otherbot")
+    assert(!rules.allowed(url, asOtherViaUA.effectiveRobotsUserAgent))
+  }
+
   test("query string participates in matching") {
     val r = RobotsRules.parse("User-agent: *\nDisallow: /*?a=1\n")
     assert(!r.allowed("http://h.test/p?a=1", "bot"))
