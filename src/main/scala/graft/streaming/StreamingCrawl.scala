@@ -53,6 +53,54 @@ object StreamingCrawl {
       }
   }
 
+  /** One event on the adaptive stream: a candidate request
+    * (`latencyMs = -1`) or a completed fetch result feeding the slot's
+    * AutoThrottle adjustment (`latencyMs >= 0` + its status). */
+  final case class SlotEvent(host: String, url: String, eventTimeMs: Long,
+      latencyMs: Long = -1L, status: Int = 0)
+
+  final case class SlotGateState(lastTMs: Long, delayMs: Long)
+
+  /** Adaptive politeness gate — the streaming face of CrawlConfig contract
+    * step 1a (AutoThrottle + DOWNLOAD_SLOTS): per-slot state carries
+    * (lastT, delay); response events fold through the reference's
+    * `_adjust_delay` ([[graft.operators.AutoThrottle.clampedUpdate]]) and
+    * request events are scheduled at `max(lastT + currentDelay, now)`.
+    * Events within a micro-batch apply in (eventTime, isResponse-first,
+    * url) order, so a response arriving with a request batch adjusts the
+    * delay the batch is scheduled under — the continuous analogue of the
+    * epoch-BSP "delay resolved at epoch start" rule, at micro-batch
+    * granularity. State stays two longs per slot. */
+  def adaptivePolitenessGate(
+      events: Dataset[SlotEvent],
+      cfg: CrawlConfig): Dataset[ScheduledFetch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[SlotGateState, ScheduledFetch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (host, rows, state: GroupState[SlotGateState]) =>
+          var st = state.getOption.getOrElse(
+            SlotGateState(Long.MinValue / 2, cfg.resolveSlotDelay(host, -1L)))
+          var lastT = st.lastTMs
+          var delay = st.delayMs
+          val out = Vector.newBuilder[ScheduledFetch]
+          for (r <- rows.toSeq.sortBy(r => (r.eventTimeMs, r.latencyMs < 0, r.url))) {
+            if (r.latencyMs >= 0) {
+              delay = graft.operators.AutoThrottle.clampedUpdate(
+                delay, r.latencyMs, r.status, cfg.autothrottleTargetConcurrency,
+                cfg.baseDelayOf(host), cfg.autothrottleMaxDelayMs)
+            } else {
+              val t = math.max(lastT + delay, r.eventTimeMs)
+              lastT = t
+              out += ScheduledFetch(host, r.url, t)
+            }
+          }
+          state.update(SlotGateState(lastT, delay))
+          out.result().iterator
+      }
+  }
+
   /** Watermarked tumbling-window per-host fetch counts. */
   def hostWindowStats(fetches: DataFrame, windowDur: String = "1 minute"): DataFrame = {
     fetches

@@ -62,4 +62,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.nonEmpty)
     } finally q.stop()
   }
+
+  test("adaptive gate: response latencies retune the slot delay across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingCrawl.SlotEvent
+    val cfg = CrawlConfig(delayMs = 100, autothrottle = true,
+      autothrottleStartDelayMs = 400, autothrottleMaxDelayMs = 5000)
+    val input = MemoryStream[SlotEvent]
+    val gated = StreamingCrawl.adaptivePolitenessGate(input.toDS(), cfg)
+    val q = gated.writeStream
+      .format("memory").queryName("adaptive").outputMode("append").start()
+    try {
+      // batch 1: two requests at the START delay (max(100, 400) = 400)
+      input.addData(
+        SlotEvent("a.test", "http://a.test/1", 1000),
+        SlotEvent("a.test", "http://a.test/2", 1000))
+      q.processAllAvailable()
+      // batch 2: a fast 200 (latency 100) lowers the delay via _adjust_delay
+      // (target 100, mean 250 → 250) BEFORE the same-batch request schedules
+      input.addData(
+        SlotEvent("a.test", "resp", 1500, latencyMs = 100, status = 200),
+        SlotEvent("a.test", "http://a.test/3", 1500))
+      q.processAllAvailable()
+      // batch 3: a fast 503 must NOT lower the delay (non-200 rule)
+      input.addData(
+        SlotEvent("a.test", "resp", 1700, latencyMs = 10, status = 503),
+        SlotEvent("a.test", "http://a.test/4", 1700))
+      q.processAllAvailable()
+      val times = spark.table("adaptive").as[ScheduledFetch].collect()
+        .map(_.scheduledTMs).sorted.toSeq
+      // 1000, 1000+400, max(1400+250, 1500), max(1650+250, 1700)
+      assert(times === Seq(1000L, 1400L, 1650L, 1900L), s"schedule: $times")
+    } finally q.stop()
+  }
 }
