@@ -28,7 +28,7 @@ object AjaxCrawl {
   /** Minimal `w3lib.html.replace_entities` subset: named quote/amp entities
     * and numeric references — enough to surface a meta tag written with
     * encoded quotes; everything else passes through untouched. */
-  private[extract] def replaceBasicEntities(s: String): String =
+  private[graft] def replaceBasicEntities(s: String): String =
     """&(#x?[0-9a-fA-F]+|quot|apos|amp|lt|gt);""".r.replaceAllIn(s, m => {
       val e = m.group(1)
       val repl = e match {
@@ -37,9 +37,12 @@ object AjaxCrawl {
         case "amp" => "&"
         case "lt" => "<"
         case "gt" => ">"
+        // supplementary code points (> U+FFFF) need a surrogate pair —
+        // .toChar would silently truncate &#128512; to a wrong BMP char
         case hex if hex.startsWith("#x") || hex.startsWith("#X") =>
-          Integer.parseInt(hex.drop(2), 16).toChar.toString
-        case dec if dec.startsWith("#") => dec.drop(1).toInt.toChar.toString
+          new String(Character.toChars(Integer.parseInt(hex.drop(2), 16)))
+        case dec if dec.startsWith("#") =>
+          new String(Character.toChars(dec.drop(1).toInt))
       }
       scala.util.matching.Regex.quoteReplacement(repl)
     })

@@ -145,9 +145,13 @@ object CrawlDriver {
         !(cfg.closespiderPageCount > 0 && m.pageFetches >= cfg.closespiderPageCount)) {
       val epoch = m.snapshotId
       val tEpoch = System.nanoTime()
-      val frontier = spark.read.parquet(m.frontierDir).as[FrontierRow]
+      // withDefaults: resume from a pre-round-3/4 snapshot whose schema
+      // predates delayMs / referer / dontObeyRobots (ADVICE r3)
+      val frontier = Snapshot.withDefaults(spark.read.parquet(m.frontierDir),
+        Seq("referer" -> lit(null).cast("string"))).as[FrontierRow]
       val urlSeen = readSeen(spark, m.seenDirs)
-      val hostState = spark.read.parquet(m.hostStateDir).as[HostState]
+      val hostState = Snapshot.withDefaults(spark.read.parquet(m.hostStateDir),
+        Seq("delayMs" -> lit(-1L))).as[HostState]
       val robotsCache = spark.read.parquet(m.robotsCacheDir).as[CrawlEngine.RobotsCacheRow]
       val cookieJar =
         if (m.cookieJarDir.nonEmpty) spark.read.parquet(m.cookieJarDir).as[CookieRow]

@@ -106,7 +106,13 @@ object CrawlEngine {
     * independent of slot count) and F is solved on the driver; the +1
     * remainder goes to the first over-F slots in ascending slot order via a
     * distributed range sort + zipWithIndex — never a single-partition
-    * window, never a sequential agg().head() binary-search chain. */
+    * window, never a sequential agg().head() binary-search chain.
+    *
+    * "Ascending slot order" means JAVA STRING order (UTF-16 code units) —
+    * the collation the oracle's Scala `.sorted` uses. Spark's string sort is
+    * UTF-8 binary (code points), which disagrees for supplementary
+    * characters, so the distributed sort keys on the UTF-16BE encoding of
+    * the slot (byte-lexicographic UTF-16BE == Java String.compareTo). */
   def fairShareBudgets(spark: SparkSession, cfg: CrawlConfig,
       withState: DataFrame): (DataFrame, DataFrame) = {
     import spark.implicits._
@@ -134,7 +140,8 @@ object CrawlEngine {
           least($"slotCap".cast("long"), lit(fShare)))
       else {
         val plusOne = spark.createDataset(
-          demands.filter($"demand" > fShare).select($"slot").orderBy($"slot")
+          demands.filter($"demand" > fShare).select($"slot")
+            .orderBy(encode($"slot", "UTF-16BE"))
             .as[String].rdd.zipWithIndex()
             .filter(_._2 < remainder).map(_._1))
           .toDF("slot")
@@ -358,7 +365,12 @@ object CrawlEngine {
     // Large batches (frontier hint above cfg.seqCollectMax — e.g. 10^7 hosts
     // × budget): distributed range-sort + zipWithIndex, nothing through the
     // driver. Both paths assign the same contract order (t ASC, host ASC,
-    // idx ASC); the conformance suite pins them byte-identical.
+    // idx ASC); the conformance suite pins them byte-identical. Host order
+    // is JAVA STRING order on both paths: the driver path sorts with
+    // Ordering[String] (UTF-16 code units), so the distributed sort keys on
+    // the UTF-16BE encoding (byte-lex UTF-16BE == String.compareTo) instead
+    // of Spark's UTF-8 binary collation, which disagrees for supplementary
+    // characters.
     val toFetch = deqOut.filter(d => d.kind == KFetch || d.kind == KRobots)
     val useDistributedSeq =
       cfg.seqCollectMax <= 0 || frontierCountHint > cfg.seqCollectMax
@@ -367,7 +379,7 @@ object CrawlEngine {
     val fetches: Dataset[FetchRow] =
       (if (useDistributedSeq) {
         spark.createDataset(
-          toFetch.orderBy($"t", $"fr.host", $"hostIdx")
+          toFetch.orderBy($"t", encode($"fr.host", "UTF-16BE"), $"hostIdx")
             .rdd.zipWithIndex()
             .map { case (d, i) =>
               FetchRow(d.fr, d.t, d.hostIdx, d.kind, baseSeq + i, d.slot) })

@@ -149,11 +149,15 @@ object BloomShards {
   }
 
   /** Restore resident shards from a persisted shard table (resume path);
-    * buckets absent from the table stay fresh at the initial sizing. */
+    * buckets absent from the table stay fresh at the initial sizing. A
+    * pre-round-3 table without capacity/n columns is backfilled from the
+    * initial sizing (the pre-growth semantics those snapshots ran with). */
   def load(spark: SparkSession, path: String, totalItems: Long, fpp: Double): BloomShards = {
     import spark.implicits._
     val shards = create(totalItems, fpp)
-    spark.read.parquet(path).as[BloomShardRow].collect().foreach(shards.replace)
+    Snapshot.withDefaults(spark.read.parquet(path),
+      Seq("capacity" -> lit(itemsPerShard(totalItems)), "n" -> lit(0L)))
+      .as[BloomShardRow].collect().foreach(shards.replace)
     shards
   }
 

@@ -36,6 +36,16 @@ object Snapshot {
 
   def manifestPath(root: String, id: Int): Path = Paths.get(root, f"v$id%06d.manifest.json")
 
+  /** Schema-migration guard for resuming from snapshots written by an older
+    * build: columns the current model added since (e.g. HostState.delayMs,
+    * FrontierRow.dontObeyRobots) are backfilled with their semantic defaults
+    * before `.as[T]`, instead of failing the resume with an analysis error. */
+  def withDefaults(df: org.apache.spark.sql.DataFrame,
+      defaults: Seq[(String, org.apache.spark.sql.Column)]): org.apache.spark.sql.DataFrame =
+    defaults.foldLeft(df) { case (d, (name, c)) =>
+      if (d.columns.contains(name)) d else d.withColumn(name, c)
+    }
+
   // -- minimal JSON (no external deps) --------------------------------------
   private def jstr(s: String): String =
     "\"" + s.flatMap {

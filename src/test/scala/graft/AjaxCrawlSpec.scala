@@ -30,6 +30,14 @@ class AjaxCrawlSpec extends AnyFunSuite {
     assert(AjaxCrawl.hasAjaxCrawlableMeta(far, lookupBytes = 50000))
   }
 
+  test("entity decode handles supplementary code points via surrogate pairs") {
+    assert(AjaxCrawl.replaceBasicEntities("&#128512;") === "😀")
+    assert(AjaxCrawl.replaceBasicEntities("&#x1F600;") === "😀")
+    assert(AjaxCrawl.replaceBasicEntities("&#65509;") === "￥") // BMP stays 1 char
+    assert(AjaxCrawl.replaceBasicEntities("&quot;x&quot; &amp; &#60;y&#62;") ===
+      "\"x\" & <y>")
+  }
+
   test("escape_ajax turns #! fragments into _escaped_fragment_") {
     // w3lib/scrapy escape_ajax doctest values
     assert(AjaxCrawl.escapeAjax("www.example.com/ajax.html#!key=value") ===

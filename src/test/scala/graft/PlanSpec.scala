@@ -92,6 +92,31 @@ class PlanSpec extends AnyFunSuite {
     if (handle != null) handle.unpersist()
   }
 
+  test("fair-share +1 remainder uses Java-String (UTF-16) slot order, like the oracle") {
+    import spark.implicits._
+    // two slots sharing a prefix, diverging on a supplementary char
+    // (U+1F600, surrogates D83D DE00) vs a high-BMP char (U+FFE5): UTF-8
+    // byte order sorts the yen slot first, UTF-16 code-unit order (the
+    // oracle's Scala .sorted) sorts the emoji slot first — the remainder
+    // must follow the oracle's collation
+    val emoji = "a😀"
+    val yen = "a￥"
+    assert(emoji < yen) // Java String order — the contract's "ascending"
+    val withState = (Seq.fill(3)(emoji) ++ Seq.fill(3)(yen))
+      .map(s => (s, 3)).toDF("slot", "slotCap")
+    // demand 3 per slot, cap 5 → F=2, remainder 1 → the FIRST over-F slot
+    // in ascending (Java) order gets the extra unit: the emoji slot
+    val cfg = CrawlConfig(maxFetchesPerEpoch = 5)
+    val (budgets, handle) =
+      graft.operators.CrawlEngine.fairShareBudgets(spark, cfg, withState)
+    val bySlot = budgets.groupBy($"slot")
+      .agg(org.apache.spark.sql.functions.min($"slotBudget").as("b"))
+      .as[(String, Long)].collect().toMap
+    assert(bySlot(emoji) === 3L, s"emoji slot must get the +1: $bySlot")
+    assert(bySlot(yen) === 2L, s"yen slot must stay at F: $bySlot")
+    if (handle != null) handle.unpersist()
+  }
+
   test("embedding near-dup argmax is an aggregate, not a window over the join") {
     val p = plan("q_embedding_neardup")
     assert(!p.contains("Window"),

@@ -46,6 +46,41 @@ class ResumeSpec extends AnyFunSuite {
     assert(seenA === seenB)
   }
 
+  test("resume from a pre-round-3 snapshot schema (missing columns backfilled)") {
+    import spark.implicits._
+    val corpusDir = TestSpark.tempDir("corpus-migrate")
+    CorpusWriter.writeAll(spark, Corpus.Tiny, corpusDir, withImages = false)
+    val cfg = CrawlConfig(maxEpochs = 30)
+
+    val rootA = TestSpark.tempDir("snap-migrate-full")
+    val a = CrawlDriver.run(spark, cfg, corpusDir, rootA, withMedia = false)
+
+    val rootB = TestSpark.tempDir("snap-migrate-old")
+    CrawlDriver.run(spark, cfg, corpusDir, rootB, withMedia = false,
+      maxEpochsOverride = Some(3))
+    // age the snapshot to the round-2 schema: drop the columns round 3+
+    // added (HostState.delayMs, BloomShardRow.capacity/n) — resume must
+    // backfill their defaults instead of throwing an analysis error
+    val m = graft.plans.Snapshot.loadLatest(rootB).get
+    def rewriteWithout(dir: String, cols: Seq[String]): Unit = {
+      val tmp = dir + ".tmp-old"
+      spark.read.parquet(dir).drop(cols: _*)
+        .write.mode("overwrite").parquet(tmp)
+      val p = java.nio.file.Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
+    }
+    rewriteWithout(m.hostStateDir, Seq("delayMs"))
+    rewriteWithout(m.bloomPath, Seq("capacity", "n"))
+    val b = CrawlDriver.run(spark, cfg, corpusDir, rootB, withMedia = false)
+    // AutoThrottle is off (delayMs is semantically -1 throughout) and the
+    // bloom filter is advisory, so the final state must match exactly
+    assert(a.manifest.pageFetches === b.manifest.pageFetches)
+    assert(a.manifest.counters === b.manifest.counters)
+  }
+
   test("an orphaned (uncommitted) epoch directory is ignored on resume") {
     import spark.implicits._
     val corpusDir = TestSpark.tempDir("corpus-orphan")
