@@ -115,11 +115,18 @@ package graft
   *     - retryable status in {500,502,503,504,522,524,408,429}
   *       (`retry.py:38-179`): same url, priority-1, retryTimes+1 up to
   *       retryTimes, dontFilter=true, dLink=-2.
-  *     - 2xx: links extracted in order; per-doc first-wins dedup on
-  *       canonicalize_url(href, keepFragments=true)
-  *       (`lxmlhtml.py:56-58,282-283`); filters: scheme in {http,https,ftp,
+  *     - 2xx: links extracted in order; per-doc first-wins dedup on the RAW
+  *       sanitized URL — the default extractor's `unique=True,
+  *       canonicalize=False` key (`lxmlhtml.py:56-58,71-76`: `canonicalized
+  *       = not canonicalize` ⇒ `link_key = url`), applied BEFORE the filter
+  *       chain like the parser-level `_deduplicate_if_needed`
+  *       (`lxmlhtml.py:140-145`) — so a filtered first occurrence shadows
+  *       later raw-URL duplicates; filters: scheme in {http,https,ftp,
   *       file}, not nofollow, extension not in IGNORED_EXTENSIONS, length <=
-  *       urlLengthLimit, depth+1 <= depthLimit (0=off); child priority =
+  *       urlLengthLimit, the `linkFilter` user knobs (allow/deny regex,
+  *       allow/deny domains, restrict_text — `lxmlhtml.py:217-240`,
+  *       silently dropped, no counter), depth+1 <= depthLimit (0=off);
+  *       child priority =
   *       parentPriority - depthPriority*... reference: new Request priority 0
   *       then DepthMiddleware does `priority -= depth*depthPriority`
   *       (`depth.py:81-101`) → child priority = -childDepth*depthPriority.
@@ -188,6 +195,9 @@ final case class CrawlConfig(
     autothrottleStartDelayMs: Long = 5000, // AUTOTHROTTLE_START_DELAY
     autothrottleMaxDelayMs: Long = 60000, // AUTOTHROTTLE_MAX_DELAY
     autothrottleTargetConcurrency: Double = 1.0, // AUTOTHROTTLE_TARGET_CONCURRENCY
+    // per-extractor LinkExtractor user knobs applied to extracted links
+    // (contract step 7; reference `lxmlhtml.py:217-240` _link_allowed)
+    linkFilter: graft.extract.LinkFilter = graft.extract.LinkFilter.Empty,
     maxEpochs: Int = 1000,
     closespiderPageCount: Long = 0, // 0 = off
     /** Engine sizing knob, NOT part of the semantics contract (the oracle

@@ -1,60 +1,106 @@
 package graft.extract
 
+import java.util.regex.Pattern
+
 import graft.urlkit.UrlKit
+
+/** Per-extractor user filter knobs (reference `scrapy/linkextractors/
+  * lxmlhtml.py:217-249` `_link_allowed`): allow/deny URL regexes (Python
+  * `re.search` semantics), allow/deny domain suffixes
+  * (`url_is_from_any_domain`), and anchor-text regexes (`restrict_text`).
+  * All-empty = no user filtering (the engine's common path — zero per-link
+  * cost). Patterns compile lazily per JVM (@transient: the config rides
+  * inside Spark task closures). */
+final case class LinkFilter(
+    allow: Seq[String] = Nil,
+    deny: Seq[String] = Nil,
+    allowDomains: Seq[String] = Nil,
+    denyDomains: Seq[String] = Nil,
+    restrictText: Seq[String] = Nil) {
+
+  @transient private lazy val allowRe = allow.map(Pattern.compile(_))
+  @transient private lazy val denyRe = deny.map(Pattern.compile(_))
+  @transient private lazy val textRe = restrictText.map(Pattern.compile(_))
+
+  def isEmpty: Boolean = allow.isEmpty && deny.isEmpty &&
+    allowDomains.isEmpty && denyDomains.isEmpty && restrictText.isEmpty
+
+  /** `scrapy/utils/url.py url_is_from_any_domain`: lowercased netloc equals
+    * the domain or ends with ".domain". */
+  def urlFromAnyDomain(url: String, domains: Seq[String]): Boolean = {
+    val host = LinkExtract.netlocOf(url).toLowerCase(java.util.Locale.ROOT)
+    host.nonEmpty && domains.exists { d0 =>
+      val d = d0.toLowerCase(java.util.Locale.ROOT)
+      host == d || host.endsWith("." + d)
+    }
+  }
+
+  private def matches(s: String, res: Seq[Pattern]): Boolean =
+    res.exists(_.matcher(s).find())
+
+  /** The `_link_allowed` user-knob subset (valid-scheme/extension checks are
+    * the caller's fixed chain). */
+  def allows(url: String, text: String): Boolean = {
+    if (allowRe.nonEmpty && !matches(url, allowRe)) return false
+    if (denyRe.nonEmpty && matches(url, denyRe)) return false
+    if (allowDomains.nonEmpty && !urlFromAnyDomain(url, allowDomains)) return false
+    if (denyDomains.nonEmpty && urlFromAnyDomain(url, denyDomains)) return false
+    textRe.isEmpty || matches(text, textRe)
+  }
+}
+
+object LinkFilter { val Empty: LinkFilter = LinkFilter() }
 
 /** HTML link extraction with the reference's semantics
   * (`scrapy/linkextractors/lxmlhtml.py:104-145,217-284`):
-  * iterate `<a>`/`<area>` href attributes in document order, strip HTML5
-  * whitespace, resolve against the `<base href>` (or page) URL, sanitize
-  * (safe_url_string), carry rel=nofollow; then filter (valid scheme, ignored
-  * extensions, URL length) and first-wins dedup on
-  * `canonicalize_url(keep_fragments=true)` (`lxmlhtml.py:56-58,282-283`).
+  * iterate link tags' scanned attributes in document order, strip HTML5
+  * whitespace, resolve against the page's base URL (w3lib `get_base_url`:
+  * first `<base href>` within the first 4096 chars), sanitize
+  * (safe_url_string), carry rel=nofollow and the element's string content
+  * (`link.text`); skip bogus hrefs the Python stack rejects (invalid IPv6
+  * netloc at urljoin, non-numeric port at safe_url_string); then
+  * first-wins dedup on the RAW sanitized URL (the default extractor's
+  * `unique=True, canonicalize=False` ⇒ `canonicalized=True` ⇒
+  * `link_key = url`, `lxmlhtml.py:56-58,71-76`) and the filter chain
+  * (valid scheme, ignored extensions, URL length + the [[LinkFilter]] user
+  * knobs). Dedup runs BEFORE filtering, like the reference's parser-level
+  * `_deduplicate_if_needed` (`lxmlhtml.py:140-145`).
   *
   * Parsing is regex-based (no lxml on the JVM; the synthetic corpus emits
   * well-formed attributes) — the *semantics* (order, base-url resolution,
-  * dedup key, filter chain) are what conformance pins.
+  * dedup key, filter chain) are what conformance + the reference-derived
+  * golden battery in LinkExtractorSpec pin.
   */
 object LinkExtract {
 
-  final case class Link(url: String, nofollow: Boolean)
+  final case class Link(url: String, nofollow: Boolean, text: String = "")
 
-  private val TagRe =
-    """(?is)<(a|area|base)\b([^>]*)>""".r
-  private val HrefRe =
-    """(?is)href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""".r
+  /** w3lib `html.get_base_url` regex (first match wins, searched over the
+    * first 4096 chars like `scrapy/utils/response.py:31-38`). */
+  private val BaseRe =
+    Pattern.compile("""<base\s[^>]*href\s*=\s*["']?([^"'\s]+)""",
+      Pattern.CASE_INSENSITIVE)
+
   private val RelRe =
-    """(?is)rel\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""".r
+    """(?is)\brel\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""".r
 
-  private def attr(re: scala.util.matching.Regex, attrs: String): Option[String] =
-    re.findFirstMatchIn(attrs).map { m =>
-      Option(m.group(2)).orElse(Option(m.group(3))).orElse(Option(m.group(4))).getOrElse("")
-    }
+  /** Attributes of one element in document order: name → raw value. */
+  private val AttrRe = Pattern.compile(
+    """([a-zA-Z_][\w:.-]*)\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+    Pattern.DOTALL)
 
-  /** Raw `<a>`/`<area>` links in document order, resolved + sanitized. */
-  def extractRaw(html: String, pageUrl: String): Seq[Link] = {
-    var baseUrl = pageUrl
-    val links = Vector.newBuilder[Link]
-    for (m <- TagRe.findAllMatchIn(html)) {
-      val tag = m.group(1).toLowerCase(java.util.Locale.ROOT)
-      val attrs = m.group(2)
-      if (tag == "base") {
-        attr(HrefRe, attrs).foreach { h =>
-          val trimmed = UrlKit.urljoin(pageUrl, stripHtml5Whitespace(h))
-          if (trimmed.nonEmpty) baseUrl = trimmed
-        }
-      } else {
-        attr(HrefRe, attrs).foreach { h =>
-          val href = stripHtml5Whitespace(h)
-          if (href.nonEmpty) {
-            val abs = UrlKit.safeUrlString(UrlKit.urljoin(baseUrl, href))
-            val nofollow = attr(RelRe, attrs)
-              .exists(_.toLowerCase(java.util.Locale.ROOT).split("\\s+").contains("nofollow"))
-            links += Link(abs, nofollow)
-          }
-        }
-      }
-    }
-    links.result()
+  /** Void elements (no content model) — their text is always "". */
+  private val VoidTags = Set("area", "base", "br", "col", "embed", "hr",
+    "img", "input", "link", "meta", "source", "track", "wbr")
+
+  /** Base URL of a page (`w3lib.html.get_base_url` via
+    * `scrapy/utils/response.py get_base_url`): the first `<base href>`
+    * within the first 4096 chars, joined against the page URL. */
+  def baseUrl(html: String, pageUrl: String): String = {
+    val chunk = if (html.length > 4096) html.substring(0, 4096) else html
+    val m = BaseRe.matcher(chunk)
+    if (m.find()) UrlKit.urljoin(pageUrl, stripHtml5Whitespace(m.group(1)))
+    else pageUrl
   }
 
   /** HTML5 whitespace strip (`lxmlhtml.py:117`, `w3lib strip_html5_whitespace`):
@@ -67,17 +113,153 @@ object LinkExtract {
     s.substring(i, j)
   }
 
+  /** Netloc of an absolute URL ("" when relative / no authority). */
+  private[extract] def netlocOf(url: String): String = {
+    val ss = url.indexOf("://")
+    if (ss < 0) ""
+    else {
+      var h = ss + 3
+      var e = h
+      while (e < url.length && url.charAt(e) != '/' && url.charAt(e) != '?' &&
+        url.charAt(e) != '#') e += 1
+      url.substring(h, e)
+    }
+  }
+
+  /** URLs the Python stack REJECTS with ValueError — `urlsplit`'s
+    * "Invalid IPv6 URL" (unmatched bracket in the netloc, hit inside
+    * `urljoin`) and w3lib-2 `safe_url_string`'s non-numeric port (hit at
+    * `parts.port`). The reference extractor skips such links
+    * (`lxmlhtml.py:118-129`, tests `test_link_wrong_href` /
+    * `test_skip_bad_links`). */
+  private[graft] def isBogusUrl(url: String): Boolean = {
+    val netloc = netlocOf(url)
+    if (netloc.isEmpty) return false
+    val hasOpen = netloc.contains('[')
+    val hasClose = netloc.contains(']')
+    if (hasOpen != hasClose) return true // Invalid IPv6 URL
+    // port: text after the last ':' of the host part (userinfo stripped,
+    // bracket form handled); non-numeric ⇒ w3lib ValueError
+    val hostPort = netloc.substring(netloc.lastIndexOf('@') + 1)
+    val afterBracket =
+      if (hostPort.startsWith("[")) hostPort.substring(hostPort.indexOf(']') + 1)
+      else hostPort
+    val c = afterBracket.lastIndexOf(':')
+    if (c >= 0) {
+      val port = afterBracket.substring(c + 1)
+      port.nonEmpty && !port.forall(_.isDigit)
+    } else false
+  }
+
+  /** The reference's per-link URL pipeline (`lxmlhtml.py:113-135`):
+    * urljoin(base) → process_value → safe_url_string → urljoin(pageUrl)
+    * (the last join only matters after process_value returns a relative
+    * URL); None = skipped (bogus URL or process_value rejection). */
+  private def resolveHref(base: String, pageUrl: String, href: String,
+      processValue: Option[String => Option[String]]): Option[String] = {
+    if (isBogusUrl(href)) return None // urljoin's urlsplit raises
+    val joined = UrlKit.urljoin(base, href)
+    val processed = processValue match {
+      case Some(f) => f(joined) match {
+        case Some(v) => v
+        case None => return None
+      }
+      case None => joined
+    }
+    if (isBogusUrl(processed)) None // safe_url_string raises
+    else {
+      val safe = UrlKit.safeUrlString(processed)
+      Some(if (processValue.isDefined) UrlKit.urljoin(pageUrl, safe) else safe)
+    }
+  }
+
+  /** `string()` content of the element whose open tag ends at `from` —
+    * the reference's `_collect_string_content` (lxml XPath string()):
+    * everything to the matching close tag, markup stripped, basic entities
+    * decoded. Unclosed / void / self-closed elements yield "". */
+  private def elementText(html: String, from: Int, tag: String): String = {
+    val both = Pattern.compile("<(/?)" + Pattern.quote(tag) + "\\b[^>]*?>",
+      Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+    val m = both.matcher(html)
+    m.region(from, html.length)
+    var depth = 1
+    var end = -1
+    while (end < 0 && m.find()) {
+      if (m.group(1).isEmpty) depth += 1
+      else { depth -= 1; if (depth == 0) end = m.start }
+    }
+    if (end < 0) ""
+    else AjaxCrawl.replaceBasicEntities(
+      html.substring(from, end).replaceAll("(?s)<[^>]*>", ""))
+  }
+
+  /** Raw links of the scanned (tag, attr) pairs in document order, resolved
+    * + sanitized, with nofollow flag and (when `needText`) the element's
+    * string content. The generalized core behind both the engine's fixed
+    * a/area·href scan and the user-facing [[LinkExtractor]] tags/attrs
+    * knobs (`lxmlhtml.py:92-139` `_iter_links` + `_extract_links`). */
+  def extractTagged(html: String, pageUrl: String,
+      tags: Seq[String], attrs: Seq[String],
+      processValue: Option[String => Option[String]] = None,
+      needText: Boolean = true): Seq[Link] = {
+    if (tags.isEmpty || attrs.isEmpty) return Nil
+    val wantAttr = attrs.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val base = baseUrl(html, pageUrl)
+    val tagRe = Pattern.compile(
+      "<(" + tags.map(Pattern.quote).mkString("|") + ")\\b([^>]*)>",
+      Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+    val m = tagRe.matcher(html)
+    val out = Vector.newBuilder[Link]
+    while (m.find()) {
+      val tag = m.group(1).toLowerCase(java.util.Locale.ROOT)
+      val attrsStr = m.group(2)
+      var text: String = null // computed once per element, lazily
+      val am = AttrRe.matcher(attrsStr)
+      while (am.find()) {
+        val name = am.group(1).toLowerCase(java.util.Locale.ROOT)
+        if (wantAttr.contains(name)) {
+          val rawV = Option(am.group(3)).orElse(Option(am.group(4)))
+            .orElse(Option(am.group(5))).getOrElse("")
+          val href = stripHtml5Whitespace(rawV)
+          if (href.nonEmpty) {
+            resolveHref(base, pageUrl, href, processValue).foreach { abs =>
+              if (text == null) {
+                text =
+                  if (!needText || VoidTags.contains(tag) ||
+                    attrsStr.trim.endsWith("/")) ""
+                  else elementText(html, m.end, tag)
+              }
+              val nofollow = RelRe.findFirstMatchIn(attrsStr).exists { rm =>
+                Option(rm.group(2)).orElse(Option(rm.group(3)))
+                  .orElse(Option(rm.group(4))).getOrElse("")
+                  .toLowerCase(java.util.Locale.ROOT)
+                  .split("\\s+").contains("nofollow")
+              }
+              out += Link(abs, nofollow, text)
+            }
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Raw `<a>`/`<area>` href links in document order, resolved + sanitized
+    * (the engine's fixed scan). */
+  def extractRaw(html: String, pageUrl: String): Seq[Link] =
+    extractTagged(html, pageUrl, Seq("a", "area"), Seq("href"))
+
   private def scheme(url: String): String = {
     val i = url.indexOf("://")
     if (i < 0) "" else url.substring(0, i).toLowerCase(java.util.Locale.ROOT)
   }
 
   /** `scrapy/utils/url.py url_has_any_extension`: lowercased path endswith
-    * ".ext" for any ignored extension. The path slice is a direct scan for
+    * ".ext" for any of `exts`. The path slice is a direct scan for
     * the absolute sanitized URLs this is called on (every extracted link
     * paid a full urlsplit here); anything without `://` falls back to the
     * real parser. */
-  def hasIgnoredExtension(url: String): Boolean = {
+  def hasAnyExtension(url: String, exts: Set[String]): Boolean = {
     val ss = url.indexOf("://")
     val path =
       if (ss < 0) graft.urlkit.PyUrl.urlsplit(url).path
@@ -93,33 +275,125 @@ object LinkExtract {
         url.substring(h, end)
       }
     val lower = path.toLowerCase(java.util.Locale.ROOT)
-    graft.CrawlConfig.IgnoredExtensions.exists(e => lower.endsWith("." + e))
+    exts.exists(e => lower.endsWith("." + e))
   }
 
-  /** Full extraction pipeline: raw links → filter chain → per-document
-    * first-wins dedup on canonical(keep_fragments) key. Returns links with
-    * their original document index (for discovery ordering). */
-  def extract(html: Array[Byte], pageUrl: String, urlLengthLimit: Int): Seq[(Int, Link)] = {
+  def hasIgnoredExtension(url: String): Boolean =
+    hasAnyExtension(url, graft.CrawlConfig.IgnoredExtensions)
+
+  /** The engine's full extraction pipeline: raw links → per-document
+    * first-wins dedup on the raw sanitized URL (the reference extractor's
+    * default `unique` key) → fixed filter chain (nofollow, valid scheme,
+    * URL length, ignored extensions) + the [[LinkFilter]] user knobs.
+    * Returns links with their original document index (for discovery
+    * ordering). Anchor text is only materialized when `restrictText` needs
+    * it — the common path stays free of per-link text scans. */
+  def extract(html: Array[Byte], pageUrl: String, urlLengthLimit: Int,
+      filter: LinkFilter = LinkFilter.Empty): Seq[(Int, Link)] = {
     // per-response encoding handling (reference TextResponse): BOM → declared
     // <meta charset> → UTF-8-validity inference (no Content-Type header at
     // this call site; pages that need one route through Encoding.detect
     // directly). Total: falls back to latin-1, never throws.
     val text = Encoding.decode(html, None)
-    val raw = extractRaw(text, pageUrl)
+    val needText = filter.restrictText.nonEmpty
+    val raw = extractTagged(text, pageUrl, Seq("a", "area"), Seq("href"),
+      needText = needText)
     val seen = scala.collection.mutable.HashSet.empty[String]
     val out = Vector.newBuilder[(Int, Link)]
     var idx = 0
     for (l <- raw) {
-      val ok = !l.nofollow &&
-        graft.CrawlConfig.ValidSchemes.contains(scheme(l.url)) &&
-        l.url.length <= urlLengthLimit &&
-        !hasIgnoredExtension(l.url)
-      if (ok) {
-        val key = UrlKit.canonicalizeUrl(l.url, keepFragments = true)
-        if (seen.add(key)) out += ((idx, l))
+      // dedup BEFORE the filters (reference parser-level dedup): a filtered
+      // first occurrence shadows later duplicates of the same raw URL
+      if (seen.add(l.url)) {
+        val ok = !l.nofollow &&
+          graft.CrawlConfig.ValidSchemes.contains(scheme(l.url)) &&
+          l.url.length <= urlLengthLimit &&
+          !hasIgnoredExtension(l.url) &&
+          (filter.isEmpty || filter.allows(l.url, l.text))
+        if (ok) out += ((idx, l))
       }
       idx += 1 // raw document index, advances for filtered links too
     }
     out.result()
+  }
+}
+
+/** User-facing link extractor — the reference `LxmlLinkExtractor` surface
+  * (`scrapy/linkextractors/lxmlhtml.py:166-284`) minus the selector-based
+  * `restrict_xpaths`/`restrict_css` (no XPath engine on this stack;
+  * `restrict_text` covers the text-targeting use case). Pipeline per
+  * `extract_links`: scan tags/attrs → parser-level unique dedup →
+  * `_link_allowed` filter chain → optional canonicalize → final dedup.
+  * Pinned by the reference-derived golden battery in LinkExtractorSpec. */
+final class LinkExtractor(
+    allow: Seq[String] = Nil,
+    deny: Seq[String] = Nil,
+    allowDomains: Seq[String] = Nil,
+    denyDomains: Seq[String] = Nil,
+    denyExtensions: Option[Seq[String]] = None, // None = IGNORED_EXTENSIONS
+    restrictText: Seq[String] = Nil,
+    tags: Seq[String] = Seq("a", "area"),
+    attrs: Seq[String] = Seq("href"),
+    canonicalize: Boolean = false,
+    unique: Boolean = true,
+    processValue: Option[String => Option[String]] = None)
+  extends Serializable {
+
+  import LinkExtract._
+
+  private val filter =
+    LinkFilter(allow, deny, allowDomains, denyDomains, restrictText)
+  private val denyExt: Set[String] =
+    denyExtensions.map(_.toSet).getOrElse(graft.CrawlConfig.IgnoredExtensions)
+
+  /** Dedup key (`lxmlhtml.py:56-58,71-76`): the raw URL by default
+    * (`canonicalized = not canonicalize`), the keep-fragments canonical
+    * form when `canonicalize` is on. */
+  private def linkKey(l: Link): String =
+    if (canonicalize) UrlKit.canonicalizeUrl(l.url, keepFragments = true)
+    else l.url
+
+  private def dedup(links: Seq[Link]): Seq[Link] =
+    if (!unique) links
+    else {
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      links.filter(l => seen.add(linkKey(l)))
+    }
+
+  /** `_link_allowed` (`lxmlhtml.py:217-240`): scheme-valid URL, allow/deny
+    * regexes, domain lists, extension filter, restrict_text. (nofollow is
+    * NOT filtered here — the flag rides on the Link, reference parity.) */
+  private[graft] def linkAllowed(l: Link): Boolean = {
+    val s = l.url.split("://", 2)
+    if (s.length < 2 || !Set("http", "https", "file", "ftp").contains(s(0))) return false
+    if (!filter.allows(l.url, l.text)) return false
+    !(denyExt.nonEmpty && hasAnyExtension(l.url, denyExt))
+  }
+
+  /** `extract_links(response)` over an HTML string. */
+  def extractLinks(html: String, pageUrl: String): Seq[Link] = {
+    val raw = extractTagged(html, pageUrl, tags, attrs, processValue,
+      needText = true)
+    val filtered = dedup(raw).filter(linkAllowed)
+    val canon =
+      if (canonicalize) filtered.map(l => l.copy(url = UrlKit.canonicalizeUrl(l.url)))
+      else filtered
+    dedup(canon)
+  }
+
+  def extractLinks(html: Array[Byte], pageUrl: String): Seq[Link] =
+    extractLinks(Encoding.decode(html, None), pageUrl)
+
+  /** `matches(url)` (`lxmlhtml.py:242-255`): would this extractor's
+    * URL-side rules accept the URL? */
+  def matches(url: String): Boolean = {
+    if (allowDomains.nonEmpty && !filter.urlFromAnyDomain(url, allowDomains))
+      return false
+    if (denyDomains.nonEmpty && filter.urlFromAnyDomain(url, denyDomains))
+      return false
+    val allowed = allow.isEmpty ||
+      allow.exists(p => Pattern.compile(p).matcher(url).find())
+    val denied = deny.exists(p => Pattern.compile(p).matcher(url).find())
+    allowed && !denied
   }
 }

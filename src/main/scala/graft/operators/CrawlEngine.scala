@@ -570,7 +570,8 @@ object CrawlEngine {
           val childDepth = row.depth + 1
           val policy = graft.urlkit.Referer.policyFor(
             refPolicyHeader.orNull, defaultRefererPolicy)
-          val links = LinkExtract.extract(body.get, row.url, cfg.urlLengthLimit)
+          val links = LinkExtract.extract(body.get, row.url, cfg.urlLengthLimit,
+            cfg.linkFilter)
           if (cfg.depthLimit == 0 || childDepth <= cfg.depthLimit) {
             for ((linkIdx, link) <- links) {
               val childHost = UrlKit.hostOf(link.url)

@@ -307,7 +307,8 @@ object Oracle {
               val childDepth = row.depth + 1
               val policy = graft.urlkit.Referer.policyFor(
                 page.refererPolicy, defaultRefererPolicy)
-              val links = LinkExtract.extract(body, row.url, cfg.urlLengthLimit)
+              val links = LinkExtract.extract(body, row.url, cfg.urlLengthLimit,
+                cfg.linkFilter)
               if (cfg.depthLimit == 0 || childDepth <= cfg.depthLimit) {
                 for ((linkIdx, link) <- links) {
                   val childHost = UrlKit.hostOf(link.url)

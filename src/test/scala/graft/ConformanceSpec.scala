@@ -144,6 +144,16 @@ class ConformanceSpec extends AnyFunSuite {
         noProxy = Seq("h4.test")), "headers")
   }
 
+  test("linkFilter knobs variant conforms (allow/deny regex + restrict_text)") {
+    // allow keeps page links only, deny drops one page-id class, and
+    // restrict_text forces the anchor-text path through the engine flatMap —
+    // candidate sets, budgets and counters all shift and must match exactly
+    compare(Corpus.Small,
+      CrawlConfig(maxEpochs = 8, linkFilter = graft.extract.LinkFilter(
+        allow = Seq("/p/"), deny = Seq("/p/1\\d$"),
+        restrictText = Seq("to |trap |x "))), "linkfilter")
+  }
+
   test("zero-delay + distributed seq assignment conforms byte-for-byte") {
     // delayMs=0 collides per-host virtual times (the triple key must stay
     // total) and seqCollectMax=0 forces the distributed orderBy+zipWithIndex

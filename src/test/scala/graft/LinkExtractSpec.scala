@@ -5,7 +5,9 @@ import graft.extract.LinkExtract
 
 /** Link-extraction semantics (`scrapy/linkextractors/lxmlhtml.py`):
   * document order, quote styles, base-url, nofollow, area tags, filters,
-  * per-document first-wins dedup on the keep-fragments canonical key. */
+  * per-document first-wins dedup on the raw sanitized URL (the reference
+  * default extractor's `unique` key — see LinkExtractorSpec for the
+  * reference-derived golden battery). */
 class LinkExtractSpec extends AnyFunSuite {
   private val base = "http://h.test/dir/page.html"
 
@@ -51,15 +53,39 @@ class LinkExtractSpec extends AnyFunSuite {
     assert(urls(long).isEmpty)
   }
 
-  test("per-document first-wins dedup on canonical(keep_fragments) key") {
+  test("per-document first-wins dedup on the raw sanitized URL") {
+    // the reference default (`unique=True, canonicalize=False`) dedups on
+    // link.url — NOT the canonical form (`lxmlhtml.py:56-58,71-76`): the
+    // reordered-query variant survives extraction (the fp-level dupefilter
+    // collapses it later); only byte-identical sanitized URLs dedup here
     val html =
       """<a href="/p/1?b=2&a=1">first</a>
-        |<a href="/p/1?a=1&b=2">dup-reordered-query</a>
+        |<a href="/p/1?a=1&b=2">reordered-query-survives</a>
         |<a href="/p/1?a=1&b=2#frag">distinct-by-fragment</a>
-        |<a href="HTTP://H.TEST/p/1?b=2&a=1">dup-case</a>""".stripMargin
+        |<a href="HTTP://H.TEST/p/1?b=2&a=1">dup-after-sanitize</a>""".stripMargin
     val out = urls(html)
-    // fragment variant survives: link dedup keeps fragments in its key
-    assert(out === Seq("http://h.test/p/1?b=2&a=1", "http://h.test/p/1?a=1&b=2#frag"))
+    assert(out === Seq("http://h.test/p/1?b=2&a=1", "http://h.test/p/1?a=1&b=2",
+      "http://h.test/p/1?a=1&b=2#frag"))
+  }
+
+  test("linkFilter knobs: allow/deny regex, domains, restrict_text") {
+    import graft.extract.LinkFilter
+    val html =
+      """<a href="/p/1">Pic of a cat</a>
+        |<a href="/p/2">Pic of a dog</a>
+        |<a href="http://other.test/p/3">elsewhere</a>
+        |<a href="/q/4">query page</a>""".stripMargin
+    def u(f: LinkFilter): Seq[String] =
+      LinkExtract.extract(html.getBytes, base, 2083, f).map(_._2.url)
+    assert(u(LinkFilter(allow = Seq("/p/"))) ===
+      Seq("http://h.test/p/1", "http://h.test/p/2", "http://other.test/p/3"))
+    assert(u(LinkFilter(allow = Seq("/p/"), deny = Seq("p/2"))) ===
+      Seq("http://h.test/p/1", "http://other.test/p/3"))
+    assert(u(LinkFilter(allowDomains = Seq("h.test"))) ===
+      Seq("http://h.test/p/1", "http://h.test/p/2", "http://h.test/q/4"))
+    assert(u(LinkFilter(denyDomains = Seq("other.test"))) ===
+      Seq("http://h.test/p/1", "http://h.test/p/2", "http://h.test/q/4"))
+    assert(u(LinkFilter(restrictText = Seq("of.*dog"))) === Seq("http://h.test/p/2"))
   }
 
   test("html5 whitespace stripped from hrefs") {
