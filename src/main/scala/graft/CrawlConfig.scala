@@ -64,6 +64,13 @@ package graft
   *     fetch happens even when no page unit remains after it), then one
   *     unit on the row itself; the first row that cannot be charged stops
   *     the walk and everything after it stays in the frontier.
+  *     The robots URL is `<scheme>://host/robots.txt` with the TRIGGERING
+  *     request's scheme (`robotstxt.py:82-99` builds it from url.scheme;
+  *     the cache stays keyed per netloc/host). A row carrying the
+  *     `dontObeyRobots` meta (`robotstxt.py:57-59`) neither triggers the
+  *     robots fetch nor undergoes the allowed() check (step 3); retries and
+  *     redirects inherit the flag (request.replace copies meta), extracted
+  *     links never carry it.
   *     (With slot == host this walk is exactly the old "take the first
   *     `budget - (robots ? 1 : 0)` rows" rule.)
   *  3. Robots-disallowed dequeued rows are dropped (counter
@@ -108,6 +115,27 @@ package graft
   *     output drops the response and counts `httpcompression/decode_error`
   *     (the last two counter names are this engine's — the reference only
   *     logs these events).
+  *  6d. HTTP cache in the fetch chain (`downloadermiddlewares/httpcache.py:
+  *     24-144`, DummyPolicy, enabled by `httpcacheEnabled`): the cache is
+  *     keyed by request fingerprint and persists across epochs AND crawls
+  *     (prime a second crawl with the first's cache chain). A dequeued row
+  *     whose fp is cached is served from the cache: it consumes NO
+  *     politeness budget and does not advance the slot's virtual time — it
+  *     is logged (flag `cached`) at the slot's next-fetch time as of its
+  *     walk position, with the per-host index advancing normally (the
+  *     (t, host, idx) key stays total). Robots fetches pass the cache too
+  *     (robots middleware runs BEFORE httpcache, so robots is still
+  *     consulted/triggered for cached page rows; a cached robots fetch
+  *     skips its budget unit). A cached response replays its Set-Cookie
+  *     (CookiesMiddleware processes every response) but never times out,
+  *     never feeds AutoThrottle, and is not re-stored. Misses download
+  *     normally; any response (status ≠ 599 — a 599 is an exception/robots
+  *     error with no response object) is stored. When the cache is on, the
+  *     walk's stop rule is: cached rows process even with zero budget left;
+  *     the first NON-cached row (or robots fetch) that cannot be charged
+  *     stops the slot's walk. Counters: `httpcache/hit`, `httpcache/miss`,
+  *     `httpcache/firsthand`, `httpcache/store` (DummyPolicy stores every
+  *     first-hand response).
   *  7. Rewrites (candidates for epoch k+1):
   *     - 301/302/303/307/308 + location (`scrapy/downloadermiddlewares/
   *       redirect.py:27-181`): urljoin target, priority+2, redirectTimes+1
@@ -198,6 +226,7 @@ final case class CrawlConfig(
     // per-extractor LinkExtractor user knobs applied to extracted links
     // (contract step 7; reference `lxmlhtml.py:217-240` _link_allowed)
     linkFilter: graft.extract.LinkFilter = graft.extract.LinkFilter.Empty,
+    httpcacheEnabled: Boolean = false, // HTTPCACHE_ENABLED + DummyPolicy (step 6d)
     maxEpochs: Int = 1000,
     closespiderPageCount: Long = 0, // 0 = off
     /** Engine sizing knob, NOT part of the semantics contract (the oracle
@@ -205,7 +234,15 @@ final case class CrawlConfig(
       * seq assignment switches from driver-side key collect to a distributed
       * orderBy + zipWithIndex. 0 forces the distributed path (used by the
       * conformance variant that pins both paths byte-identical). */
-    seqCollectMax: Long = 2000000L
+    seqCollectMax: Long = 2000000L,
+    /** Engine sizing knob (oracle ignores it): resident Bloom-prescreen
+      * bytes at which evaluation switches from whole-filter broadcast to
+      * bucket-local shard-file probes (candidates repartitioned by fp
+      * bucket; each task reads only its buckets' files — executor memory
+      * bounded by resident-bucket size). 0 forces bucket-local always (the
+      * conformance variant pinning both modes byte-identical); -1 always
+      * broadcasts. */
+    bloomLocalMinBytes: Long = 64L << 20
 ) {
   /** Offsite predicate (`scrapy/downloadermiddlewares/offsite.py:47-99`):
     * host must equal an allowed domain or be a subdomain of one. Applied to

@@ -60,7 +60,9 @@ object CrawlMain {
         maxPerHostPerEpoch = sys.env.getOrElse("GRAFT_PER_HOST", "16").toInt,
         maxFetchesPerEpoch = sys.env.getOrElse("GRAFT_MAX_FETCHES_PER_EPOCH", "0").toLong,
         autothrottle = sys.env.get("GRAFT_AUTOTHROTTLE").contains("1"),
-        seqCollectMax = sys.env.getOrElse("GRAFT_SEQ_COLLECT_MAX", "2000000").toLong)
+        seqCollectMax = sys.env.getOrElse("GRAFT_SEQ_COLLECT_MAX", "2000000").toLong,
+        bloomLocalMinBytes = sys.env.getOrElse("GRAFT_BLOOM_LOCAL_MIN",
+          (64L << 20).toString).toLong)
       val t0 = System.nanoTime()
       val res = CrawlDriver.run(spark, cfg, corpusDir, root,
         withMedia = withMedia, maxEpochsOverride = maxEpochs)

@@ -22,6 +22,12 @@ final case class CorpusSpec(
     maxLinks: Int = 8,
     imageMaxDim: Int = 96,
     seedCount: Int = 20,
+    // URL scheme of every corpus URL — "https" exercises the
+    // robots-URL-from-request-scheme path (`robotstxt.py:82-99`)
+    scheme: String = "http",
+    // make ~25% of seeds target /private/ pages with the
+    // dont_obey_robotstxt meta bypass (`robotstxt.py:57-59`)
+    bypassRobotsSeeds: Boolean = false,
     // false = round-1-shaped corpus: no Content-Encoding, Referrer-Policy,
     // Set-Cookie or meta-refresh traps — the equal-work A/B baseline for
     // benchmarking the heavier per-page pipeline (BASELINE.md)
@@ -62,13 +68,13 @@ object Corpus {
 
   /** Canonical URL of page (k, j). Every 10th page carries a query. */
   def pageUrl(spec: CorpusSpec, k: Int, j: Int): String = {
-    val base = s"http://${spec.hostName(k)}/p/$j"
+    val base = s"${spec.scheme}://${spec.hostName(k)}/p/$j"
     if (j % 10 == 0 && j > 0) s"$base?a=${j % 5}&b=${j % 7}" else base
   }
 
   /** Canonical URL of a robots-disallowed page (under /private/). */
   def privateUrl(spec: CorpusSpec, k: Int, m: Int): String =
-    s"http://${spec.hostName(k)}/private/$m"
+    s"${spec.scheme}://${spec.hostName(k)}/private/$m"
 
   /** A raw href for page (k,j) in one of several equivalent trap forms —
     * all collapse to pageUrl under canonicalize_url. `form` selects. */
@@ -76,10 +82,10 @@ object Corpus {
     val host = spec.hostName(k)
     val query = if (j % 10 == 0 && j > 0) s"?b=${j % 7}&a=${j % 5}" else ""
     form % 4 match {
-      case 0 => s"http://${host.toUpperCase(java.util.Locale.ROOT)}/p/$j$query"
-      case 1 => s"http://$host/p/$j$query#sec${j % 3}"
+      case 0 => s"${spec.scheme}://${host.toUpperCase(java.util.Locale.ROOT)}/p/$j$query"
+      case 1 => s"${spec.scheme}://$host/p/$j$query#sec${j % 3}"
       case 2 => s"/p/$j$query" // relative, canonical query order restored by sort
-      case _ => s"http://$host/%70/$j$query" // %70 = 'p', decodes to same path
+      case _ => s"${spec.scheme}://$host/%70/$j$query" // %70 = 'p', decodes to same path
     }
   }
 
@@ -99,7 +105,7 @@ object Corpus {
       PageRow(url, 302, s"/p/$tgt", Array.emptyByteArray, null, 10 + r.nextInt(100))
     } else if (roll < 0.08 && nK > 1) { // 301
       val tgt = r.nextInt(nK)
-      PageRow(url, 301, s"http://${spec.hostName(k)}/p/$tgt", Array.emptyByteArray, null, 10 + r.nextInt(100))
+      PageRow(url, 301, s"${spec.scheme}://${spec.hostName(k)}/p/$tgt", Array.emptyByteArray, null, 10 + r.nextInt(100))
     } else if (roll < 0.10) { // 503 retryable
       PageRow(url, 503, null, Array.emptyByteArray, null, 200 + r.nextInt(400))
     } else if (roll < 0.125 && nK > 1 && spec.richTraps) { // meta-refresh traps
@@ -109,7 +115,7 @@ object Corpus {
         if (mr < 0.40) // plain immediate refresh → redirect
           s"""<html><head><meta http-equiv="refresh" content="0; url=/p/$tgt"></head><body>moved</body></html>"""
         else if (mr < 0.60) // reversed attrs, single quotes, uppercase URL= → redirect
-          s"""<html><head><meta content='5; URL=http://${spec.hostName(k)}/p/$tgt' http-equiv='refresh'></head><body>moved</body></html>"""
+          s"""<html><head><meta content='5; URL=${spec.scheme}://${spec.hostName(k)}/p/$tgt' http-equiv='refresh'></head><body>moved</body></html>"""
         else if (mr < 0.80) // delay over METAREFRESH_MAXDELAY → content page
           s"""<html><head><meta http-equiv="refresh" content="200; url=/p/$tgt"></head><body><a href="/p/$tgt">slow</a></body></html>"""
         else // directive inside noscript is ignored → content page
@@ -189,7 +195,7 @@ object Corpus {
         val tgt = r.nextInt(nK)
         val href =
           if (r.nextBoolean()) s"/p/$tgt" + queryOf(tgt)
-          else s"http://${spec.hostName(k)}/p/$tgt" + queryOf(tgt)
+          else s"${spec.scheme}://${spec.hostName(k)}/p/$tgt" + queryOf(tgt)
         sb.append(s"""<a href="$href">to $tgt</a>\n""")
       } else if (roll < 0.70) { // trap variant, same host
         val tgt = r.nextInt(nK)
@@ -197,7 +203,7 @@ object Corpus {
       } else if (roll < 0.85 && spec.nHosts > 1) { // cross-host
         val hk = r.nextInt(spec.nHosts)
         val tgt = r.nextInt(spec.pagesOnHost(hk))
-        sb.append(s"""<a href="http://${spec.hostName(hk)}/p/$tgt${queryOf(tgt)}">x $hk/$tgt</a>\n""")
+        sb.append(s"""<a href="${spec.scheme}://${spec.hostName(hk)}/p/$tgt${queryOf(tgt)}">x $hk/$tgt</a>\n""")
       } else if (roll < 0.90) { // robots-disallowed target
         sb.append(s"""<a href="/private/${r.nextInt(5)}">secret</a>\n""")
       } else if (roll < 0.95) { // denied extension — must be filtered
@@ -345,7 +351,7 @@ object Corpus {
       val j = r.nextInt(spec.pagesOnHost(k))
       val url =
         if (r.nextDouble() < 0.3) trapHref(spec, k, j, r.nextInt(4)) match {
-          case rel if rel.startsWith("/") => s"http://${spec.hostName(k)}$rel"
+          case rel if rel.startsWith("/") => s"${spec.scheme}://${spec.hostName(k)}$rel"
           case abs => abs
         }
         else pageUrl(spec, k, j)
@@ -354,7 +360,14 @@ object Corpus {
         case d if d < 0.2 => -2
         case _ => 0
       }
-      SeedRow(s, url, prio)
+      // bypass seeds target robots-disallowed /private/ pages WITH the
+      // dont_obey_robotstxt meta — only robots bypassing lets them fetch
+      // (the extra draws only happen when the knob is on: flag-off specs
+      // generate byte-identical seed lists)
+      if (spec.bypassRobotsSeeds && r.nextDouble() < 0.25)
+        SeedRow(s, privateUrl(spec, k, 1 + r.nextInt(4)), prio,
+          dontObeyRobots = true)
+      else SeedRow(s, url, prio)
     }
   }
 

@@ -34,7 +34,12 @@ final case class FrontierRow(
     dontFilter: Boolean,
     // Referer header value the request carries (W3C Referrer-Policy applied
     // at discovery, `scrapy/spidermiddlewares/referer.py`); null = omitted
-    referer: String = null)
+    referer: String = null,
+    // meta["dont_obey_robotstxt"] (`downloadermiddlewares/robotstxt.py:57-59`):
+    // skips the robots check AND never triggers the robots.txt fetch.
+    // Retries/redirects inherit it (request.replace copies meta); extracted
+    // links do not (a fresh Request carries no meta).
+    dontObeyRobots: Boolean = false)
 
 /** One fetch in the ordered crawl log — the byte-for-byte conformance object
   * (SURVEY.md §7.4, FIXTURES.md §6). `seq` is the global fetch index. */
@@ -51,7 +56,10 @@ final case class FetchLogRow(
     cookies: String = null, // Cookie header sent with the fetch
     userAgent: String = null, // User-Agent header (UserAgentMiddleware analogue)
     authorization: String = null, // Basic auth header (HttpAuthMiddleware)
-    proxy: String = null) // proxy the fetch is routed through (HttpProxyMiddleware)
+    proxy: String = null, // proxy the fetch is routed through (HttpProxyMiddleware)
+    // response served from the HTTP cache (reference response.flags
+    // "cached", contract step 6d) — no politeness slot was consumed
+    cached: Boolean = false)
 
 /** A page of the synthetic web (the offline stand-in for HTTP fetch;
   * SURVEY.md §2.1 "Synthetic fetch"). `url` is the canonical URL — the fetch
@@ -82,8 +90,11 @@ final case class ImageRow(
 /** robots.txt corpus row. */
 final case class RobotsRow(host: String, body: Array[Byte])
 
-/** Ordered seed row. */
-final case class SeedRow(seq: Long, url: String, priority: Int)
+/** Ordered seed row. `dontObeyRobots` = the request meta bypass flag
+  * (`robotstxt.py:57-59`), settable per start request like in the
+  * reference's spiders. */
+final case class SeedRow(seq: Long, url: String, priority: Int,
+    dontObeyRobots: Boolean = false)
 
 /** Per-slot politeness state carried across epochs (reference: downloader
   * Slot.lastseen + Slot.delay, `scrapy/core/downloader/__init__.py:148-177`).

@@ -32,6 +32,62 @@ object CrawlDriver {
         .select(col("fpHex"), col("bucket"))
     }.reduce(_.unionByName(_))
 
+  // explicit schemas: an epoch touching nothing writes an EMPTY delta dir
+  // (no files → nothing to infer), and a pre-round-3 host_state lacks
+  // delayMs (parquet fills the missing column with null → coalesce -1)
+  private val HostStateSchema = "host STRING, lastTMs BIGINT, robotsFetched BOOLEAN, delayMs BIGINT"
+  private val RobotsSchema = "host STRING, body BINARY, ok BOOLEAN"
+  private val CookieSchema = "host STRING, name STRING, value STRING"
+  private val HttpCacheSchema = "fpHex STRING"
+
+  /** Merge a host-state delta chain: per slot, the LATEST chain entry wins
+    * (each delta row carries the slot's full new state). */
+  def readHostState(spark: SparkSession, dirs: Seq[String]): Dataset[HostState] = {
+    import spark.implicits._
+    dirs.zipWithIndex.map { case (d, i) =>
+      spark.read.schema(HostStateSchema).parquet(d)
+        .select(col("host"), col("lastTMs"), col("robotsFetched"),
+          coalesce(col("delayMs"), lit(-1L)).as("delayMs"))
+        .withColumn("chainIdx", lit(i))
+    }.reduce(_.unionByName(_))
+      .groupBy($"host")
+      .agg(max_by(struct($"lastTMs", $"robotsFetched", $"delayMs"),
+        $"chainIdx").as("r"))
+      .select($"host", $"r.lastTMs", $"r.robotsFetched", $"r.delayMs")
+      .as[HostState]
+  }
+
+  /** Robots-cache chain: deltas are DISJOINT appends (one robots fetch per
+    * host, ever) — the merge is a plain union, no per-key resolution. */
+  def readRobotsCache(spark: SparkSession,
+      dirs: Seq[String]): Dataset[CrawlEngine.RobotsCacheRow] = {
+    import spark.implicits._
+    dirs.map(d => spark.read.schema(RobotsSchema).parquet(d))
+      .reduce(_.unionByName(_)).as[CrawlEngine.RobotsCacheRow]
+  }
+
+  /** Cookie-jar chain: per (host, name) the latest chain entry wins; an
+    * empty value is a delete tombstone, dropped after the merge. */
+  def readCookieJar(spark: SparkSession, dirs: Seq[String]): Dataset[CookieRow] = {
+    import spark.implicits._
+    if (dirs.isEmpty) spark.emptyDataset[CookieRow]
+    else dirs.zipWithIndex.map { case (d, i) =>
+      spark.read.schema(CookieSchema).parquet(d).withColumn("chainIdx", lit(i))
+    }.reduce(_.unionByName(_))
+      .groupBy($"host", $"name")
+      .agg(max_by($"value", $"chainIdx").as("value"))
+      .filter($"value" =!= "")
+      .as[CookieRow]
+  }
+
+  /** HTTP-cache chain (contract 6d): disjoint fp appends — plain union. */
+  def readHttpCache(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    import spark.implicits._
+    if (dirs.isEmpty) spark.emptyDataset[String].toDF("fpHex")
+    else dirs.map(d => spark.read.schema(HttpCacheSchema).parquet(d))
+      .reduce(_.unionByName(_))
+  }
+
   /** Initialize snapshot v0 from the ordered seed list (dupefilter in seed
     * order — reference `Spider.start()` + scheduler gate). */
   def init(spark: SparkSession, cfg: CrawlConfig, seeds: Dataset[SeedRow],
@@ -55,7 +111,8 @@ object CrawlDriver {
       lit(-1).as("dEpoch"), $"seq".as("dParent"), lit(0).as("dLink"),
       lit(0).as("retryTimes"), lit(0).as("redirectTimes"),
       lit(false).as("dontFilter"),
-      lit(null).cast("string").as("referer")).as[FrontierRow]
+      lit(null).cast("string").as("referer"),
+      $"dontObeyRobots").as[FrontierRow]
 
     val fDir = dataDir(root, 0, "frontier")
     frontier0.write.mode(SaveMode.Overwrite).parquet(fDir)
@@ -71,12 +128,12 @@ object CrawlDriver {
     spark.emptyDataset[CookieRow].write.mode(SaveMode.Overwrite).parquet(cjDir)
     deduped.unpersist()
 
-    val m = Manifest(0, -1, fDir, Seq(seenDir), hsDir, rcDir, Nil, Nil,
+    val m = Manifest(0, -1, fDir, Seq(seenDir), Seq(hsDir), Seq(rcDir), Nil, Nil,
       nextFetchSeq = 0L, frontierCount = nKept, pageFetches = 0L,
       counters = Map(
         "scheduler/enqueued" -> nKept,
         "dupefilter/filtered" -> (nSeeds - nKept)).filter(_._2 != 0),
-      cookieJarDir = cjDir)
+      cookieJarDirs = Seq(cjDir))
     Snapshot.write(root, m)
     m
   }
@@ -85,7 +142,11 @@ object CrawlDriver {
     * manifest. `corpusDir` must contain pages/, robots/, seeds/ (+ images/). */
   def run(spark: SparkSession, cfg: CrawlConfig, corpusDir: String,
       root: String, withMedia: Boolean = true,
-      maxEpochsOverride: Option[Int] = None): RunResult = {
+      maxEpochsOverride: Option[Int] = None,
+      // prime a fresh crawl with a prior crawl's HTTP-cache chain (the
+      // reference's persistent HTTPCACHE_DIR across runs, contract 6d);
+      // ignored on resume (the manifest's own chain wins)
+      cachePrimeDirs: Seq[String] = Nil): RunResult = {
     import spark.implicits._
 
     // Pre-partition the corpus ("the web") by its join key once and keep it
@@ -111,7 +172,16 @@ object CrawlDriver {
 
     val epochStats = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
     var m = Snapshot.loadLatest(root).getOrElse {
-      init(spark, cfg, spark.read.parquet(s"$corpusDir/seeds").as[SeedRow], root)
+      val m0 = init(spark, cfg,
+        Snapshot.withDefaults(spark.read.parquet(s"$corpusDir/seeds"),
+          Seq("dontObeyRobots" -> org.apache.spark.sql.functions.lit(false)))
+          .as[SeedRow], root)
+      if (cachePrimeDirs.isEmpty) m0
+      else {
+        val primed = m0.copy(httpCacheDirs = cachePrimeDirs)
+        Snapshot.write(root, primed)
+        primed
+      }
     }
     val maxEpochs = maxEpochsOverride.getOrElse(cfg.maxEpochs)
 
@@ -140,6 +210,12 @@ object CrawlDriver {
         BloomShards.buildShards(spark, seenAll, capOf, bloomFpp).foreach(s.replace)
         s
       } else BloomShards.create(bloomItems, bloomFpp)
+    // directory whose per-bucket shard files mirror the resident shards (the
+    // bucket-local prescreen reads it on executors); empty = out of sync
+    var bloomOnDisk: String =
+      if (m.bloomPath.nonEmpty &&
+        new java.io.File(m.bloomPath, "shard-000.bloom").exists()) m.bloomPath
+      else ""
 
     while (m.frontierCount > 0 && m.snapshotId < maxEpochs &&
         !(cfg.closespiderPageCount > 0 && m.pageFetches >= cfg.closespiderPageCount)) {
@@ -148,19 +224,42 @@ object CrawlDriver {
       // withDefaults: resume from a pre-round-3/4 snapshot whose schema
       // predates delayMs / referer / dontObeyRobots (ADVICE r3)
       val frontier = Snapshot.withDefaults(spark.read.parquet(m.frontierDir),
-        Seq("referer" -> lit(null).cast("string"))).as[FrontierRow]
+        Seq("referer" -> lit(null).cast("string"),
+          "dontObeyRobots" -> lit(false))).as[FrontierRow]
       val urlSeen = readSeen(spark, m.seenDirs)
-      val hostState = Snapshot.withDefaults(spark.read.parquet(m.hostStateDir),
-        Seq("delayMs" -> lit(-1L))).as[HostState]
-      val robotsCache = spark.read.parquet(m.robotsCacheDir).as[CrawlEngine.RobotsCacheRow]
-      val cookieJar =
-        if (m.cookieJarDir.nonEmpty) spark.read.parquet(m.cookieJarDir).as[CookieRow]
-        else spark.emptyDataset[CookieRow]
+      // the merged host-state view feeds three joins inside the epoch (slot
+      // state, delay updates, the next delta) — materialize the chain merge
+      // once instead of re-running it per use
+      val hostState = readHostState(spark, m.hostStateDirs).persist()
+      val robotsCache = readRobotsCache(spark, m.robotsCacheDirs)
+      val cookieJar = readCookieJar(spark, m.cookieJarDirs)
+      val httpCache =
+        if (cfg.httpcacheEnabled) readHttpCache(spark, m.httpCacheDirs) else null
 
-      val bloomBc = spark.sparkContext.broadcast(shards)
+      // prescreen evaluation mode (engine sizing knob, ignored by the
+      // oracle): broadcast while the resident filter is small — one
+      // in-memory probe per candidate, no extra exchange; switch to
+      // bucket-local shard files once it crosses bloomLocalMinBytes, so
+      // executor memory stays bounded by resident-bucket size at 10^10 fps
+      val useLocalBloom = cfg.bloomLocalMinBytes >= 0 &&
+        shards.approxBytes >= cfg.bloomLocalMinBytes
+      var bloomBc: org.apache.spark.broadcast.Broadcast[BloomShards] = null
+      val bloomMode: CrawlEngine.BloomPrescreen =
+        if (useLocalBloom) {
+          if (bloomOnDisk.isEmpty) { // resume from pre-r4 format / fresh run
+            val p = dataDir(root, epoch, "bloom_resident")
+            BloomShards.save(spark, p, shards)
+            bloomOnDisk = p
+          }
+          CrawlEngine.BucketLocalShards(bloomOnDisk)
+        } else {
+          bloomBc = spark.sparkContext.broadcast(shards)
+          CrawlEngine.BroadcastShards(bloomBc)
+        }
       val r = CrawlEngine.runEpoch(spark, cfg, epoch, m.nextFetchSeq,
         frontier, urlSeen, hostState, robotsCache, cookieJar, pages, robotsCorpus,
-        dns, images, withMedia, Some(bloomBc), frontierCountHint = m.frontierCount)
+        dns, images, withMedia, Some(bloomMode), frontierCountHint = m.frontierCount,
+        httpCache = httpCache)
 
       val timing = sys.env.contains("GRAFT_TIMING")
       var tW = System.nanoTime()
@@ -172,9 +271,10 @@ object CrawlDriver {
       val e1 = epoch + 1
       val fDir = dataDir(root, e1, "frontier")
       val seenDir = dataDir(root, e1, "seen_delta")
-      val hsDir = dataDir(root, e1, "host_state")
-      val rcDir = dataDir(root, e1, "robots_cache")
-      val cjDir = dataDir(root, e1, "cookie_jar")
+      val hsDir = dataDir(root, e1, "host_state_delta")
+      val rcDir = dataDir(root, e1, "robots_cache_delta")
+      val cjDir = dataDir(root, e1, "cookie_jar_delta")
+      val hcDir = dataDir(root, e1, "http_cache_delta")
       val flDir = dataDir(root, e1, "fetch_log")
       val frontierCount = r.nextFrontierCount
       // the six snapshot tables are independent — write them as concurrent
@@ -208,10 +308,13 @@ object CrawlDriver {
       val writeJobs = scala.collection.mutable.ArrayBuffer[Future[Unit]](
         Future(r.nextFrontier.write.mode(SaveMode.Overwrite).parquet(fDir)),
         seenWrite,
-        Future(r.hostState.coalesce(smallParts).write.mode(SaveMode.Overwrite).parquet(hsDir)),
-        Future(r.robotsCache.coalesce(smallParts).write.mode(SaveMode.Overwrite).parquet(rcDir)),
-        Future(r.cookieJar.coalesce(smallParts).write.mode(SaveMode.Overwrite).parquet(cjDir)),
+        Future(r.hostStateDelta.coalesce(smallParts).write.mode(SaveMode.Overwrite).parquet(hsDir)),
+        Future(r.robotsDelta.coalesce(smallParts).write.mode(SaveMode.Overwrite).parquet(rcDir)),
+        Future(r.cookieDelta.coalesce(smallParts).write.mode(SaveMode.Overwrite).parquet(cjDir)),
         Future(r.fetchLog.coalesce(writeParts).write.mode(SaveMode.Overwrite).parquet(flDir)))
+      if (r.httpCacheDelta != null)
+        writeJobs += Future(r.httpCacheDelta.coalesce(smallParts)
+          .write.mode(SaveMode.Overwrite).parquet(hcDir))
       val mediaDirs =
         if (withMedia && images != null) {
           val mDir = dataDir(root, e1, "media")
@@ -259,6 +362,40 @@ object CrawlDriver {
         seenDirs = Seq(cDir)
       }
 
+      // state-table delta chains: append this epoch's delta; when a chain
+      // passes 8 dirs, compact it to one merged dir (host_state/cookie_jar:
+      // latest-entry-wins merge, tombstones dropped; robots: plain union) —
+      // same policy as the url_seen chain above
+      var hostStateDirs = m.hostStateDirs :+ hsDir
+      if (hostStateDirs.size > 8) {
+        val cDir = dataDir(root, e1, "host_state_compact")
+        readHostState(spark, hostStateDirs).coalesce(smallParts)
+          .write.mode(SaveMode.Overwrite).parquet(cDir)
+        hostStateDirs = Seq(cDir)
+      }
+      var robotsCacheDirs = m.robotsCacheDirs :+ rcDir
+      if (robotsCacheDirs.size > 8) {
+        val cDir = dataDir(root, e1, "robots_cache_compact")
+        readRobotsCache(spark, robotsCacheDirs).coalesce(smallParts)
+          .write.mode(SaveMode.Overwrite).parquet(cDir)
+        robotsCacheDirs = Seq(cDir)
+      }
+      var httpCacheDirs =
+        if (r.httpCacheDelta != null) m.httpCacheDirs :+ hcDir else m.httpCacheDirs
+      if (httpCacheDirs.size > 8) {
+        val cDir = dataDir(root, e1, "http_cache_compact")
+        readHttpCache(spark, httpCacheDirs).coalesce(smallParts)
+          .write.mode(SaveMode.Overwrite).parquet(cDir)
+        httpCacheDirs = Seq(cDir)
+      }
+      var cookieJarDirs = m.cookieJarDirs :+ cjDir
+      if (cookieJarDirs.size > 8) {
+        val cDir = dataDir(root, e1, "cookie_jar_compact")
+        readCookieJar(spark, cookieJarDirs).coalesce(smallParts)
+          .write.mode(SaveMode.Overwrite).parquet(cDir)
+        cookieJarDirs = Seq(cDir)
+      }
+
       // saturated-shard rebuild: a bucket whose exact seen count outgrew its
       // filter capacity gets a fresh 2×-headroom filter built from its full
       // seen partition — doubling means O(log n) rebuilds per bucket over the
@@ -276,17 +413,20 @@ object CrawlDriver {
       }
       val bloomPath = dataDir(root, e1, "bloom")
       BloomShards.save(spark, bloomPath, shards)
+      bloomOnDisk = bloomPath
 
       val mergedCounters = (m.counters.keySet ++ r.counters.keySet).map { k =>
         k -> (m.counters.getOrElse(k, 0L) + r.counters.getOrElse(k, 0L))
       }.toMap
 
-      m = Manifest(e1, epoch, fDir, seenDirs, hsDir, rcDir,
+      m = Manifest(e1, epoch, fDir, seenDirs, hostStateDirs, robotsCacheDirs,
         m.fetchLogDirs :+ flDir, mediaDirs,
         r.nextFetchSeq, frontierCount, m.pageFetches + r.pageFetchCount,
-        mergedCounters, bloomPath, cookieJarDir = cjDir)
+        mergedCounters, bloomPath, cookieJarDirs = cookieJarDirs,
+        httpCacheDirs = httpCacheDirs)
       Snapshot.write(root, m)
-      bloomBc.destroy()
+      if (bloomBc != null) bloomBc.destroy()
+      hostState.unpersist(false)
       r.cleanup() // drop only this epoch's caches; the corpus stays resident
       val epochSecs = (System.nanoTime() - tEpoch) / 1e9
       epochStats += ((r.pageFetchCount, epochSecs))

@@ -36,23 +36,49 @@ object CrawlEngine {
   final val KForbidden = 3 // dequeued but robots-disallowed (dropped)
 
   final case class DeqOut(kind: Int, fr: FrontierRow, t: Long, hostIdx: Int,
-      slot: String)
+      slot: String, cached: Boolean = false)
   final case class FetchRow(fr: FrontierRow, t: Long, hostIdx: Int, kind: Int,
-      seq: Long, slot: String)
+      seq: Long, slot: String, cached: Boolean = false)
   final case class RobotsCacheRow(host: String, body: Array[Byte], ok: Boolean)
   final case class HostMeta(
       host: String, slot: String, lastT: Long, budget: Int, delay: Long,
       robotsKnown: Boolean, knownBody: Array[Byte], knownOk: Boolean,
       corpusBody: Array[Byte])
-  final case class Enriched(fr: FrontierRow, meta: HostMeta)
+  final case class Enriched(fr: FrontierRow, meta: HostMeta,
+      cached: Boolean = false, robotsCached: Boolean = false)
+
+  /** How the advisory url_seen Bloom prescreen is evaluated (north rule:
+    * partitioned Bloom/cuckoo URL-seen):
+    *  - [[BroadcastShards]]: every executor holds all shards — right while
+    *    the filter is small (one in-memory probe per candidate, no extra
+    *    exchange).
+    *  - [[BucketLocalShards]]: candidates repartition by fp bucket and each
+    *    task opens only ITS buckets' shard files from the persisted
+    *    per-bucket directory — executor memory is bounded by resident-bucket
+    *    size, not total filter size (at 10^10 seen fps the full filter is
+    *    ~9 GB; broadcasting that per epoch was the round-3 scale defect). */
+  sealed trait BloomPrescreen
+  final case class BroadcastShards(
+      bc: org.apache.spark.broadcast.Broadcast[graft.plans.BloomShards])
+    extends BloomPrescreen
+  final case class BucketLocalShards(dir: String) extends BloomPrescreen
+
+  /** Candidate row through the bucket-local prescreen. */
+  final case class FwIn(fpHex: String, bucket: Int, fr: FrontierRow)
+  final case class FwFlag(fpHex: String, bucket: Int, fr: FrontierRow,
+      maybe: Boolean)
 
   final case class EpochResult(
       fetchLog: DataFrame,
       nextFrontier: Dataset[FrontierRow],
       seenDelta: DataFrame, // fpHex string rows
-      hostState: Dataset[HostState],
-      robotsCache: Dataset[RobotsCacheRow],
-      cookieJar: Dataset[CookieRow],
+      // PER-EPOCH DELTAS, not full tables (round-3 verdict scale defect #2:
+      // O(hosts) full-state rewrites per epoch): touched slots only; the
+      // driver appends them to per-table delta chains with periodic
+      // compaction, exactly like url_seen
+      hostStateDelta: Dataset[HostState], // touched slots, new values
+      robotsDelta: Dataset[RobotsCacheRow], // hosts fetched this epoch (append-only)
+      cookieDelta: Dataset[CookieRow], // (host,name) writes; value "" = delete tombstone
       media: Dataset[MediaRow],
       counters: Map[String, Long],
       nextFetchSeq: Long,
@@ -64,6 +90,9 @@ object CrawlEngine {
       // that paid it — the per-epoch hit-rate log the sizing work is judged by
       prescreenDefNew: Long,
       prescreenMaybe: Long,
+      // fps of responses stored in the HTTP cache this epoch (contract 6d);
+      // null when the cache is off
+      httpCacheDelta: DataFrame,
       cleanup: () => Unit)
 
   /** The dequeue comparator of the crawl contract (CrawlConfig step 2). */
@@ -172,12 +201,14 @@ object CrawlEngine {
       dns: DataFrame, // (host, ip) resolver cache; nullable (host-keyed slots)
       images: DataFrame, // corpus images, nullable (media off when null)
       withMedia: Boolean,
-      bloom: Option[org.apache.spark.broadcast.Broadcast[
-        graft.plans.BloomShards]] = None,
+      bloom: Option[BloomPrescreen] = None,
       // upper bound on the fetch-batch size known BEFORE the epoch runs (the
       // manifest's frontier count) — picks the seq-assignment path without
       // spending an extra counting job
-      frontierCountHint: Long = Long.MaxValue): EpochResult = {
+      frontierCountHint: Long = Long.MaxValue,
+      // stored-response fp table (column fpHex, lowercase) — contract 6d;
+      // null when httpcacheEnabled is off
+      httpCache: DataFrame = null): EpochResult = {
     import spark.implicits._
 
     val timing = sys.env.contains("GRAFT_TIMING")
@@ -196,7 +227,7 @@ object CrawlEngine {
     // joins on the same key; plan unchanged).
     val frCols = Seq("url", "fp", "host", "priority", "depth", "isStart",
       "dEpoch", "dParent", "dLink", "retryTimes", "redirectTimes", "dontFilter",
-      "referer")
+      "referer", "dontObeyRobots")
     val withSlot =
       if (cfg.perIpSlots && dns != null)
         frontier.toDF()
@@ -205,13 +236,39 @@ object CrawlEngine {
           .drop("ip")
       else frontier.toDF().withColumn("slot", $"host")
 
+    // HTTP-cache membership (contract 6d): per-row hit flags resolved at
+    // epoch start — the row's own fp, and the fp of the robots URL the row
+    // would trigger (derived from ITS scheme, mirroring the oracle's
+    // triggering-request rule). Cache off ⇒ constant false, no joins.
+    val withCacheFlags =
+      if (!cfg.httpcacheEnabled || httpCache == null)
+        withSlot.withColumn("cached", lit(false))
+          .withColumn("robotsCached", lit(false))
+      else {
+        val robotsFpHexUdf = udf((url: String, host: String) => {
+          val i = url.indexOf("://")
+          val scheme = if (i < 0) "" else url.substring(0, i)
+          UrlKit.toHex(UrlKit.fingerprint(s"$scheme://$host/robots.txt"))
+        })
+        withSlot
+          .withColumn("rowFpHex", lower(hex($"fp")))
+          .withColumn("robotsFpHex", robotsFpHexUdf($"url", $"host"))
+          .join(httpCache.select($"fpHex".as("rowFpHex"),
+            lit(true).as("cached")), Seq("rowFpHex"), "left")
+          .join(httpCache.select($"fpHex".as("robotsFpHex"),
+            lit(true).as("robotsCached")), Seq("robotsFpHex"), "left")
+          .withColumn("cached", coalesce($"cached", lit(false)))
+          .withColumn("robotsCached", coalesce($"robotsCached", lit(false)))
+          .drop("rowFpHex", "robotsFpHex")
+      }
+
     // per-slot state join + epoch delay/cap resolution (contract step 1a):
     // the slot's delay for this epoch — DOWNLOAD_SLOTS override, stored
     // AutoThrottle delay, or the global default — and the budget it implies.
     // hostState is tiny next to the frontier (broadcast under AQE). With no
     // overrides and AutoThrottle off (the common broad-crawl config) both
     // columns are CONSTANTS — no per-frontier-row UDF calls.
-    val joinedState = withSlot
+    val joinedState = withCacheFlags
       .join(hostState.toDF().select($"host".as("slot"), $"lastTMs".as("lastT"),
         $"delayMs".as("storedDelay")), Seq("slot"), "left")
     val withState =
@@ -245,7 +302,8 @@ object CrawlEngine {
           $"slotDelay".as("delay"),
           coalesce($"robotsKnown", lit(false)).as("robotsKnown"),
           $"knownBody", coalesce($"knownOk", lit(false)).as("knownOk"),
-          $"corpusBody").as("meta"))
+          $"corpusBody").as("meta"),
+        $"cached", $"robotsCached")
       .as[Enriched]
 
     // ---- politeness dequeue per host: bounded PQ, O(n log k) --------------
@@ -262,13 +320,24 @@ object CrawlEngine {
     // even when a hot slot holds a huge frontier slice. The flush walks the
     // slot's priority order charging the budget per contract step 2.
     val obsDeq = org.apache.spark.sql.Observation()
+    val cacheOn = cfg.httpcacheEnabled
     val deqOut0: Dataset[DeqOut] = enriched
       .repartition($"meta.slot")
       .mapPartitions { it =>
         final class SlotAcc(var lastT: Long, val budget: Int, val delay: Long) {
           // start SMALL and grow: pre-allocating `budget` slots (e.g. 5000)
           // per PQ is O(slots × budget) memory — at 10^6 one-page hosts that
-          // is gigabytes for queues holding one row each
+          // is gigabytes for queues holding one row each.
+          // With the HTTP cache on, the processable prefix is NOT
+          // budget-bounded (cache hits charge nothing — contract 6d) and
+          // under streaming arrival no incremental bound is safe: a miss
+          // evicted early would re-qualify when later cached arrivals widen
+          // the bound, and its absence lets the walk run past the true
+          // stopping row. So the cache path holds the slot's full queue
+          // (memory O(slot rows)) — the walk then reproduces the oracle's
+          // stop rule exactly. The bounded-PQ optimization stays for the
+          // cache-off path (the broad-crawl/bench configuration).
+          def admit: Int = if (cacheOn) Int.MaxValue else budget
           val pq = new java.util.PriorityQueue[Enriched](
             math.min(budget, 16) + 1,
             (x: Enriched, y: Enriched) => if (lt(x.fr, y.fr)) 1 else -1) // head = worst
@@ -280,10 +349,10 @@ object CrawlEngine {
             st = new SlotAcc(e.meta.lastT, e.meta.budget, e.meta.delay)
             states.put(e.meta.slot, st)
           }
-          if (st.budget == 0) Iterator.single(DeqOut(KKept, e.fr, 0L, -1, e.meta.slot))
+          if (st.admit == 0) Iterator.single(DeqOut(KKept, e.fr, 0L, -1, e.meta.slot))
           else {
             st.pq.offer(e)
-            if (st.pq.size > st.budget)
+            if (st.pq.size > st.admit)
               Iterator.single(DeqOut(KKept, st.pq.poll().fr, 0L, -1, e.meta.slot))
             else Iterator.empty
           }
@@ -314,27 +383,50 @@ object CrawlEngine {
                   }
                 })
                 // robots fetch charged once per host per epoch, before its
-                // first row — even when no page unit remains after it
-                if (robotsObey && !e.meta.robotsKnown && !robotsDone.contains(host) &&
-                    budgetLeft >= 1) {
-                  val robotsUrl = s"http://$host/robots.txt"
+                // first row — even when no page unit remains after it. A
+                // dont_obey_robotstxt row never triggers it (`robotstxt.py:
+                // 57-59`); the robots URL takes the TRIGGERING request's
+                // scheme (`robotstxt.py:82-99` builds it from url.scheme —
+                // an https-only site gets https://host/robots.txt). Robots
+                // middleware runs BEFORE httpcache: a cached page row still
+                // triggers/consults robots; a cache-HIT robots fetch
+                // (e.robotsCached, contract 6d) charges nothing and does not
+                // advance virtual time.
+                val needRobots = robotsObey && !e.fr.dontObeyRobots &&
+                  !e.meta.robotsKnown && !robotsDone.contains(host)
+                if (needRobots && (e.robotsCached || budgetLeft >= 1)) {
+                  val scheme = e.fr.url.substring(0, math.max(e.fr.url.indexOf("://"), 0))
+                  val robotsUrl = s"$scheme://$host/robots.txt"
                   val fp = UrlKit.fingerprint(robotsUrl)
                   out += DeqOut(KRobots,
                     FrontierRow(robotsUrl, fp, host, 1000, 0, isStart = false,
-                      epoch, -1L, -1, 0, 0, dontFilter = true), t, -1, slot)
+                      epoch, -1L, -1, 0, 0, dontFilter = true), t, -1, slot,
+                    cached = e.robotsCached)
                   robotsDone += host
-                  t += st.delay
-                  budgetLeft -= 1
+                  if (!e.robotsCached) {
+                    t += st.delay
+                    budgetLeft -= 1
+                  }
                 }
-                if (budgetLeft >= 1) {
-                  budgetLeft -= 1
-                  if (robotsObey && !rules.allowed(e.fr.url, robotsUA)) {
+                // a cache-hit row (contract 6d) consumes no budget unit and
+                // no virtual-time slot; it is logged at the slot's current
+                // next-fetch time. The walk stops at the first NON-cached
+                // row (or robots miss) that cannot be charged.
+                val robotsResolved = !robotsObey || e.fr.dontObeyRobots ||
+                  e.meta.robotsKnown || robotsDone.contains(host)
+                if (robotsResolved && (e.cached || budgetLeft >= 1)) {
+                  if (robotsObey && !e.fr.dontObeyRobots &&
+                      !rules.allowed(e.fr.url, robotsUA)) {
                     out += DeqOut(KForbidden, e.fr, 0L, -1, slot)
+                    if (!e.cached) budgetLeft -= 1
                   } else {
                     val i = hostIdx.getOrElse(host, 0)
-                    out += DeqOut(KFetch, e.fr, t, i, slot)
+                    out += DeqOut(KFetch, e.fr, t, i, slot, cached = e.cached)
                     hostIdx(host) = i + 1
-                    t += st.delay
+                    if (!e.cached) {
+                      t += st.delay
+                      budgetLeft -= 1
+                    }
                   }
                 } else {
                   out += DeqOut(KKept, e.fr, 0L, -1, slot)
@@ -382,7 +474,7 @@ object CrawlEngine {
           toFetch.orderBy($"t", encode($"fr.host", "UTF-16BE"), $"hostIdx")
             .rdd.zipWithIndex()
             .map { case (d, i) =>
-              FetchRow(d.fr, d.t, d.hostIdx, d.kind, baseSeq + i, d.slot) })
+              FetchRow(d.fr, d.t, d.hostIdx, d.kind, baseSeq + i, d.slot, d.cached) })
       } else {
         val fetchKeys = toFetch.map(d => (d.t, d.fr.host, d.hostIdx)).collect()
         java.util.Arrays.sort(fetchKeys, Ordering[(Long, String, Int)])
@@ -396,7 +488,7 @@ object CrawlEngine {
         val bc = seqBc
         toFetch.map(d =>
           FetchRow(d.fr, d.t, d.hostIdx, d.kind,
-            bc.value.get((d.t, d.fr.host, d.hostIdx)), d.slot))
+            bc.value.get((d.t, d.fr.host, d.hostIdx)), d.slot, d.cached))
       }).persist()
     lap("dequeue+seqAssign")
 
@@ -414,7 +506,8 @@ object CrawlEngine {
     val fetched = pageFetches
       .join(pages, Seq("canonical"), "left")
       .withColumn("timedOut",
-        lit(timeoutMs > 0) && coalesce($"latencyMs" >= lit(timeoutMs), lit(false)))
+        !$"cached" && lit(timeoutMs > 0) &&
+          coalesce($"latencyMs" >= lit(timeoutMs), lit(false)))
       .withColumn("status",
         when($"timedOut", lit(599)).otherwise(coalesce($"status", lit(404))))
       .persist()
@@ -454,17 +547,18 @@ object CrawlEngine {
         cfg.proxyFor(graft.urlkit.PyUrl.urlparse(url).scheme, host))
         .apply($"url", $"host")
     val fetchLog = fetched
-      .select($"fr.*", $"t", $"seq", $"status", lit(false).as("isRobots"))
+      .select($"fr.*", $"t", $"seq", $"status", lit(false).as("isRobots"),
+        $"cached")
       .unionByName(robotsFetchLog
         .select($"fr.url".as("url"), $"fr.fp".as("fp"), $"host",
-          $"t", $"seq", $"status", lit(true).as("isRobots")),
+          $"t", $"seq", $"status", lit(true).as("isRobots"), $"cached"),
         allowMissingColumns = true)
       .join(jarHeaders, Seq("host"), "left")
       .select(lit(epoch).as("epoch"), $"seq", $"host", $"url", $"fp",
         $"t".as("virtualTMs"), $"status", $"isRobots", $"referer", $"cookies",
         lit(cfg.userAgent).as("userAgent"),
         authCol.as("authorization"),
-        proxyCol.as("proxy"))
+        proxyCol.as("proxy"), $"cached")
       .persist()
 
     // ---- expansion: decompression / redirect / retry / links ---------------
@@ -494,7 +588,7 @@ object CrawlEngine {
             out += ((0, FrontierRow(row.url, row.fp, row.host, row.priority - 1,
               row.depth, isStart = false, epoch, seq, -2,
               row.retryTimes + 1, row.redirectTimes, dontFilter = true,
-              referer = row.referer), 0L))
+              referer = row.referer, dontObeyRobots = row.dontObeyRobots), 0L))
           } else out += ((1, row, 0L))
         } else {
         // decompression stage (contract step 6b): decode before any body use;
@@ -534,14 +628,14 @@ object CrawlEngine {
             out += ((0, FrontierRow(target, UrlKit.fingerprint(target),
               UrlKit.hostOf(target), row.priority + 2, row.depth, isStart = false,
               epoch, seq, -1, row.retryTimes, row.redirectTimes + 1, row.dontFilter,
-              referer = patched), 0L))
+              referer = patched, dontObeyRobots = row.dontObeyRobots), 0L))
           } else out += ((4, row, 0L)) // redirect chain past the cap: counted, dropped
         } else if (retryStatuses.contains(status)) {
           if (row.retryTimes < cfg.retryTimes) {
             out += ((0, FrontierRow(row.url, row.fp, row.host, row.priority - 1,
               row.depth, isStart = false, epoch, seq, -2,
               row.retryTimes + 1, row.redirectTimes, dontFilter = true,
-              referer = row.referer), 0L)) // retries keep their headers
+              referer = row.referer, dontObeyRobots = row.dontObeyRobots), 0L)) // retries keep their headers
           } else out += ((1, row, 0L))
         } else if (status >= 200 && status < 300 && body.isDefined) {
           // meta-refresh intercept (contract step 7a): runs below the spider,
@@ -564,7 +658,7 @@ object CrawlEngine {
               out += ((0, FrontierRow(target, UrlKit.fingerprint(target),
                 UrlKit.hostOf(target), row.priority + 2, row.depth, isStart = false,
                 epoch, seq, -1, row.retryTimes, row.redirectTimes + 1, row.dontFilter,
-                referer = patched), 0L))
+                referer = patched, dontObeyRobots = row.dontObeyRobots), 0L))
             } else out += ((4, row, 0L))
           } else {
           val childDepth = row.depth + 1
@@ -617,10 +711,10 @@ object CrawlEngine {
       .groupBy($"fpHex")
       .agg(min(struct($"dEpoch", $"dParent", $"dLink", $"url", $"fp", $"host",
         $"priority", $"depth", $"isStart", $"retryTimes", $"redirectTimes",
-        $"dontFilter", $"referer")).as("r"))
+        $"dontFilter", $"referer", $"dontObeyRobots")).as("r"))
       .select($"fpHex", $"r.url", $"r.fp", $"r.host", $"r.priority", $"r.depth",
         $"r.isStart", $"r.dEpoch", $"r.dParent", $"r.dLink", $"r.retryTimes",
-        $"r.redirectTimes", $"r.dontFilter", $"r.referer")
+        $"r.redirectTimes", $"r.dontFilter", $"r.referer", $"r.dontObeyRobots")
 
     // Bloom prescreen (north rule: bloom/cuckoo URL-seen): a fingerprint the
     // filter has never seen is DEFINITELY new — only likely-dups pay the
@@ -630,20 +724,52 @@ object CrawlEngine {
     val obsBloomNew = org.apache.spark.sql.Observation()
     val obsBloomMaybe = org.apache.spark.sql.Observation()
     val prescreenMetrics = !sys.env.contains("GRAFT_NO_PRESCREEN_METRICS")
+    var flaggedHandle: Dataset[FwFlag] = null
+    def prescreenBranches(flagged: DataFrame): DataFrame = {
+      val definitelyNew0 = flagged.filter(!$"maybe").drop("maybe")
+      val definitelyNew =
+        if (prescreenMetrics) definitelyNew0.observe(obsBloomNew, count(lit(1)).as("n"))
+        else definitelyNew0
+      val maybeSeen0 = flagged.filter($"maybe").drop("maybe")
+      val maybeSeen =
+        (if (prescreenMetrics) maybeSeen0.observe(obsBloomMaybe, count(lit(1)).as("n"))
+         else maybeSeen0)
+        .join(urlSeen.select($"fpHex"), Seq("fpHex"), "left_anti")
+      definitelyNew.unionByName(maybeSeen)
+    }
     val survivors = (bloom match {
-      case Some(b) =>
+      case Some(BroadcastShards(b)) =>
         val mightContain = udf((fp: Array[Byte], hexs: String) =>
           b.value.mightContain(Model.bucketOf(fp), hexs))
-        val definitelyNew0 = firstWins.filter(!mightContain($"fp", $"fpHex"))
-        val definitelyNew =
-          if (prescreenMetrics) definitelyNew0.observe(obsBloomNew, count(lit(1)).as("n"))
-          else definitelyNew0
-        val maybeSeen0 = firstWins.filter(mightContain($"fp", $"fpHex"))
-        val maybeSeen =
-          (if (prescreenMetrics) maybeSeen0.observe(obsBloomMaybe, count(lit(1)).as("n"))
-           else maybeSeen0)
-          .join(urlSeen.select($"fpHex"), Seq("fpHex"), "left_anti")
-        definitelyNew.unionByName(maybeSeen)
+        prescreenBranches(firstWins.withColumn("maybe", mightContain($"fp", $"fpHex")))
+      case Some(BucketLocalShards(dir)) =>
+        // bucket-local evaluation: one exchange keyed by the fp bucket the
+        // shard table is laid out by, then each task probes only the shard
+        // files of the buckets its partition holds (cached per task — at
+        // NumBuckets ≥ partitions that is ~NumBuckets/partitions file opens
+        // per task per epoch). Candidates are politeness-bounded; the moved
+        // bytes are O(fetch batch links), never O(filter size).
+        val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val bucketU = udf((fp: Array[Byte]) => Model.bucketOf(fp))
+        val flagged = firstWins
+          .select($"fpHex", bucketU($"fp").as("bucket"),
+            struct(frCols.map(col): _*).as("fr"))
+          .as[FwIn]
+          .repartition(parts, $"bucket")
+          .mapPartitions { it =>
+            val conf = new org.apache.hadoop.conf.Configuration()
+            val cache = scala.collection.mutable.HashMap
+              .empty[Int, org.apache.spark.util.sketch.BloomFilter]
+            it.map { r =>
+              val f = cache.getOrElseUpdate(r.bucket,
+                graft.plans.BloomShards.loadBucket(dir, r.bucket, conf)
+                  .map(_._1).orNull)
+              FwFlag(r.fpHex, r.bucket, r.fr, f != null && f.mightContain(r.fpHex))
+            }
+          }
+          .persist() // both branches read it — probe each bucket file once
+        flaggedHandle = flagged
+        prescreenBranches(flagged.select($"fpHex", $"fr.*", $"maybe"))
       case None =>
         firstWins.join(urlSeen.select($"fpHex"), Seq("fpHex"), "left_anti")
     })
@@ -671,8 +797,8 @@ object CrawlEngine {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val statusCountsF = Future {
-      fetchLog.groupBy($"status", $"isRobots").count()
-        .as[(Int, Boolean, Long)].collect()
+      fetchLog.groupBy($"status", $"isRobots", $"cached").count()
+        .as[(Int, Boolean, Boolean, Long)].collect()
     }
     // survivors.count() materializes the expansion chain, firing obsCand
     val nSurvivors = survivors.count()
@@ -695,12 +821,26 @@ object CrawlEngine {
     counters("downloader/request_count") = pageFetchCount
     // contract 6c: a non-robots 599 is a download timeout — an exception,
     // not a response (robots 599 = robots fetch error, a response status)
-    for ((status, isRobots, cnt) <- statusCounts) {
+    for ((status, isRobots, _, cnt) <- statusCounts) {
       if (!isRobots && status == 599) {
         counters("downloader/exception_count") += cnt
         counters(
           "downloader/exception_type_count/twisted.internet.error.TimeoutError") += cnt
       } else counters(s"downloader/response_status_count/$status") += cnt
+    }
+    // httpcache counters (contract 6d): hit = served from cache; miss = went
+    // to the downloader; firsthand/store = misses that produced a response
+    // (any status except the 599 exception/robots-error class — DummyPolicy
+    // stores every first-hand response)
+    if (cfg.httpcacheEnabled) {
+      counters("httpcache/hit") = statusCounts.collect {
+        case (_, _, true, cnt) => cnt }.sum
+      counters("httpcache/miss") = statusCounts.collect {
+        case (_, _, false, cnt) => cnt }.sum
+      val stored = statusCounts.collect {
+        case (st, _, false, cnt) if st != 599 => cnt }.sum
+      counters("httpcache/firsthand") = stored
+      counters("httpcache/store") = stored
     }
     counters("retry/count") = nRetries
     counters("retry/max_reached") = nRetryMax
@@ -728,7 +868,9 @@ object CrawlEngine {
 
     // politeness state is keyed by SLOT (host-state table's `host` column
     // holds the slot id — equal to the host when perIpSlots is off)
-    val touched = fetches.toDF().groupBy($"slot".as("host"))
+    // cached fetches (contract 6d) consumed no virtual-time slot — they must
+    // not advance lastT (their logged t is the slot's still-unused next time)
+    val touched = fetches.toDF().filter(!$"cached").groupBy($"slot".as("host"))
       .agg(max($"t").as("newLastT"))
     // AutoThrottle (contract step 1a): replay this epoch's page responses in
     // global seq order per slot through _adjust_delay — only fetches that
@@ -739,7 +881,7 @@ object CrawlEngine {
       if (!cfg.autothrottle)
         spark.emptyDataset[(String, Long)].toDF("host", "newDelay")
       else {
-        fetched.filter(!$"timedOut" && $"latencyMs".isNotNull)
+        fetched.filter(!$"timedOut" && !$"cached" && $"latencyMs".isNotNull)
           .select($"slot", $"seq", $"latencyMs", $"status")
           .groupBy($"slot")
           .agg(sort_array(collect_list(struct(
@@ -761,14 +903,18 @@ object CrawlEngine {
           }
           .toDF("host", "newDelay")
       }
-    val newHostState = hostState.toDF()
-      .join(touched, Seq("host"), "full_outer")
+    // DELTA: one row per slot fetched this epoch (politeness-bounded) —
+    // untouched slots keep their latest chain entry; write bytes are
+    // O(touched), never O(all hosts)
+    val hostStateDelta = touched
+      .join(hostState.toDF().select($"host", $"lastTMs".as("oldLastT"),
+        $"delayMs".as("oldDelay")), Seq("host"), "left")
       .join(delayUpdates, Seq("host"), "left")
       .select($"host",
-        greatest(coalesce($"lastTMs", lit(Long.MinValue / 2)),
+        greatest(coalesce($"oldLastT", lit(Long.MinValue / 2)),
           coalesce($"newLastT", lit(Long.MinValue / 2))).as("lastTMs"),
         lit(true).as("robotsFetched"),
-        coalesce($"newDelay", $"delayMs", lit(-1L)).as("delayMs"))
+        coalesce($"newDelay", $"oldDelay", lit(-1L)).as("delayMs"))
       .as[HostState]
 
     // cookie-jar update: Set-Cookie headers from this epoch's page responses,
@@ -783,18 +929,18 @@ object CrawlEngine {
       .toDF("host", "name", "value", "seq")
       .groupBy($"host", $"name")
       .agg(max_by($"value", $"seq").as("value"))
-    val nextCookieJar = cookieJar.toDF()
-      .join(epochCookies.select($"host", $"name"), Seq("host", "name"), "left_anti")
-      .unionByName(epochCookies)
-      .filter($"value" =!= "")
-      .as[CookieRow]
+    // DELTA: this epoch's (host,name) writes as-is — empty values ride
+    // along as delete tombstones the read-merge drops
+    val cookieDelta = epochCookies.as[CookieRow]
 
-    val newRobots = fetches.filter(_.kind == KRobots).toDF()
+    // DELTA: robots rows are append-only (one fetch per host ever), so the
+    // epoch's new hosts ARE the delta — no union with the old cache, no
+    // lineage growth across epochs
+    val robotsDelta = fetches.filter(_.kind == KRobots).toDF()
       .select($"fr.host".as("host"))
       .join(robotsCorpus, Seq("host"), "left")
       .select($"host", $"body", $"body".isNotNull.as("ok"))
       .as[RobotsCacheRow]
-    val nextRobotsCache = robotsCache.unionByName(newRobots)
 
     // ---- media ------------------------------------------------------------
     val media: Dataset[MediaRow] =
@@ -829,6 +975,7 @@ object CrawlEngine {
       fetchLog.unpersist(false)
       candsRaw.unpersist(false)
       cands.unpersist(false)
+      if (flaggedHandle != null) flaggedHandle.unpersist(false)
       survivors.unpersist(false)
       ()
     }
@@ -837,9 +984,16 @@ object CrawlEngine {
       if (bloom.isDefined && prescreenMetrics)
         (metric(obsBloomNew.get, "n"), metric(obsBloomMaybe.get, "n"))
       else (-1L, -1L)
+    // cache delta (contract 6d): every first-hand response's fp — cached
+    // rows are not re-stored; 599s carry no response
+    val httpCacheDelta: DataFrame =
+      if (!cfg.httpcacheEnabled) null
+      else fetchLog.filter(!$"cached" && $"status" =!= 599)
+        .select(lower(hex($"fp")).as("fpHex"))
     // zero-valued counters are dropped on both sides of the conformance compare
-    EpochResult(fetchLog, nextFrontier, seenDelta, newHostState, nextRobotsCache,
-      nextCookieJar, media, counters.toMap.filter(_._2 != 0L), baseSeq + nFetches,
-      pageFetchCount, nextFrontierCount, nSurvivors, preNew, preMaybe, cleanup)
+    EpochResult(fetchLog, nextFrontier, seenDelta, hostStateDelta, robotsDelta,
+      cookieDelta, media, counters.toMap.filter(_._2 != 0L), baseSeq + nFetches,
+      pageFetchCount, nextFrontierCount, nSurvivors, preNew, preMaybe,
+      httpCacheDelta, cleanup)
   }
 }

@@ -23,14 +23,16 @@ object Oracle {
       fetchLog: Vector[FetchLogRow],
       urlSeen: Set[String], // fp hex
       counters: Map[String, Long],
-      epochs: Int)
+      epochs: Int,
+      httpCache: Set[String] = Set.empty) // stored response fps (contract 6d)
 
   def run(
       cfg: CrawlConfig,
       seeds: Seq[SeedRow],
       pages: Map[String, PageRow], // canonical url -> page
       robots: Map[String, Option[Array[Byte]]],
-      dns: Map[String, String] = Map.empty): Result = { // host -> ip (resolver cache)
+      dns: Map[String, String] = Map.empty, // host -> ip (resolver cache)
+      primedCache: Set[String] = Set.empty): Result = { // fp hexes of a prior crawl's cache
 
     val counters = mutable.Map.empty[String, Long].withDefaultValue(0L)
     def inc(k: String, by: Long = 1): Unit = counters(k) += by
@@ -60,6 +62,10 @@ object Oracle {
     val fetchLog = Vector.newBuilder[FetchLogRow]
     var fetchSeq = 0L
     var pageFetches = 0L
+    // HTTP cache (contract step 6d, DummyPolicy): stored response fps.
+    // Stores become VISIBLE at epoch end (BSP, like cookies) — the engine
+    // joins the epoch-start cache table, so the oracle must too.
+    val httpCache = mutable.HashSet.empty[String] ++ primedCache
 
     // ---- seed enqueue (dupefilter in seq order; FIXTURES.md §4) ----------
     for (s <- seeds.sortBy(_.seq)) {
@@ -72,7 +78,8 @@ object Oracle {
         inc("scheduler/enqueued")
         frontier = frontier :+ FrontierRow(url, fp, UrlKit.hostOf(url), s.priority,
           0, isStart = true, dEpoch = -1, dParent = s.seq, dLink = 0,
-          retryTimes = 0, redirectTimes = 0, dontFilter = false)
+          retryTimes = 0, redirectTimes = 0, dontFilter = false,
+          dontObeyRobots = s.dontObeyRobots)
       }
     }
 
@@ -96,8 +103,8 @@ object Oracle {
     while (frontier.nonEmpty && epoch < cfg.maxEpochs && !stop) {
       val epochStart = epoch.toLong * cfg.epochMs
       val bySlot = frontier.groupBy(r => slotOf(r.host))
-      val epochFetches = mutable.ArrayBuffer.empty[(Long, String, Int, FrontierRow, Boolean)]
-      // (virtualT, host, perHostIdx, row-or-robots, isRobots)
+      val epochFetches = mutable.ArrayBuffer.empty[(Long, String, Int, FrontierRow, Boolean, Boolean)]
+      // (virtualT, host, perHostIdx, row-or-robots, isRobots, cacheHit)
       var remaining = Vector.newBuilder[FrontierRow]
       // per-response delay-adjust events replayed at epoch end (step 1a):
       // (seq, slot, latencyMs, status)
@@ -145,38 +152,61 @@ object Oracle {
           if (stopped) remaining += row
           else {
             val host = row.host
+            // cache-hit rows (contract 6d) bypass the downloader: no budget
+            // unit, no virtual-time advance — logged at the slot's next-fetch
+            // time as of their walk position
+            val rowHit = cfg.httpcacheEnabled && httpCache.contains(UrlKit.toHex(row.fp))
             // robots fetch charged once per host per epoch, before its first
-            // row — even when no page unit remains after it (contract step 2)
-            if (cfg.robotsObey && !robotsCache.contains(host) && budgetLeft >= 1) {
-              val robotsUrl = s"http://$host/robots.txt"
+            // row — even when no page unit remains after it (contract step 2);
+            // never triggered by a dont_obey_robotstxt row, and the robots
+            // URL takes the triggering request's scheme (`robotstxt.py:
+            // 57-59,82-99`). Robots middleware runs BEFORE httpcache, so a
+            // cached page row still triggers/consults robots; the robots
+            // fetch itself may be a cache hit (then it charges nothing).
+            if (cfg.robotsObey && !row.dontObeyRobots && !robotsCache.contains(host)) {
+              val scheme = row.url.substring(0, math.max(row.url.indexOf("://"), 0))
+              val robotsUrl = s"$scheme://$host/robots.txt"
               val fp = UrlKit.fingerprint(robotsUrl)
-              val rules = robots.get(host).flatten match {
-                case Some(body) => RobotsRules.parse(body)
-                case None => RobotsRules.AllowAll // missing/errored → allow
+              val robotsHit = cfg.httpcacheEnabled && httpCache.contains(UrlKit.toHex(fp))
+              if (robotsHit || budgetLeft >= 1) {
+                val rules = robots.get(host).flatten match {
+                  case Some(body) => RobotsRules.parse(body)
+                  case None => RobotsRules.AllowAll // missing/errored → allow
+                }
+                robotsCache(host) = rules
+                inc("robotstxt/request_count")
+                val status = if (robots.get(host).flatten.isDefined) 200 else 599
+                epochFetches += ((t, host,
+                  -1, FrontierRow(robotsUrl, fp, host, 1000, 0, isStart = false,
+                    dEpoch = epoch, dParent = -1, dLink = -1, 0, 0, dontFilter = true),
+                  true, robotsHit))
+                inc(s"downloader/response_status_count/$status")
+                if (!robotsHit) {
+                  slotLastT(slot) = t
+                  t += dlyOf(slot)
+                  budgetLeft -= 1
+                }
               }
-              robotsCache(host) = rules
-              inc("robotstxt/request_count")
-              val status = if (robots.get(host).flatten.isDefined) 200 else 599
-              epochFetches += ((t, host,
-                -1, FrontierRow(robotsUrl, fp, host, 1000, 0, isStart = false,
-                  dEpoch = epoch, dParent = -1, dLink = -1, 0, 0, dontFilter = true),
-                true))
-              inc(s"downloader/response_status_count/$status")
-              slotLastT(slot) = t
-              t += dlyOf(slot)
-              budgetLeft -= 1
+              // no budget for a robots MISS → the row cannot proceed either
+              // (robots unknown): falls to the stop branch below
             }
-            if (budgetLeft >= 1) {
-              budgetLeft -= 1
+            val robotsResolved = !cfg.robotsObey || row.dontObeyRobots ||
+              robotsCache.contains(host)
+            if (robotsResolved && (rowHit || budgetLeft >= 1)) {
               inc("scheduler/dequeued")
               val rules = robotsCache.getOrElse(host, RobotsRules.AllowAll)
-              if (cfg.robotsObey && !rules.allowed(row.url, cfg.effectiveRobotsUserAgent)) {
+              if (cfg.robotsObey && !row.dontObeyRobots &&
+                  !rules.allowed(row.url, cfg.effectiveRobotsUserAgent)) {
                 inc("robotstxt/forbidden")
+                if (!rowHit) budgetLeft -= 1
               } else {
-                epochFetches += ((t, host, hostIdx(host), row, false))
+                epochFetches += ((t, host, hostIdx(host), row, false, rowHit))
                 hostIdx(host) += 1
-                slotLastT(slot) = t
-                t += dlyOf(slot)
+                if (!rowHit) {
+                  slotLastT(slot) = t
+                  t += dlyOf(slot)
+                  budgetLeft -= 1
+                }
               }
             } else {
               remaining += row
@@ -187,25 +217,37 @@ object Oracle {
       }
 
       // global order: (t, host, perHostIdx)
-      val ordered = epochFetches.sortBy { case (t, host, i, _, _) => (t, host, i) }
+      val ordered = epochFetches.sortBy { case (t, host, i, _, _, _) => (t, host, i) }
       val candidates = mutable.ArrayBuffer.empty[FrontierRow]
       val epochSetCookies = mutable.ArrayBuffer.empty[(Long, String, String, String)]
-      for ((t, host, _, row, isRobots) <- ordered) {
+      val epochStores = mutable.ArrayBuffer.empty[String] // cache fps, visible next epoch
+      for ((t, host, _, row, isRobots, hit) <- ordered) {
         val seq = fetchSeq
         fetchSeq += 1
         if (isRobots) {
           val status = if (robots.get(host).flatten.isDefined) 200 else 599
+          if (cfg.httpcacheEnabled) {
+            if (hit) inc("httpcache/hit")
+            else {
+              inc("httpcache/miss")
+              if (status != 599) { // robots error = exception, no response
+                inc("httpcache/firsthand"); inc("httpcache/store")
+                epochStores += UrlKit.toHex(row.fp)
+              }
+            }
+          }
           fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status,
             isRobots = true, cookies = cookieHeader(host),
             userAgent = cfg.userAgent, authorization = authOf(host),
-            proxy = proxyOf(row.url))
+            proxy = proxyOf(row.url), cached = hit)
         } else {
           pageFetches += 1
           val canonical = UrlKit.canonicalizeUrl(row.url)
           val pageOpt = pages.get(canonical)
           // download timeout (contract step 6c): no response — an exception,
-          // retried like a retryable status
-          val timedOut = cfg.downloadTimeoutMs > 0 &&
+          // retried like a retryable status. A cached response never times
+          // out (contract 6d: it has no download latency).
+          val timedOut = !hit && cfg.downloadTimeoutMs > 0 &&
             pageOpt.exists(_.latencyMs >= cfg.downloadTimeoutMs)
           val status =
             if (timedOut) 599 else pageOpt.map(_.status).getOrElse(404)
@@ -214,10 +256,20 @@ object Oracle {
             inc("downloader/exception_count")
             inc("downloader/exception_type_count/twisted.internet.error.TimeoutError")
           } else inc(s"downloader/response_status_count/$status")
+          if (cfg.httpcacheEnabled) {
+            if (hit) inc("httpcache/hit")
+            else {
+              inc("httpcache/miss")
+              if (!timedOut) { // every first-hand response stores (DummyPolicy)
+                inc("httpcache/firsthand"); inc("httpcache/store")
+                epochStores += UrlKit.toHex(row.fp)
+              }
+            }
+          }
           fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status,
             isRobots = false, referer = row.referer, cookies = cookieHeader(host),
             userAgent = cfg.userAgent, authorization = authOf(host),
-            proxy = proxyOf(row.url))
+            proxy = proxyOf(row.url), cached = hit)
           if (timedOut) {
             if (row.retryTimes < cfg.retryTimes) {
               inc("retry/count")
@@ -225,12 +277,13 @@ object Oracle {
                 row.priority - 1, row.depth, isStart = false,
                 dEpoch = epoch, dParent = seq, dLink = -2,
                 row.retryTimes + 1, row.redirectTimes, dontFilter = true,
-                referer = row.referer)
+                referer = row.referer, dontObeyRobots = row.dontObeyRobots)
             } else inc("retry/max_reached")
           } else pageOpt.foreach { page =>
             // AutoThrottle adjust event: every fetch with a real response
-            // (contract step 1a), replayed at epoch end in seq order
-            if (cfg.autothrottle)
+            // (contract step 1a), replayed at epoch end in seq order —
+            // cached responses have no download latency (contract 6d)
+            if (cfg.autothrottle && !hit)
               delayEvents += ((seq, slotOf(host), page.latencyMs.toLong, status))
             for ((n, v) <- graft.operators.Cookies.parseSetCookie(page.setCookie))
               epochSetCookies += ((seq, host, n, v))
@@ -269,7 +322,7 @@ object Oracle {
                   UrlKit.hostOf(target), row.priority + 2, row.depth,
                   isStart = false, dEpoch = epoch, dParent = seq, dLink = -1,
                   row.retryTimes, row.redirectTimes + 1, row.dontFilter,
-                  referer = patched)
+                  referer = patched, dontObeyRobots = row.dontObeyRobots)
               } else inc("redirect/max_reached")
             } else if (CrawlConfig.RetryStatuses.contains(status)) {
               if (row.retryTimes < cfg.retryTimes) {
@@ -361,6 +414,7 @@ object Oracle {
         }
       }
 
+      httpCache ++= epochStores // BSP visibility: stores land at epoch end
       frontier = remaining.result()
       epoch += 1
       if (cfg.closespiderPageCount > 0 && pageFetches >= cfg.closespiderPageCount)
@@ -368,6 +422,7 @@ object Oracle {
     }
 
     // zero-valued counters dropped (conformance compares non-zero keys)
-    Result(fetchLog.result(), urlSeen.toSet, counters.toMap.filter(_._2 != 0L), epoch)
+    Result(fetchLog.result(), urlSeen.toSet, counters.toMap.filter(_._2 != 0L),
+      epoch, httpCache.toSet)
   }
 }

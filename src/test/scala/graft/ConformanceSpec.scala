@@ -13,31 +13,34 @@ import graft.urlkit.UrlKit
 class ConformanceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def compare(spec: CorpusSpec, cfg: CrawlConfig, label: String): Unit = {
+  private def compare(spec: CorpusSpec, cfg: CrawlConfig, label: String,
+      cachePrimeDirs: Seq[String] = Nil,
+      oraclePrime: Set[String] = Set.empty): (graft.plans.Manifest, Oracle.Result) = {
     import spark.implicits._
     val corpusDir = TestSpark.tempDir(s"corpus-$label")
     val snapRoot = TestSpark.tempDir(s"snap-$label")
     CorpusWriter.writeAll(spark, spec, corpusDir, withImages = false)
 
-    val res = CrawlDriver.run(spark, cfg, corpusDir, snapRoot, withMedia = false)
+    val res = CrawlDriver.run(spark, cfg, corpusDir, snapRoot, withMedia = false,
+      cachePrimeDirs = cachePrimeDirs)
     val engineLog = CrawlDriver.fetchLog(spark, res.manifest)
       .select($"epoch", $"seq", $"host", $"url",
         org.apache.spark.sql.functions.lower(
           org.apache.spark.sql.functions.hex($"fp")).as("fp"),
         $"virtualTMs", $"status", $"isRobots", $"referer", $"cookies",
-        $"userAgent", $"authorization", $"proxy")
+        $"userAgent", $"authorization", $"proxy", $"cached")
       .as[(Int, Long, String, String, String, Long, Int, Boolean,
         Option[String], Option[String], Option[String], Option[String],
-        Option[String])]
+        Option[String], Boolean)]
       .collect().toVector
 
     val pages = Corpus.allPages(spec).map(p => p.url -> p).toMap
     val o = Oracle.run(cfg, Corpus.seeds(spec), pages, Corpus.allRobots(spec),
-      Corpus.allDns(spec))
+      Corpus.allDns(spec), primedCache = oraclePrime)
     val oracleLog = o.fetchLog.map(f =>
       (f.epoch, f.seq, f.host, f.url, UrlKit.toHex(f.fp), f.virtualTMs, f.status,
         f.isRobots, Option(f.referer), Option(f.cookies), Option(f.userAgent),
-        Option(f.authorization), Option(f.proxy)))
+        Option(f.authorization), Option(f.proxy), f.cached))
 
     // fetch log: ordered list equality
     assert(engineLog.size === oracleLog.size,
@@ -55,6 +58,7 @@ class ConformanceSpec extends AnyFunSuite {
     // counters: exact equality on non-zero keys
     assert(res.manifest.counters === o.counters,
       s"[$label] counters mismatch: engine=${res.manifest.counters.toSeq.sorted} oracle=${o.counters.toSeq.sorted}")
+    (res.manifest, o)
   }
 
   test("tiny corpus: byte-for-byte fetch log, url_seen, counters") {
@@ -144,6 +148,21 @@ class ConformanceSpec extends AnyFunSuite {
         noProxy = Seq("h4.test")), "headers")
   }
 
+  test("https corpus variant conforms (robots URL from the request scheme)") {
+    // every URL https → the robots fetch rows must be
+    // https://host/robots.txt with https-derived fingerprints
+    compare(Corpus.Small.copy(scheme = "https"),
+      CrawlConfig(maxEpochs = 8), "https")
+  }
+
+  test("dont_obey_robotstxt bypass variant conforms (bypass seeds fetch /private/)") {
+    // ~25% of seeds target robots-disallowed /private/ pages with the meta
+    // bypass: they must fetch WITHOUT triggering that host's robots.txt,
+    // while ordinary rows on the same hosts still do
+    compare(Corpus.Small.copy(bypassRobotsSeeds = true),
+      CrawlConfig(maxEpochs = 8), "robotsbypass")
+  }
+
   test("linkFilter knobs variant conforms (allow/deny regex + restrict_text)") {
     // allow keeps page links only, deny drops one page-id class, and
     // restrict_text forces the anchor-text path through the engine flatMap —
@@ -152,6 +171,32 @@ class ConformanceSpec extends AnyFunSuite {
       CrawlConfig(maxEpochs = 8, linkFilter = graft.extract.LinkFilter(
         allow = Seq("/p/"), deny = Seq("/p/1\\d$"),
         restrictText = Seq("to |trap |x "))), "linkfilter")
+  }
+
+  test("httpcache conforms: cold crawl stores, cache-primed second crawl hits skip the slot") {
+    import spark.implicits._
+    val cfg = CrawlConfig(maxEpochs = 8, httpcacheEnabled = true)
+    // cold run: every first-hand response stores; same-fp retries of 503s
+    // already HIT within the run (DummyPolicy serves the cached 503)
+    val (m1, o1) = compare(Corpus.Small, cfg, "httpcache-cold")
+    assert(o1.counters.getOrElse("httpcache/store", 0L) > 0)
+    val engineCache = CrawlDriver.readHttpCache(spark, m1.httpCacheDirs)
+      .as[String].collect().toSet
+    assert(engineCache === o1.httpCache, "stored-cache fp sets must match")
+    // fresh crawl primed with the first crawl's cache chain: hits consume no
+    // politeness budget and no virtual time — byte-identical on both sides
+    val (_, o2) = compare(Corpus.Small, cfg, "httpcache-primed",
+      cachePrimeDirs = m1.httpCacheDirs, oraclePrime = o1.httpCache)
+    assert(o2.counters.getOrElse("httpcache/hit", 0L) >
+      o1.counters.getOrElse("httpcache/hit", 0L), "primed run must hit more")
+  }
+
+  test("bucket-local Bloom prescreen variant conforms byte-for-byte") {
+    // bloomLocalMinBytes=0 forces the bucket-local shard-file evaluation on
+    // every epoch — the prescreen is advisory, so fetch log, url_seen and
+    // counters must be identical to the broadcast mode (and the oracle)
+    compare(Corpus.Small,
+      CrawlConfig(maxEpochs = 8, bloomLocalMinBytes = 0), "bloomlocal")
   }
 
   test("zero-delay + distributed seq assignment conforms byte-for-byte") {

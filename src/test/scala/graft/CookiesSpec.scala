@@ -42,7 +42,7 @@ class CookiesSpec extends AnyFunSuite {
     // epoch-0 fetches can't have cookies yet (jar starts empty, BSP visibility)
     assert(log.filter(_._1 == 0).forall(_._3.isEmpty))
     // the final jar holds rows and round-trips through the snapshot
-    val jar = spark.read.parquet(res.manifest.cookieJarDir).as[CookieRow].collect()
+    val jar = CrawlDriver.readCookieJar(spark, res.manifest.cookieJarDirs).collect()
     assert(jar.nonEmpty)
     assert(jar.forall(c => c.value.nonEmpty), "deleted cookies must not persist")
   }

@@ -72,8 +72,25 @@ class ResumeSpec extends AnyFunSuite {
         .foreach(java.nio.file.Files.deleteIfExists(_))
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
     }
-    rewriteWithout(m.hostStateDir, Seq("delayMs"))
-    rewriteWithout(m.bloomPath, Seq("capacity", "n"))
+    m.hostStateDirs.foreach(d => rewriteWithout(d, Seq("delayMs")))
+    // bloom: rewrite the binary shard dir as the round-2-era parquet table
+    // WITHOUT capacity/n columns — load must detect the old format and
+    // backfill sizing from defaults. The filter CONTENTS must carry over:
+    // the prescreen's exactness rests on the persisted filter being a
+    // superset of the seen set (a real old snapshot satisfies that), so the
+    // aging only changes the format, not the bits
+    locally {
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sparkContext.hadoopConfiguration
+      val rows = (0 until Model.NumBuckets).flatMap { b =>
+        graft.plans.BloomShards.loadBucket(m.bloomPath, b, conf)
+          .map { case (f, _, _) => (b, graft.plans.BloomShards.toBytes(f)) }
+      }
+      val p = java.nio.file.Paths.get(m.bloomPath)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      rows.toDF("bucket", "bits").write.parquet(m.bloomPath)
+    }
     val b = CrawlDriver.run(spark, cfg, corpusDir, rootB, withMedia = false)
     // AutoThrottle is off (delayMs is semantically -1 throughout) and the
     // bloom filter is advisory, so the final state must match exactly
