@@ -136,6 +136,23 @@ package graft
   *     stops the slot's walk. Counters: `httpcache/hit`, `httpcache/miss`,
   *     `httpcache/firsthand`, `httpcache/store` (DummyPolicy stores every
   *     first-hand response).
+  *  6e. Non-HTTP schemes (`localSchemes`; reference DOWNLOAD_HANDLERS +
+  *     `handlers/{datauri,file}.py` — see [[graft.operators.LocalFetch]]):
+  *     `data:`/`file:` rows skip robots.txt entirely (no check, no robots
+  *     fetch — `robotstxt.py:59-61`) but consume politeness budget and
+  *     virtual time on their slot (the "" slot: hostname-or-empty keying)
+  *     like any download. `data:` bodies parse out of the URI (invalid →
+  *     599 exception, counter `downloader/exception_type_count/builtins.
+  *     ValueError`, NOT retried); `file:` bodies read from the filesystem
+  *     (missing → 599 exception, `.../builtins.FileNotFoundError`, retried
+  *     like a timeout — IOError is in EXCEPTIONS_TO_RETRY). Links are
+  *     extracted only from HTML responses (media type / filename dispatch,
+  *     `responsetypes.py`); local responses carry no latency (no timeout,
+  *     no AutoThrottle events), no headers and no Set-Cookie. Under 6d the
+  *     cache stores `data:` but never `file:` responses
+  *     (HTTPCACHE_IGNORE_SCHEMES default). Off (default): such rows fall
+  *     through to the corpus lookup (404) — the flag exists so the plan
+  *     shape of pure-HTTP crawls is untouched.
   *  7. Rewrites (candidates for epoch k+1):
   *     - 301/302/303/307/308 + location (`scrapy/downloadermiddlewares/
   *       redirect.py:27-181`): urljoin target, priority+2, redirectTimes+1
@@ -165,6 +182,21 @@ package graft
   *     (urljoin target, priority+2, redirectTimes+1 under the shared cap,
   *     dLink=-1, Referer re-patched) INSTEAD of link extraction; otherwise
   *     the page is treated as content.
+  *  7c. CrawlSpider rules (`crawlRules` non-empty; `spiders/crawl.py:
+  *     61-100,136-158` — see [[graft.extract.CrawlRules]]): link extraction
+  *     is replaced by the rule walk — each response (HTML 2xx, and only if
+  *     the rule that emitted its request has `follow=true`; seeds always
+  *     follow) runs every rule's extractor in order with a cross-rule
+  *     Link-value seen set, then the rule's process_links / process_request
+  *     hooks; surviving requests re-sanitize + re-fingerprint their
+  *     (possibly hook-rewritten) URL, carry the emitting rule's index
+  *     (meta["rule"]) and the emission index as dLink, and then pass the
+  *     engine-level depth / offsite / URL-length filters and the normal
+  *     Referer assignment and dupefilter. Per-extractor scheme/extension/
+  *     allow/deny filtering lives INSIDE each rule's LinkExtractor
+  *     (nofollow links are NOT dropped — reference parity); the engine's
+  *     fixed filter chain of step 7 does not run. Hooks must be pure,
+  *     deterministic and serializable — they execute inside Spark tasks.
   *  7b. Referer header (`spidermiddlewares/referer.py:333-399`): every
   *     candidate carries the Referer the W3C policy assigns —
   *     link children: policy = parent response's Referrer-Policy header if
@@ -227,6 +259,9 @@ final case class CrawlConfig(
     // (contract step 7; reference `lxmlhtml.py:217-240` _link_allowed)
     linkFilter: graft.extract.LinkFilter = graft.extract.LinkFilter.Empty,
     httpcacheEnabled: Boolean = false, // HTTPCACHE_ENABLED + DummyPolicy (step 6d)
+    localSchemes: Boolean = false, // data:/file: download handlers (step 6e)
+    // CrawlSpider rules (step 7c); empty = the fixed link pipeline of step 7
+    crawlRules: Seq[graft.extract.CrawlRules.CrawlRule] = Nil,
     maxEpochs: Int = 1000,
     closespiderPageCount: Long = 0, // 0 = off
     /** Engine sizing knob, NOT part of the semantics contract (the oracle

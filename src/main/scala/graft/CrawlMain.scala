@@ -25,6 +25,9 @@ object CrawlMain {
   def specOf(name: String): CorpusSpec = name.split(":").toList match {
     case "tiny" :: Nil => Corpus.Tiny
     case "small" :: Nil => Corpus.Small
+    // small corpus + data:/file: seeds under <dir> (contract 6e; pair with
+    // GRAFT_LOCAL_SCHEMES=1 on the run side). `gen` writes the local files.
+    case "smalllocal" :: dir => Corpus.Small.copy(localSeedsDir = dir.mkString(":"))
     case "bench" :: Nil => Corpus.bench()
     case "bench" :: n :: Nil => Corpus.bench(n.toInt)
     case "bench" :: n :: "notraps" :: Nil => // round-1-shaped A/B baseline
@@ -43,7 +46,9 @@ object CrawlMain {
     case "gen" :: name :: dir :: rest =>
       val spark = session()
       spark.sparkContext.setLogLevel("WARN")
-      CorpusWriter.writeAll(spark, specOf(name), dir,
+      val spec = specOf(name)
+      if (spec.localSeedsDir != null) Corpus.writeLocalFiles(spec, spec.localSeedsDir)
+      CorpusWriter.writeAll(spark, spec, dir,
         withImages = rest.headOption.forall(_ != "img=0"))
       println(s"corpus $name written to $dir")
       spark.stop()
@@ -60,6 +65,7 @@ object CrawlMain {
         maxPerHostPerEpoch = sys.env.getOrElse("GRAFT_PER_HOST", "16").toInt,
         maxFetchesPerEpoch = sys.env.getOrElse("GRAFT_MAX_FETCHES_PER_EPOCH", "0").toLong,
         autothrottle = sys.env.get("GRAFT_AUTOTHROTTLE").contains("1"),
+        localSchemes = sys.env.get("GRAFT_LOCAL_SCHEMES").contains("1"),
         seqCollectMax = sys.env.getOrElse("GRAFT_SEQ_COLLECT_MAX", "2000000").toLong,
         bloomLocalMinBytes = sys.env.getOrElse("GRAFT_BLOOM_LOCAL_MIN",
           (64L << 20).toString).toLong)

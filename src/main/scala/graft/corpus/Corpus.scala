@@ -31,7 +31,10 @@ final case class CorpusSpec(
     // false = round-1-shaped corpus: no Content-Encoding, Referrer-Policy,
     // Set-Cookie or meta-refresh traps — the equal-work A/B baseline for
     // benchmarking the heavier per-page pipeline (BASELINE.md)
-    richTraps: Boolean = true) {
+    richTraps: Boolean = true,
+    // non-null = append data:/file: seeds (contract 6e); file: URLs point
+    // under this directory — populate it with Corpus.writeLocalFiles first
+    localSeedsDir: String = null) {
 
   /** Pages on host k: host 0 is the hot host; the rest share uniformly. */
   def pagesOnHost(k: Int): Int = {
@@ -368,7 +371,52 @@ object Corpus {
         SeedRow(s, privateUrl(spec, k, 1 + r.nextInt(4)), prio,
           dontObeyRobots = true)
       else SeedRow(s, url, prio)
+    } ++ localSeeds(spec)
+  }
+
+  /** data:/file: seeds appended when `localSeedsDir` is set (contract 6e):
+    * the reference handler's golden data-URI shapes (`tests/
+    * test_downloader_handlers.py:309-361`) — HTML with links, plain text,
+    * base64, an invalid URI (ValueError, unretried) — plus file: URLs for an
+    * HTML file with links, a non-HTML file, and a missing file
+    * (FileNotFoundError, retried). */
+  def localSeeds(spec: CorpusSpec): Seq[SeedRow] = {
+    if (spec.localSeedsDir == null) return Nil
+    val dir = spec.localSeedsDir
+    val h1 = spec.hostName(1 % spec.nHosts)
+    val h2 = spec.hostName(2 % spec.nHosts)
+    val urls = Seq(
+      s"""data:text/html,<html><body><a href="${spec.scheme}://$h1/p/1">one</a> """ +
+        s"""<a href="${spec.scheme}://$h2/p/0">two</a> """ +
+        s"""<a rel="nofollow" href="${spec.scheme}://$h1/p/2">nf</a></body></html>""",
+      "data:,A%20brief%20note",
+      "data:text/plain;base64,SGVsbG8sIHdvcmxkLg%3D%3D",
+      "data:text/plain;base65,broken", // invalid marker → ValueError
+      s"file://$dir/local.html",
+      s"file://$dir/note.txt",
+      s"file://$dir/missing.html") // → FileNotFoundError, retried
+    urls.zipWithIndex.map { case (u, i) =>
+      SeedRow(spec.seedCount.toLong + i, u, 0)
     }
+  }
+
+  /** Materialize the files the `localSeedsDir` file: seeds point at (the
+    * conformance test's stand-in for a shared filesystem): an HTML page
+    * linking back into the corpus, a relative file: link, a non-HTML file.
+    * `missing.html` is deliberately not written. */
+  def writeLocalFiles(spec: CorpusSpec, dir: String): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    val h1 = spec.hostName(1 % spec.nHosts)
+    val html =
+      s"""<html><body><a href="${spec.scheme}://$h1/p/3">corpus</a>
+         |<a href="note.txt">relative file link</a>
+         |<a href="${spec.scheme}://$h1/p/4?b=1&a=2">query</a></body></html>
+         |""".stripMargin
+    java.nio.file.Files.write(d.resolve("local.html"),
+      html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(d.resolve("note.txt"),
+      "just text, no links".getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   // ---- canned specs -------------------------------------------------------

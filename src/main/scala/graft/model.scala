@@ -39,7 +39,12 @@ final case class FrontierRow(
     // skips the robots check AND never triggers the robots.txt fetch.
     // Retries/redirects inherit it (request.replace copies meta); extracted
     // links do not (a fresh Request carries no meta).
-    dontObeyRobots: Boolean = false)
+    dontObeyRobots: Boolean = false,
+    // CrawlSpider rule that emitted this request (meta["rule"],
+    // `spiders/crawl.py:125-131`); -1 = seed / non-rule request. Under
+    // cfg.crawlRules it decides whether the response is expanded further
+    // (Rule.follow). Retries/redirects inherit it (meta copy).
+    ruleIdx: Int = -1)
 
 /** One fetch in the ordered crawl log — the byte-for-byte conformance object
   * (SURVEY.md §7.4, FIXTURES.md §6). `seq` is the global fetch index. */

@@ -112,7 +112,7 @@ object CrawlDriver {
       lit(0).as("retryTimes"), lit(0).as("redirectTimes"),
       lit(false).as("dontFilter"),
       lit(null).cast("string").as("referer"),
-      $"dontObeyRobots").as[FrontierRow]
+      $"dontObeyRobots", lit(-1).as("ruleIdx")).as[FrontierRow]
 
     val fDir = dataDir(root, 0, "frontier")
     frontier0.write.mode(SaveMode.Overwrite).parquet(fDir)
@@ -225,7 +225,8 @@ object CrawlDriver {
       // predates delayMs / referer / dontObeyRobots (ADVICE r3)
       val frontier = Snapshot.withDefaults(spark.read.parquet(m.frontierDir),
         Seq("referer" -> lit(null).cast("string"),
-          "dontObeyRobots" -> lit(false))).as[FrontierRow]
+          "dontObeyRobots" -> lit(false),
+          "ruleIdx" -> lit(-1))).as[FrontierRow]
       val urlSeen = readSeen(spark, m.seenDirs)
       // the merged host-state view feeds three joins inside the epoch (slot
       // state, delay updates, the next delta) — materialize the chain merge

@@ -63,6 +63,16 @@ object CrawlEngine {
     extends BloomPrescreen
   final case class BucketLocalShards(dir: String) extends BloomPrescreen
 
+  /** A local-scheme (data:/file:) fetch result shaped exactly like the
+    * corpus-join output, so the two fetch branches union (contract 6e). */
+  final case class LocalFetched(
+      canonical: String, fr: FrontierRow, t: Long, hostIdx: Int, kind: Int,
+      seq: Long, slot: String, cached: Boolean, status: Int,
+      location: Option[String], body: Option[Array[Byte]],
+      imageId: Option[String], latencyMs: Option[Int],
+      contentEncoding: Option[String], refererPolicy: Option[String],
+      setCookie: Option[String], timedOut: Boolean)
+
   /** Candidate row through the bucket-local prescreen. */
   final case class FwIn(fpHex: String, bucket: Int, fr: FrontierRow)
   final case class FwFlag(fpHex: String, bucket: Int, fr: FrontierRow,
@@ -227,7 +237,7 @@ object CrawlEngine {
     // joins on the same key; plan unchanged).
     val frCols = Seq("url", "fp", "host", "priority", "depth", "isStart",
       "dEpoch", "dParent", "dLink", "retryTimes", "redirectTimes", "dontFilter",
-      "referer", "dontObeyRobots")
+      "referer", "dontObeyRobots", "ruleIdx")
     val withSlot =
       if (cfg.perIpSlots && dns != null)
         frontier.toDF()
@@ -257,7 +267,11 @@ object CrawlEngine {
             lit(true).as("cached")), Seq("rowFpHex"), "left")
           .join(httpCache.select($"fpHex".as("robotsFpHex"),
             lit(true).as("robotsCached")), Seq("robotsFpHex"), "left")
-          .withColumn("cached", coalesce($"cached", lit(false)))
+          // file: responses are never cached (HTTPCACHE_IGNORE_SCHEMES
+          // default, contract 6e) — a file fp can't be stored, but keep the
+          // exclusion explicit
+          .withColumn("cached",
+            coalesce($"cached", lit(false)) && !$"url".startsWith("file:"))
           .withColumn("robotsCached", coalesce($"robotsCached", lit(false)))
           .drop("rowFpHex", "robotsFpHex")
       }
@@ -310,6 +324,7 @@ object CrawlEngine {
     val epochStart = epoch.toLong * cfg.epochMs
     val robotsObey = cfg.robotsObey
     val robotsUA = cfg.effectiveRobotsUserAgent
+    val localOn = cfg.localSchemes
     val lt = dequeueLt(cfg) _
 
     // Observation metrics ride along with the first job that materializes
@@ -392,8 +407,12 @@ object CrawlEngine {
                 // triggers/consults robots; a cache-HIT robots fetch
                 // (e.robotsCached, contract 6d) charges nothing and does not
                 // advance virtual time.
+                // data:/file: rows skip robots entirely (contract 6e,
+                // `robotstxt.py:59-61`) — like dontObeyRobots, but also for
+                // the allowed() check's host-"" rules
+                val localRow = localOn && LocalFetch.isLocal(e.fr.url)
                 val needRobots = robotsObey && !e.fr.dontObeyRobots &&
-                  !e.meta.robotsKnown && !robotsDone.contains(host)
+                  !localRow && !e.meta.robotsKnown && !robotsDone.contains(host)
                 if (needRobots && (e.robotsCached || budgetLeft >= 1)) {
                   val scheme = e.fr.url.substring(0, math.max(e.fr.url.indexOf("://"), 0))
                   val robotsUrl = s"$scheme://$host/robots.txt"
@@ -413,9 +432,9 @@ object CrawlEngine {
                 // next-fetch time. The walk stops at the first NON-cached
                 // row (or robots miss) that cannot be charged.
                 val robotsResolved = !robotsObey || e.fr.dontObeyRobots ||
-                  e.meta.robotsKnown || robotsDone.contains(host)
+                  localRow || e.meta.robotsKnown || robotsDone.contains(host)
                 if (robotsResolved && (e.cached || budgetLeft >= 1)) {
-                  if (robotsObey && !e.fr.dontObeyRobots &&
+                  if (robotsObey && !e.fr.dontObeyRobots && !localRow &&
                       !rules.allowed(e.fr.url, robotsUA)) {
                     out += DeqOut(KForbidden, e.fr, 0L, -1, slot)
                     if (!e.cached) budgetLeft -= 1
@@ -497,20 +516,41 @@ object CrawlEngine {
     // on it + persisted by the caller: the corpus side then never re-shuffles
     // across epochs — only the (politeness-bounded) fetch batch moves.
     val canonUdf = udf((u: String) => UrlKit.canonicalizeUrl(u))
-    val pageFetches = fetches.filter(_.kind == KFetch).toDF()
-      .withColumn("canonical", canonUdf($"fr.url"))
+    val pageFetchRows = fetches.filter(_.kind == KFetch)
+    val httpFetchRows =
+      (if (localOn) pageFetchRows.filter(r => !LocalFetch.isLocal(r.fr.url))
+       else pageFetchRows).toDF()
+        .withColumn("canonical", canonUdf($"fr.url"))
     // download timeout (contract step 6c): a page whose modeled latency hits
     // DOWNLOAD_TIMEOUT produces no response — status 599, retried as an
     // exception. Unknown URLs (no corpus page) have no latency: plain 404.
     val timeoutMs = cfg.downloadTimeoutMs
-    val fetched = pageFetches
+    val httpFetched = httpFetchRows
       .join(pages, Seq("canonical"), "left")
       .withColumn("timedOut",
         !$"cached" && lit(timeoutMs > 0) &&
           coalesce($"latencyMs" >= lit(timeoutMs), lit(false)))
       .withColumn("status",
         when($"timedOut", lit(599)).otherwise(coalesce($"status", lit(404))))
-      .persist()
+    // local-scheme dispatch (contract 6e): data:/file: rows never touch the
+    // corpus join — the handler runs as a pure per-row map over the
+    // (politeness-bounded) fetch batch. No response headers, no latency; a
+    // failed file: read rides the 6c retried-exception path (timedOut), a
+    // bad data: URI is an unretried exception (599, timedOut=false). Bodies
+    // are kept only for HTML responses (responsetypes dispatch) — link
+    // extraction sees exactly what a CrawlSpider would.
+    val fetched = (if (!localOn) httpFetched
+    else {
+      val localFetched = pageFetchRows.filter(r => LocalFetch.isLocal(r.fr.url))
+        .map { r =>
+          val lr = LocalFetch.fetch(r.fr.url)
+          LocalFetched(r.fr.url, r.fr, r.t, r.hostIdx, r.kind, r.seq, r.slot,
+            r.cached, lr.status, None,
+            Option(lr.body).filter(_ => lr.isHtml), None, None, None, None,
+            None, timedOut = lr.status == 599 && lr.retryExc)
+        }.toDF()
+      httpFetched.unionByName(localFetched)
+    }).persist()
 
     val robotsFetchLog = fetches.filter(_.kind == KRobots).toDF()
       .withColumn("host", $"fr.host")
@@ -588,7 +628,8 @@ object CrawlEngine {
             out += ((0, FrontierRow(row.url, row.fp, row.host, row.priority - 1,
               row.depth, isStart = false, epoch, seq, -2,
               row.retryTimes + 1, row.redirectTimes, dontFilter = true,
-              referer = row.referer, dontObeyRobots = row.dontObeyRobots), 0L))
+              referer = row.referer, dontObeyRobots = row.dontObeyRobots,
+              ruleIdx = row.ruleIdx), 0L))
           } else out += ((1, row, 0L))
         } else {
         // decompression stage (contract step 6b): decode before any body use;
@@ -628,14 +669,16 @@ object CrawlEngine {
             out += ((0, FrontierRow(target, UrlKit.fingerprint(target),
               UrlKit.hostOf(target), row.priority + 2, row.depth, isStart = false,
               epoch, seq, -1, row.retryTimes, row.redirectTimes + 1, row.dontFilter,
-              referer = patched, dontObeyRobots = row.dontObeyRobots), 0L))
+              referer = patched, dontObeyRobots = row.dontObeyRobots,
+              ruleIdx = row.ruleIdx), 0L))
           } else out += ((4, row, 0L)) // redirect chain past the cap: counted, dropped
         } else if (retryStatuses.contains(status)) {
           if (row.retryTimes < cfg.retryTimes) {
             out += ((0, FrontierRow(row.url, row.fp, row.host, row.priority - 1,
               row.depth, isStart = false, epoch, seq, -2,
               row.retryTimes + 1, row.redirectTimes, dontFilter = true,
-              referer = row.referer, dontObeyRobots = row.dontObeyRobots), 0L)) // retries keep their headers
+              referer = row.referer, dontObeyRobots = row.dontObeyRobots,
+              ruleIdx = row.ruleIdx), 0L)) // retries keep their headers
           } else out += ((1, row, 0L))
         } else if (status >= 200 && status < 300 && body.isDefined) {
           // meta-refresh intercept (contract step 7a): runs below the spider,
@@ -658,8 +701,31 @@ object CrawlEngine {
               out += ((0, FrontierRow(target, UrlKit.fingerprint(target),
                 UrlKit.hostOf(target), row.priority + 2, row.depth, isStart = false,
                 epoch, seq, -1, row.retryTimes, row.redirectTimes + 1, row.dontFilter,
-                referer = patched, dontObeyRobots = row.dontObeyRobots), 0L))
+                referer = patched, dontObeyRobots = row.dontObeyRobots,
+                ruleIdx = row.ruleIdx), 0L))
             } else out += ((4, row, 0L))
+          } else if (cfg.crawlRules.nonEmpty) {
+            // CrawlSpider rule walk (contract 7c): extractors + hooks decide
+            // the follow-requests; the engine applies depth/offsite/length
+            // and the Referer policy to the (possibly hook-rewritten) URLs
+            val childDepth = row.depth + 1
+            val policy = graft.urlkit.Referer.policyFor(
+              refPolicyHeader.orNull, defaultRefererPolicy)
+            val reqs = graft.extract.CrawlRules.followRequests(
+              cfg.crawlRules, body.get, row.url, row.ruleIdx)
+            if (cfg.depthLimit == 0 || childDepth <= cfg.depthLimit) {
+              for ((emitIdx, rq) <- reqs) {
+                val u = UrlKit.safeUrlString(rq.url)
+                val childHost = UrlKit.hostOf(u)
+                if (!cfg.hostAllowed(childHost)) out += ((3, row, 0L)) // offsite
+                else if (u.length <= cfg.urlLengthLimit) // urllength mw: silent
+                  out += ((0, FrontierRow(u, UrlKit.fingerprint(u), childHost,
+                    -childDepth * cfg.depthPriority, childDepth, isStart = false,
+                    epoch, seq, emitIdx, 0, 0, dontFilter = false,
+                    referer = policy.referrer(row.url, u).orNull,
+                    ruleIdx = rq.ruleIdx), 0L))
+              }
+            } else reqs.foreach(_ => out += ((2, row, 0L)))
           } else {
           val childDepth = row.depth + 1
           val policy = graft.urlkit.Referer.policyFor(
@@ -711,10 +777,11 @@ object CrawlEngine {
       .groupBy($"fpHex")
       .agg(min(struct($"dEpoch", $"dParent", $"dLink", $"url", $"fp", $"host",
         $"priority", $"depth", $"isStart", $"retryTimes", $"redirectTimes",
-        $"dontFilter", $"referer", $"dontObeyRobots")).as("r"))
+        $"dontFilter", $"referer", $"dontObeyRobots", $"ruleIdx")).as("r"))
       .select($"fpHex", $"r.url", $"r.fp", $"r.host", $"r.priority", $"r.depth",
         $"r.isStart", $"r.dEpoch", $"r.dParent", $"r.dLink", $"r.retryTimes",
-        $"r.redirectTimes", $"r.dontFilter", $"r.referer", $"r.dontObeyRobots")
+        $"r.redirectTimes", $"r.dontFilter", $"r.referer", $"r.dontObeyRobots",
+        $"r.ruleIdx")
 
     // Bloom prescreen (north rule: bloom/cuckoo URL-seen): a fingerprint the
     // filter has never seen is DEFINITELY new — only likely-dups pay the
@@ -796,9 +863,17 @@ object CrawlEngine {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    // exception-class discriminator for 599 rows (contract 6e): derived in
+    // the aggregation only — the fetch-log schema (the byte-compare object)
+    // is untouched. Pure-HTTP crawls keep a constant column.
+    val excKindCol =
+      if (!localOn) lit("h")
+      else when($"url".startsWith("data:"), lit("d"))
+        .when($"url".startsWith("file:"), lit("f")).otherwise(lit("h"))
     val statusCountsF = Future {
-      fetchLog.groupBy($"status", $"isRobots", $"cached").count()
-        .as[(Int, Boolean, Boolean, Long)].collect()
+      fetchLog.groupBy($"status", $"isRobots", $"cached", excKindCol.as("ek"))
+        .count()
+        .as[(Int, Boolean, Boolean, String, Long)].collect()
     }
     // survivors.count() materializes the expansion chain, firing obsCand
     val nSurvivors = survivors.count()
@@ -819,13 +894,18 @@ object CrawlEngine {
     counters("robotstxt/forbidden") = kindCounts.getOrElse(KForbidden, 0L)
     counters("robotstxt/request_count") = robotsFetchCount
     counters("downloader/request_count") = pageFetchCount
-    // contract 6c: a non-robots 599 is a download timeout — an exception,
-    // not a response (robots 599 = robots fetch error, a response status)
-    for ((status, isRobots, _, cnt) <- statusCounts) {
+    // contract 6c/6e: a non-robots 599 is a download exception, not a
+    // response (robots 599 = robots fetch error, a response status) — the
+    // class depends on the scheme: HTTP timeout, bad data: URI, missing file
+    for ((status, isRobots, _, ek, cnt) <- statusCounts) {
       if (!isRobots && status == 599) {
         counters("downloader/exception_count") += cnt
-        counters(
-          "downloader/exception_type_count/twisted.internet.error.TimeoutError") += cnt
+        val cls = ek match {
+          case "d" => "builtins.ValueError"
+          case "f" => "builtins.FileNotFoundError"
+          case _ => "twisted.internet.error.TimeoutError"
+        }
+        counters(s"downloader/exception_type_count/$cls") += cnt
       } else counters(s"downloader/response_status_count/$status") += cnt
     }
     // httpcache counters (contract 6d): hit = served from cache; miss = went
@@ -833,12 +913,14 @@ object CrawlEngine {
     // (any status except the 599 exception/robots-error class — DummyPolicy
     // stores every first-hand response)
     if (cfg.httpcacheEnabled) {
+      // file: rows never pass the cache middleware (ignore-scheme,
+      // contract 6e): no hit, no miss, never stored
       counters("httpcache/hit") = statusCounts.collect {
-        case (_, _, true, cnt) => cnt }.sum
+        case (_, _, true, _, cnt) => cnt }.sum
       counters("httpcache/miss") = statusCounts.collect {
-        case (_, _, false, cnt) => cnt }.sum
+        case (_, _, false, ek, cnt) if ek != "f" => cnt }.sum
       val stored = statusCounts.collect {
-        case (st, _, false, cnt) if st != 599 => cnt }.sum
+        case (st, _, false, ek, cnt) if st != 599 && ek != "f" => cnt }.sum
       counters("httpcache/firsthand") = stored
       counters("httpcache/store") = stored
     }
@@ -988,7 +1070,8 @@ object CrawlEngine {
     // rows are not re-stored; 599s carry no response
     val httpCacheDelta: DataFrame =
       if (!cfg.httpcacheEnabled) null
-      else fetchLog.filter(!$"cached" && $"status" =!= 599)
+      else fetchLog.filter(!$"cached" && $"status" =!= 599 &&
+          !$"url".startsWith("file:")) // ignore-scheme (contract 6e)
         .select(lower(hex($"fp")).as("fpHex"))
     // zero-valued counters are dropped on both sides of the conformance compare
     EpochResult(fetchLog, nextFrontier, seenDelta, hostStateDelta, robotsDelta,

@@ -152,10 +152,14 @@ object Oracle {
           if (stopped) remaining += row
           else {
             val host = row.host
+            // data:/file: rows skip robots entirely (contract 6e)
+            val localRow = cfg.localSchemes &&
+              graft.operators.LocalFetch.isLocal(row.url)
             // cache-hit rows (contract 6d) bypass the downloader: no budget
             // unit, no virtual-time advance — logged at the slot's next-fetch
-            // time as of their walk position
-            val rowHit = cfg.httpcacheEnabled && httpCache.contains(UrlKit.toHex(row.fp))
+            // time as of their walk position; file: is an ignore-scheme (6e)
+            val rowHit = cfg.httpcacheEnabled && !row.url.startsWith("file:") &&
+              httpCache.contains(UrlKit.toHex(row.fp))
             // robots fetch charged once per host per epoch, before its first
             // row — even when no page unit remains after it (contract step 2);
             // never triggered by a dont_obey_robotstxt row, and the robots
@@ -163,7 +167,8 @@ object Oracle {
             // 57-59,82-99`). Robots middleware runs BEFORE httpcache, so a
             // cached page row still triggers/consults robots; the robots
             // fetch itself may be a cache hit (then it charges nothing).
-            if (cfg.robotsObey && !row.dontObeyRobots && !robotsCache.contains(host)) {
+            if (cfg.robotsObey && !row.dontObeyRobots && !localRow &&
+                !robotsCache.contains(host)) {
               val scheme = row.url.substring(0, math.max(row.url.indexOf("://"), 0))
               val robotsUrl = s"$scheme://$host/robots.txt"
               val fp = UrlKit.fingerprint(robotsUrl)
@@ -191,11 +196,11 @@ object Oracle {
               // (robots unknown): falls to the stop branch below
             }
             val robotsResolved = !cfg.robotsObey || row.dontObeyRobots ||
-              robotsCache.contains(host)
+              localRow || robotsCache.contains(host)
             if (robotsResolved && (rowHit || budgetLeft >= 1)) {
               inc("scheduler/dequeued")
               val rules = robotsCache.getOrElse(host, RobotsRules.AllowAll)
-              if (cfg.robotsObey && !row.dontObeyRobots &&
+              if (cfg.robotsObey && !row.dontObeyRobots && !localRow &&
                   !rules.allowed(row.url, cfg.effectiveRobotsUserAgent)) {
                 inc("robotstxt/forbidden")
                 if (!rowHit) budgetLeft -= 1
@@ -243,24 +248,46 @@ object Oracle {
         } else {
           pageFetches += 1
           val canonical = UrlKit.canonicalizeUrl(row.url)
-          val pageOpt = pages.get(canonical)
+          // local-scheme dispatch (contract 6e): data:/file: rows never
+          // consult the corpus — the handler result is shaped as a latency-
+          // free PageRow (body kept only for HTML) so the expansion below is
+          // shared with corpus pages
+          val isLocalRow = cfg.localSchemes &&
+            graft.operators.LocalFetch.isLocal(row.url)
+          val localResp =
+            if (isLocalRow) Some(graft.operators.LocalFetch.fetch(row.url))
+            else None
+          val pageOpt: Option[PageRow] =
+            if (isLocalRow) localResp.filter(_.status == 200).map(lr =>
+              PageRow(row.url, 200, null,
+                if (lr.isHtml) lr.body else null, null, 0))
+            else pages.get(canonical)
           // download timeout (contract step 6c): no response — an exception,
           // retried like a retryable status. A cached response never times
-          // out (contract 6d: it has no download latency).
-          val timedOut = !hit && cfg.downloadTimeoutMs > 0 &&
-            pageOpt.exists(_.latencyMs >= cfg.downloadTimeoutMs)
+          // out (contract 6d: it has no download latency). A missing file:
+          // is the same retried-exception shape (6e); a bad data: URI is an
+          // exception that is NOT retried (ValueError).
+          val timedOut =
+            if (isLocalRow) localResp.exists(lr => lr.status == 599 && lr.retryExc)
+            else !hit && cfg.downloadTimeoutMs > 0 &&
+              pageOpt.exists(_.latencyMs >= cfg.downloadTimeoutMs)
+          val localNoRetryExc =
+            isLocalRow && localResp.exists(lr => lr.status == 599 && !lr.retryExc)
           val status =
-            if (timedOut) 599 else pageOpt.map(_.status).getOrElse(404)
+            if (timedOut || localNoRetryExc) 599
+            else pageOpt.map(_.status).getOrElse(404)
           inc("downloader/request_count")
-          if (timedOut) {
+          if (timedOut || localNoRetryExc) {
             inc("downloader/exception_count")
-            inc("downloader/exception_type_count/twisted.internet.error.TimeoutError")
+            inc("downloader/exception_type_count/" +
+              (if (isLocalRow) graft.operators.LocalFetch.excType(row.url)
+               else "twisted.internet.error.TimeoutError"))
           } else inc(s"downloader/response_status_count/$status")
-          if (cfg.httpcacheEnabled) {
+          if (cfg.httpcacheEnabled && !row.url.startsWith("file:")) {
             if (hit) inc("httpcache/hit")
             else {
               inc("httpcache/miss")
-              if (!timedOut) { // every first-hand response stores (DummyPolicy)
+              if (status != 599) { // every first-hand response stores (DummyPolicy)
                 inc("httpcache/firsthand"); inc("httpcache/store")
                 epochStores += UrlKit.toHex(row.fp)
               }
@@ -277,13 +304,15 @@ object Oracle {
                 row.priority - 1, row.depth, isStart = false,
                 dEpoch = epoch, dParent = seq, dLink = -2,
                 row.retryTimes + 1, row.redirectTimes, dontFilter = true,
-                referer = row.referer, dontObeyRobots = row.dontObeyRobots)
+                referer = row.referer, dontObeyRobots = row.dontObeyRobots,
+                ruleIdx = row.ruleIdx)
             } else inc("retry/max_reached")
           } else pageOpt.foreach { page =>
             // AutoThrottle adjust event: every fetch with a real response
             // (contract step 1a), replayed at epoch end in seq order —
-            // cached responses have no download latency (contract 6d)
-            if (cfg.autothrottle && !hit)
+            // cached responses have no download latency (contract 6d), and
+            // neither do local-scheme responses (6e)
+            if (cfg.autothrottle && !hit && !isLocalRow)
               delayEvents += ((seq, slotOf(host), page.latencyMs.toLong, status))
             for ((n, v) <- graft.operators.Cookies.parseSetCookie(page.setCookie))
               epochSetCookies += ((seq, host, n, v))
@@ -322,7 +351,8 @@ object Oracle {
                   UrlKit.hostOf(target), row.priority + 2, row.depth,
                   isStart = false, dEpoch = epoch, dParent = seq, dLink = -1,
                   row.retryTimes, row.redirectTimes + 1, row.dontFilter,
-                  referer = patched, dontObeyRobots = row.dontObeyRobots)
+                  referer = patched, dontObeyRobots = row.dontObeyRobots,
+                  ruleIdx = row.ruleIdx)
               } else inc("redirect/max_reached")
             } else if (CrawlConfig.RetryStatuses.contains(status)) {
               if (row.retryTimes < cfg.retryTimes) {
@@ -331,7 +361,8 @@ object Oracle {
                   row.priority - 1, row.depth, isStart = false,
                   dEpoch = epoch, dParent = seq, dLink = -2,
                   row.retryTimes + 1, row.redirectTimes, dontFilter = true,
-                  referer = row.referer)
+                  referer = row.referer, dontObeyRobots = row.dontObeyRobots,
+                  ruleIdx = row.ruleIdx)
               } else inc("retry/max_reached")
             } else if (status >= 200 && status < 300 && body != null) {
               // meta-refresh intercept (contract step 7a) — mirrors CrawlEngine
@@ -354,8 +385,30 @@ object Oracle {
                     UrlKit.hostOf(target), row.priority + 2, row.depth,
                     isStart = false, dEpoch = epoch, dParent = seq, dLink = -1,
                     row.retryTimes, row.redirectTimes + 1, row.dontFilter,
-                    referer = patched)
+                    referer = patched, dontObeyRobots = row.dontObeyRobots,
+                    ruleIdx = row.ruleIdx)
                 } else inc("redirect/max_reached")
+              } else if (cfg.crawlRules.nonEmpty) {
+                // CrawlSpider rule walk (contract 7c) — mirrors CrawlEngine
+                val childDepth = row.depth + 1
+                val policy = graft.urlkit.Referer.policyFor(
+                  page.refererPolicy, defaultRefererPolicy)
+                val reqs = graft.extract.CrawlRules.followRequests(
+                  cfg.crawlRules, body, row.url, row.ruleIdx)
+                if (cfg.depthLimit == 0 || childDepth <= cfg.depthLimit) {
+                  for ((emitIdx, rq) <- reqs) {
+                    val u = UrlKit.safeUrlString(rq.url)
+                    val childHost = UrlKit.hostOf(u)
+                    if (!cfg.hostAllowed(childHost)) inc("offsite/filtered")
+                    else if (u.length <= cfg.urlLengthLimit) // urllength: silent
+                      candidates += FrontierRow(u, UrlKit.fingerprint(u),
+                        childHost, -childDepth * cfg.depthPriority, childDepth,
+                        isStart = false, dEpoch = epoch, dParent = seq,
+                        dLink = emitIdx, 0, 0, dontFilter = false,
+                        referer = policy.referrer(row.url, u).orNull,
+                        ruleIdx = rq.ruleIdx)
+                  }
+                } else inc("depth/filtered", reqs.size.toLong)
               } else {
               val childDepth = row.depth + 1
               val policy = graft.urlkit.Referer.policyFor(

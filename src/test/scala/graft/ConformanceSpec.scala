@@ -191,6 +191,42 @@ class ConformanceSpec extends AnyFunSuite {
       o1.counters.getOrElse("httpcache/hit", 0L), "primed run must hit more")
   }
 
+  test("data:/file: scheme handlers variant conforms (robots skipped, exceptions typed)") {
+    // data: seeds (HTML-with-links, plain, base64, invalid→ValueError) and
+    // file: seeds (HTML with a relative file link, non-HTML, missing→
+    // FileNotFoundError retried) mix with the http crawl; local rows share
+    // the "" politeness slot, skip robots entirely, and never time out
+    val dir = TestSpark.tempDir("localfiles")
+    val spec = Corpus.Small.copy(localSeedsDir = dir)
+    Corpus.writeLocalFiles(spec, dir)
+    val (m, o) = compare(spec,
+      CrawlConfig(maxEpochs = 8, localSchemes = true, downloadTimeoutMs = 300),
+      "schemes")
+    assert(o.counters.getOrElse(
+      "downloader/exception_type_count/builtins.ValueError", 0L) === 1L)
+    // missing.html: first fetch + retryTimes retries, all FileNotFoundError
+    assert(o.counters.getOrElse(
+      "downloader/exception_type_count/builtins.FileNotFoundError", 0L) === 3L)
+    assert(m.counters === o.counters)
+  }
+
+  test("CrawlSpider rules variant conforms (multi-rule, hooks, follow=false)") {
+    import graft.extract.CrawlRules.CrawlRule
+    import graft.extract.LinkExtractor
+    // rule 0 claims /p/ pages with both hooks active (a processLinks filter
+    // and a processRequest URL rewrite that re-fingerprints); rule 1 takes
+    // the rest (incl. robots-disallowed /private/ and nofollow links — NOT
+    // filtered in rules mode, reference parity) but never follows further
+    val rules = Seq(
+      CrawlRule(extractor = new LinkExtractor(allow = Seq("/p/")),
+        processLinks = ls => ls.filterNot(_.url.endsWith("/13")),
+        processRequest = (r, _) =>
+          if (r.url.endsWith("/p/5")) None
+          else Some(r.copy(url = r.url.replace("/p/9", "/p/8")))),
+      CrawlRule(follow = false))
+    compare(Corpus.Small, CrawlConfig(maxEpochs = 8, crawlRules = rules), "rules")
+  }
+
   test("bucket-local Bloom prescreen variant conforms byte-for-byte") {
     // bloomLocalMinBytes=0 forces the bucket-local shard-file evaluation on
     // every epoch — the prescreen is advisory, so fetch log, url_seen and

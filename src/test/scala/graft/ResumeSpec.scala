@@ -73,6 +73,10 @@ class ResumeSpec extends AnyFunSuite {
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
     }
     m.hostStateDirs.foreach(d => rewriteWithout(d, Seq("delayMs")))
+    // frontier: drop the round-3/4 request-meta columns (referer,
+    // dontObeyRobots, ruleIdx) — resume backfills null/false/-1; on this
+    // corpus (no bypass seeds, no rules) final counts/counters are unchanged
+    rewriteWithout(m.frontierDir, Seq("referer", "dontObeyRobots", "ruleIdx"))
     // bloom: rewrite the binary shard dir as the round-2-era parquet table
     // WITHOUT capacity/n columns — load must detect the old format and
     // backfill sizing from defaults. The filter CONTENTS must carry over:
