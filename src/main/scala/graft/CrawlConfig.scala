@@ -134,8 +134,10 @@ package graft
   *     walk's stop rule is: cached rows process even with zero budget left;
   *     the first NON-cached row (or robots fetch) that cannot be charged
   *     stops the slot's walk. Counters: `httpcache/hit`, `httpcache/miss`,
-  *     `httpcache/firsthand`, `httpcache/store` (DummyPolicy stores every
-  *     first-hand response).
+  *     `httpcache/firsthand` (every first-hand response), `httpcache/store`
+  *     (DummyPolicy stores every first-hand response whose status is not in
+  *     `httpcacheIgnoreHttpCodes` — HTTPCACHE_IGNORE_HTTP_CODES,
+  *     `extensions/httpcache.py:36-45` should_cache_response).
   *  6e. Non-HTTP schemes (`localSchemes`; reference DOWNLOAD_HANDLERS +
   *     `handlers/{datauri,file}.py` — see [[graft.operators.LocalFetch]]):
   *     `data:`/`file:` rows skip robots.txt entirely (no check, no robots
@@ -259,6 +261,7 @@ final case class CrawlConfig(
     // (contract step 7; reference `lxmlhtml.py:217-240` _link_allowed)
     linkFilter: graft.extract.LinkFilter = graft.extract.LinkFilter.Empty,
     httpcacheEnabled: Boolean = false, // HTTPCACHE_ENABLED + DummyPolicy (step 6d)
+    httpcacheIgnoreHttpCodes: Seq[Int] = Nil, // HTTPCACHE_IGNORE_HTTP_CODES (6d)
     localSchemes: Boolean = false, // data:/file: download handlers (step 6e)
     // CrawlSpider rules (step 7c); empty = the fixed link pipeline of step 7
     crawlRules: Seq[graft.extract.CrawlRules.CrawlRule] = Nil,

@@ -914,15 +914,19 @@ object CrawlEngine {
     // stores every first-hand response)
     if (cfg.httpcacheEnabled) {
       // file: rows never pass the cache middleware (ignore-scheme,
-      // contract 6e): no hit, no miss, never stored
+      // contract 6e): no hit, no miss, never stored. firsthand counts every
+      // first-hand response; store excludes HTTPCACHE_IGNORE_HTTP_CODES
+      // (DummyPolicy.should_cache_response)
+      val ignoreCodes = cfg.httpcacheIgnoreHttpCodes.toSet
       counters("httpcache/hit") = statusCounts.collect {
         case (_, _, true, _, cnt) => cnt }.sum
       counters("httpcache/miss") = statusCounts.collect {
         case (_, _, false, ek, cnt) if ek != "f" => cnt }.sum
-      val stored = statusCounts.collect {
+      counters("httpcache/firsthand") = statusCounts.collect {
         case (st, _, false, ek, cnt) if st != 599 && ek != "f" => cnt }.sum
-      counters("httpcache/firsthand") = stored
-      counters("httpcache/store") = stored
+      counters("httpcache/store") = statusCounts.collect {
+        case (st, _, false, ek, cnt)
+          if st != 599 && ek != "f" && !ignoreCodes.contains(st) => cnt }.sum
     }
     counters("retry/count") = nRetries
     counters("retry/max_reached") = nRetryMax
@@ -1071,7 +1075,10 @@ object CrawlEngine {
     val httpCacheDelta: DataFrame =
       if (!cfg.httpcacheEnabled) null
       else fetchLog.filter(!$"cached" && $"status" =!= 599 &&
-          !$"url".startsWith("file:")) // ignore-scheme (contract 6e)
+          !$"url".startsWith("file:") && // ignore-scheme (contract 6e)
+          // HTTPCACHE_IGNORE_HTTP_CODES (should_cache_response, 6d)
+          (if (cfg.httpcacheIgnoreHttpCodes.isEmpty) lit(true)
+           else !$"status".isin(cfg.httpcacheIgnoreHttpCodes: _*)))
         .select(lower(hex($"fp")).as("fpHex"))
     // zero-valued counters are dropped on both sides of the conformance compare
     EpochResult(fetchLog, nextFrontier, seenDelta, hostStateDelta, robotsDelta,

@@ -236,8 +236,11 @@ object Oracle {
             else {
               inc("httpcache/miss")
               if (status != 599) { // robots error = exception, no response
-                inc("httpcache/firsthand"); inc("httpcache/store")
-                epochStores += UrlKit.toHex(row.fp)
+                inc("httpcache/firsthand")
+                if (!cfg.httpcacheIgnoreHttpCodes.contains(status)) {
+                  inc("httpcache/store")
+                  epochStores += UrlKit.toHex(row.fp)
+                }
               }
             }
           }
@@ -287,9 +290,12 @@ object Oracle {
             if (hit) inc("httpcache/hit")
             else {
               inc("httpcache/miss")
-              if (status != 599) { // every first-hand response stores (DummyPolicy)
-                inc("httpcache/firsthand"); inc("httpcache/store")
-                epochStores += UrlKit.toHex(row.fp)
+              if (status != 599) { // every first-hand response (DummyPolicy)
+                inc("httpcache/firsthand")
+                if (!cfg.httpcacheIgnoreHttpCodes.contains(status)) {
+                  inc("httpcache/store") // HTTPCACHE_IGNORE_HTTP_CODES (6d)
+                  epochStores += UrlKit.toHex(row.fp)
+                }
               }
             }
           }

@@ -227,6 +227,17 @@ class ConformanceSpec extends AnyFunSuite {
     compare(Corpus.Small, CrawlConfig(maxEpochs = 8, crawlRules = rules), "rules")
   }
 
+  test("httpcache ignore-codes variant conforms (503s not stored, retries re-download)") {
+    // with plain DummyPolicy a 503's same-fp retry HITS the freshly stored
+    // 503; ignoring 503 keeps retries first-hand — walk charging, stores
+    // and counters all shift and must match the oracle exactly
+    val (_, o) = compare(Corpus.Small,
+      CrawlConfig(maxEpochs = 6, httpcacheEnabled = true,
+        httpcacheIgnoreHttpCodes = Seq(503)), "httpcache-ignorecodes")
+    assert(o.counters.getOrElse("httpcache/store", 0L) <
+      o.counters.getOrElse("httpcache/firsthand", 0L))
+  }
+
   test("bucket-local Bloom prescreen variant conforms byte-for-byte") {
     // bloomLocalMinBytes=0 forces the bucket-local shard-file evaluation on
     // every epoch — the prescreen is advisory, so fetch log, url_seen and
