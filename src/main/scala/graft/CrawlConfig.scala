@@ -138,6 +138,32 @@ package graft
   *     (DummyPolicy stores every first-hand response whose status is not in
   *     `httpcacheIgnoreHttpCodes` — HTTPCACHE_IGNORE_HTTP_CODES,
   *     `extensions/httpcache.py:36-45` should_cache_response).
+  *  6f. RFC2616 cache policy in the fetch chain (`httpcachePolicy =
+  *     "rfc2616"`; `extensions/httpcache.py:59-245` via
+  *     [[graft.operators.Rfc2616Policy]]): cache entries carry
+  *     (storedTMs, status, Cache-Control); a dequeued row with an entry is
+  *     a HIT only while the entry is FRESH at the row's walk-time virtual
+  *     clock — `ageSec = (t - storedTMs)/1000 <` freshness lifetime
+  *     (max-age; one-year fallback for 300/301/308; else 0) and the entry's
+  *     Cache-Control has no `no-cache`. A stale entry is an ordinary MISS
+  *     (the revalidation download — our corpus responses carry no
+  *     validators, so it is unconditional); its response replaces the entry
+  *     (latest-wins merge on the cache chain). Stores obey
+  *     should_cache_response over the response's Cache-Control: `no-store`
+  *     never stores; `max-age` and 300/301/308 store; a 200 with neither
+  *     max-age nor validators does NOT store (so robots fetches and plain
+  *     corpus pages stay uncached). Counters stay hit/miss/firsthand/store
+  *     (a stale revalidation counts as a miss, like the reference's stats).
+  *     The Date/Expires/ETag/Age/serve-stale-on-5xx paths are exercised by
+  *     the FetchCache library battery; the in-chain contract pins the
+  *     Cache-Control subset a deterministic corpus can replay (a corpus
+  *     URL's status never changes, so is_cached_response_valid's
+  *     serve-stale-on-5xx branch is unreachable by construction).
+  *     `virtualClockStartMs` offsets the whole crawl's virtual clock —
+  *     epoch k spans [start + k·epochMs, …) — so a cache-primed second
+  *     crawl can sit later on the shared timeline than the crawl that
+  *     stored the entries (the analogue of wall-clock time passing between
+  *     runs; with the default DummyPolicy it is just a time shift).
   *  6e. Non-HTTP schemes (`localSchemes`; reference DOWNLOAD_HANDLERS +
   *     `handlers/{datauri,file}.py` — see [[graft.operators.LocalFetch]]):
   *     `data:`/`file:` rows skip robots.txt entirely (no check, no robots
@@ -262,6 +288,8 @@ final case class CrawlConfig(
     linkFilter: graft.extract.LinkFilter = graft.extract.LinkFilter.Empty,
     httpcacheEnabled: Boolean = false, // HTTPCACHE_ENABLED + DummyPolicy (step 6d)
     httpcacheIgnoreHttpCodes: Seq[Int] = Nil, // HTTPCACHE_IGNORE_HTTP_CODES (6d)
+    httpcachePolicy: String = "dummy", // "dummy" | "rfc2616" (step 6f)
+    virtualClockStartMs: Long = 0, // virtual-clock origin of epoch 0 (step 6f)
     localSchemes: Boolean = false, // data:/file: download handlers (step 6e)
     // CrawlSpider rules (step 7c); empty = the fixed link pipeline of step 7
     crawlRules: Seq[graft.extract.CrawlRules.CrawlRule] = Nil,
@@ -290,6 +318,8 @@ final case class CrawlConfig(
     allowedDomains.isEmpty ||
       allowedDomains.exists(d => host == d || host.endsWith("." + d))
   require(queueOrder == "lifo" || queueOrder == "fifo", s"bad queueOrder $queueOrder")
+  require(httpcachePolicy == "dummy" || httpcachePolicy == "rfc2616",
+    s"bad httpcachePolicy $httpcachePolicy")
 
   /** Budget at delay `delay` under per-epoch cap `cap` (contract step 1a). */
   def budgetFor(delay: Long, cap: Int): Int =

@@ -28,6 +28,9 @@ object CrawlMain {
     // small corpus + data:/file: seeds under <dir> (contract 6e; pair with
     // GRAFT_LOCAL_SCHEMES=1 on the run side). `gen` writes the local files.
     case "smalllocal" :: dir => Corpus.Small.copy(localSeedsDir = dir.mkString(":"))
+    // small corpus + Cache-Control headers (contract 6f; pair with
+    // GRAFT_HTTPCACHE=1 GRAFT_HTTPCACHE_POLICY=rfc2616 on the run side)
+    case "smallcache" :: Nil => Corpus.Small.copy(cacheHeaders = true)
     case "bench" :: Nil => Corpus.bench()
     case "bench" :: n :: Nil => Corpus.bench(n.toInt)
     case "bench" :: n :: "notraps" :: Nil => // round-1-shaped A/B baseline
@@ -66,6 +69,9 @@ object CrawlMain {
         maxFetchesPerEpoch = sys.env.getOrElse("GRAFT_MAX_FETCHES_PER_EPOCH", "0").toLong,
         autothrottle = sys.env.get("GRAFT_AUTOTHROTTLE").contains("1"),
         localSchemes = sys.env.get("GRAFT_LOCAL_SCHEMES").contains("1"),
+        httpcacheEnabled = sys.env.get("GRAFT_HTTPCACHE").contains("1"),
+        httpcachePolicy = sys.env.getOrElse("GRAFT_HTTPCACHE_POLICY", "dummy"),
+        virtualClockStartMs = sys.env.getOrElse("GRAFT_CLOCK_START_MS", "0").toLong,
         seqCollectMax = sys.env.getOrElse("GRAFT_SEQ_COLLECT_MAX", "2000000").toLong,
         bloomLocalMinBytes = sys.env.getOrElse("GRAFT_BLOOM_LOCAL_MIN",
           (64L << 20).toString).toLong)

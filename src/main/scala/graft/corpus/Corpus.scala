@@ -34,7 +34,11 @@ final case class CorpusSpec(
     richTraps: Boolean = true,
     // non-null = append data:/file: seeds (contract 6e); file: URLs point
     // under this directory — populate it with Corpus.writeLocalFiles first
-    localSeedsDir: String = null) {
+    localSeedsDir: String = null,
+    // emit Cache-Control response headers (contract 6f rfc2616 variant);
+    // drawn from an independent RNG stream so flag-off corpora are
+    // byte-identical to older rounds
+    cacheHeaders: Boolean = false) {
 
   /** Pages on host k: host 0 is the hot host; the rest share uniformly. */
   def pagesOnHost(k: Int): Int = {
@@ -94,6 +98,21 @@ object Corpus {
 
   // ---- pages --------------------------------------------------------------
 
+  /** Cache-Control header of page (k,j) — independent RNG stream (contract
+    * 6f): max-age spread crossing the primed-crawl clock offset, no-store /
+    * no-cache / must-revalidate / expiry-free mixes. */
+  def cacheControlOf(spec: CorpusSpec, k: Int, j: Int): String = {
+    if (!spec.cacheHeaders) return null
+    val rc = rng(spec, 7000000003L * (spec.pageGlobalIdx(k, j) + 1))
+    val roll = rc.nextDouble()
+    if (roll < 0.45) null
+    else if (roll < 0.70) s"max-age=${1 + rc.nextInt(30)}" // seconds
+    else if (roll < 0.78) "no-store"
+    else if (roll < 0.85) "no-cache"
+    else if (roll < 0.92) s"max-age=${1 + rc.nextInt(10)}, must-revalidate"
+    else "public" // no expiry info, no validators → not stored
+  }
+
   /** Pure page generator. Status mix: 200 / 404 / 301 / 302 / 503. */
   def page(spec: CorpusSpec, k: Int, j: Int): PageRow = {
     val r = rng(spec, 1000000007L * (k + 1) + j)
@@ -101,16 +120,21 @@ object Corpus {
     val gIdx = spec.pageGlobalIdx(k, j)
     val roll = r.nextDouble()
     val nK = spec.pagesOnHost(k)
+    val cc = cacheControlOf(spec, k, j)
     if (roll < 0.04 && j > 0) { // 404
-      PageRow(url, 404, null, Array.emptyByteArray, null, 10 + r.nextInt(100))
+      PageRow(url, 404, null, Array.emptyByteArray, null, 10 + r.nextInt(100),
+        cacheControl = cc)
     } else if (roll < 0.07 && nK > 1) { // 302 → another page same host
       val tgt = r.nextInt(nK)
-      PageRow(url, 302, s"/p/$tgt", Array.emptyByteArray, null, 10 + r.nextInt(100))
+      PageRow(url, 302, s"/p/$tgt", Array.emptyByteArray, null, 10 + r.nextInt(100),
+        cacheControl = cc)
     } else if (roll < 0.08 && nK > 1) { // 301
       val tgt = r.nextInt(nK)
-      PageRow(url, 301, s"${spec.scheme}://${spec.hostName(k)}/p/$tgt", Array.emptyByteArray, null, 10 + r.nextInt(100))
+      PageRow(url, 301, s"${spec.scheme}://${spec.hostName(k)}/p/$tgt", Array.emptyByteArray, null, 10 + r.nextInt(100),
+        cacheControl = cc)
     } else if (roll < 0.10) { // 503 retryable
-      PageRow(url, 503, null, Array.emptyByteArray, null, 200 + r.nextInt(400))
+      PageRow(url, 503, null, Array.emptyByteArray, null, 200 + r.nextInt(400),
+        cacheControl = cc)
     } else if (roll < 0.125 && nK > 1 && spec.richTraps) { // meta-refresh traps
       val tgt = r.nextInt(nK)
       val mr = r.nextDouble()
@@ -124,12 +148,13 @@ object Corpus {
         else // directive inside noscript is ignored → content page
           s"""<html><head><noscript><meta http-equiv="refresh" content="0; url=/p/$tgt"></noscript></head><body><a href="/p/$tgt">ns</a></body></html>"""
       PageRow(url, 200, null, html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        null, 10 + r.nextInt(100))
+        null, 10 + r.nextInt(100), cacheControl = cc)
     } else if (!spec.richTraps) {
       // round-1-shaped content page: raw body, no response-header traps
       val html = pageHtml(spec, k, j, r)
       val raw = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      PageRow(url, 200, null, raw, f"img$gIdx%09d", 10 + r.nextInt(490))
+      PageRow(url, 200, null, raw, f"img$gIdx%09d", 10 + r.nextInt(490),
+        cacheControl = cc)
     } else {
       val html = pageHtml(spec, k, j, r)
       val raw = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -181,7 +206,7 @@ object Corpus {
       // real 200s, not just slow 503s) — it must stay the final draw of this
       // page's RNG stream so earlier content bytes are unaffected
       PageRow(url, 200, null, body, f"img$gIdx%09d", 10 + r.nextInt(490), enc,
-        refPolicy, setCookie)
+        refPolicy, setCookie, cacheControl = cc)
     }
   }
 

@@ -80,7 +80,8 @@ final case class PageRow(
     latencyMs: Int,
     contentEncoding: String = null, // Content-Encoding header; null = identity
     refererPolicy: String = null, // Referrer-Policy response header; null = absent
-    setCookie: String = null) // Set-Cookie response header; null = absent
+    setCookie: String = null, // Set-Cookie response header; null = absent
+    cacheControl: String = null) // Cache-Control response header (contract 6f)
 
 /** Image+caption corpus row — exact input_hint shape (BASELINE.json). */
 final case class ImageRow(

@@ -104,6 +104,30 @@ object Rfc2616Policy {
     } else false
   }
 
+  /** In-chain freshness (contract 6f): is an entry stored at virtual
+    * `storedTMs` still fresh at virtual `nowMs`? Lifetime from the stored
+    * response's Cache-Control (max-age; 300/301/308 one-year fallback; else
+    * 0 — the corpus carries no Date/Expires/validators), age = the virtual
+    * time elapsed since the store, `no-cache` never fresh. */
+  def freshAt(cachedStatus: Int, cacheControl: String, storedTMs: Long,
+      nowMs: Long): Boolean = {
+    val cc = parseCacheControl(cacheControl)
+    if (cc.contains("no-cache")) return false
+    val headers =
+      if (cacheControl == null || cacheControl.isEmpty) Map.empty[String, String]
+      else Map("Cache-Control" -> cacheControl)
+    val lifetime = freshnessLifetime(cachedStatus, headers, nowSec = storedTMs / 1000)
+    val ageSec = math.max(0L, nowMs - storedTMs) / 1000.0
+    ageSec < lifetime
+  }
+
+  /** In-chain storability (contract 6f): should_cache_response over the
+    * Cache-Control header alone. */
+  def storable(status: Int, cacheControl: String): Boolean =
+    shouldCacheResponse(status,
+      if (cacheControl == null || cacheControl.isEmpty) Map.empty
+      else Map("Cache-Control" -> cacheControl))
+
   /** `httpcache.py:162-173` is_cached_response_valid: after a revalidation
     * fetch, serve the cached copy on 304, or on a 5xx unless the cached
     * response demanded must-revalidate. */

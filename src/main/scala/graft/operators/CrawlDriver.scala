@@ -38,7 +38,10 @@ object CrawlDriver {
   private val HostStateSchema = "host STRING, lastTMs BIGINT, robotsFetched BOOLEAN, delayMs BIGINT"
   private val RobotsSchema = "host STRING, body BINARY, ok BOOLEAN"
   private val CookieSchema = "host STRING, name STRING, value STRING"
-  private val HttpCacheSchema = "fpHex STRING"
+  // storedTMs/status/cacheControl since the 6f rfc2616 policy — a dummy
+  // chain written before that reads with nulls (membership is all it needs)
+  private val HttpCacheSchema =
+    "fpHex STRING, storedTMs BIGINT, status INT, cacheControl STRING"
 
   /** Merge a host-state delta chain: per slot, the LATEST chain entry wins
     * (each delta row carries the slot's full new state). */
@@ -80,12 +83,22 @@ object CrawlDriver {
       .as[CookieRow]
   }
 
-  /** HTTP-cache chain (contract 6d): disjoint fp appends — plain union. */
+  /** HTTP-cache chain (contract 6d/6f): per fp the LATEST chain entry wins —
+    * under DummyPolicy stores are disjoint appends (store-once), under
+    * rfc2616 a stale entry's revalidation re-stores the fp with a newer
+    * storedTMs, so the merge must resolve like host_state. */
   def readHttpCache(spark: SparkSession, dirs: Seq[String]): DataFrame = {
     import spark.implicits._
-    if (dirs.isEmpty) spark.emptyDataset[String].toDF("fpHex")
-    else dirs.map(d => spark.read.schema(HttpCacheSchema).parquet(d))
-      .reduce(_.unionByName(_))
+    if (dirs.isEmpty)
+      spark.emptyDataset[(String, Option[Long], Option[Int], Option[String])]
+        .toDF("fpHex", "storedTMs", "status", "cacheControl")
+    else dirs.zipWithIndex.map { case (d, i) =>
+      spark.read.schema(HttpCacheSchema).parquet(d).withColumn("chainIdx", lit(i))
+    }.reduce(_.unionByName(_))
+      .groupBy($"fpHex")
+      .agg(max_by(struct($"storedTMs", $"status", $"cacheControl"),
+        struct($"chainIdx", $"storedTMs")).as("r"))
+      .select($"fpHex", $"r.storedTMs", $"r.status", $"r.cacheControl")
   }
 
   /** Initialize snapshot v0 from the ordered seed list (dupefilter in seed
@@ -154,7 +167,8 @@ object CrawlDriver {
     // shuffles the politeness-bounded fetch batch. At real scale this is the
     // bucketed-table layout of the fetch-cache (SURVEY.md §4 partitioning).
     val joinParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val pages = spark.read.parquet(s"$corpusDir/pages")
+    val pages = Snapshot.withDefaults(spark.read.parquet(s"$corpusDir/pages"),
+        Seq("cacheControl" -> lit(null).cast("string"))) // pre-6f corpora
       .withColumnRenamed("url", "canonical")
       .repartition(joinParts, org.apache.spark.sql.functions.col("canonical"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -45,7 +45,11 @@ object CrawlEngine {
       robotsKnown: Boolean, knownBody: Array[Byte], knownOk: Boolean,
       corpusBody: Array[Byte])
   final case class Enriched(fr: FrontierRow, meta: HostMeta,
-      cached: Boolean = false, robotsCached: Boolean = false)
+      cached: Boolean = false, robotsCached: Boolean = false,
+      // stored cache entry under the rfc2616 policy (contract 6f): the walk
+      // evaluates freshness at the row's virtual walk time
+      ceStoredT: Option[Long] = None, ceStatus: Option[Int] = None,
+      ceCC: Option[String] = None)
 
   /** How the advisory url_seen Bloom prescreen is evaluated (north rule:
     * partitioned Bloom/cuckoo URL-seen):
@@ -71,7 +75,8 @@ object CrawlEngine {
       location: Option[String], body: Option[Array[Byte]],
       imageId: Option[String], latencyMs: Option[Int],
       contentEncoding: Option[String], refererPolicy: Option[String],
-      setCookie: Option[String], timedOut: Boolean)
+      setCookie: Option[String], cacheControl: Option[String],
+      timedOut: Boolean)
 
   /** Candidate row through the bucket-local prescreen. */
   final case class FwIn(fpHex: String, bucket: Int, fr: FrontierRow)
@@ -254,6 +259,9 @@ object CrawlEngine {
       if (!cfg.httpcacheEnabled || httpCache == null)
         withSlot.withColumn("cached", lit(false))
           .withColumn("robotsCached", lit(false))
+          .withColumn("ceStoredT", lit(null).cast("long"))
+          .withColumn("ceStatus", lit(null).cast("int"))
+          .withColumn("ceCC", lit(null).cast("string"))
       else {
         val robotsFpHexUdf = udf((url: String, host: String) => {
           val i = url.indexOf("://")
@@ -264,7 +272,9 @@ object CrawlEngine {
           .withColumn("rowFpHex", lower(hex($"fp")))
           .withColumn("robotsFpHex", robotsFpHexUdf($"url", $"host"))
           .join(httpCache.select($"fpHex".as("rowFpHex"),
-            lit(true).as("cached")), Seq("rowFpHex"), "left")
+            lit(true).as("cached"), $"storedTMs".as("ceStoredT"),
+            $"status".as("ceStatus"), $"cacheControl".as("ceCC")),
+            Seq("rowFpHex"), "left")
           .join(httpCache.select($"fpHex".as("robotsFpHex"),
             lit(true).as("robotsCached")), Seq("robotsFpHex"), "left")
           // file: responses are never cached (HTTPCACHE_IGNORE_SCHEMES
@@ -317,15 +327,24 @@ object CrawlEngine {
           coalesce($"robotsKnown", lit(false)).as("robotsKnown"),
           $"knownBody", coalesce($"knownOk", lit(false)).as("knownOk"),
           $"corpusBody").as("meta"),
-        $"cached", $"robotsCached")
+        $"cached", $"robotsCached", $"ceStoredT", $"ceStatus", $"ceCC")
       .as[Enriched]
 
     // ---- politeness dequeue per host: bounded PQ, O(n log k) --------------
-    val epochStart = epoch.toLong * cfg.epochMs
+    // virtual clock origin (contract 6f): epoch k spans
+    // [clockStart + k·epochMs, …) — default 0 keeps the historical timeline
+    val epochStart = cfg.virtualClockStartMs + epoch.toLong * cfg.epochMs
     val robotsObey = cfg.robotsObey
     val robotsUA = cfg.effectiveRobotsUserAgent
     val localOn = cfg.localSchemes
     val lt = dequeueLt(cfg) _
+    // rfc2616 (contract 6f): hits require the stored entry to be FRESH at
+    // the row's walk-time virtual clock; DummyPolicy hits on membership
+    val policyDummy = cfg.httpcachePolicy != "rfc2616"
+    def hitAt(e: Enriched, t: Long): Boolean =
+      e.cached && (policyDummy ||
+        (e.ceStoredT.isDefined && Rfc2616Policy.freshAt(
+          e.ceStatus.getOrElse(0), e.ceCC.orNull, e.ceStoredT.get, t)))
 
     // Observation metrics ride along with the first job that materializes
     // each cached dataset — no extra counting jobs (Spark `observe` API).
@@ -413,16 +432,20 @@ object CrawlEngine {
                 val localRow = localOn && LocalFetch.isLocal(e.fr.url)
                 val needRobots = robotsObey && !e.fr.dontObeyRobots &&
                   !localRow && !e.meta.robotsKnown && !robotsDone.contains(host)
-                if (needRobots && (e.robotsCached || budgetLeft >= 1)) {
+                // robots responses are never storable under rfc2616 (no
+                // Cache-Control, no validators — contract 6f), so a robots
+                // hit only exists on a DummyPolicy chain
+                val robotsHit = e.robotsCached && policyDummy
+                if (needRobots && (robotsHit || budgetLeft >= 1)) {
                   val scheme = e.fr.url.substring(0, math.max(e.fr.url.indexOf("://"), 0))
                   val robotsUrl = s"$scheme://$host/robots.txt"
                   val fp = UrlKit.fingerprint(robotsUrl)
                   out += DeqOut(KRobots,
                     FrontierRow(robotsUrl, fp, host, 1000, 0, isStart = false,
                       epoch, -1L, -1, 0, 0, dontFilter = true), t, -1, slot,
-                    cached = e.robotsCached)
+                    cached = robotsHit)
                   robotsDone += host
-                  if (!e.robotsCached) {
+                  if (!robotsHit) {
                     t += st.delay
                     budgetLeft -= 1
                   }
@@ -433,16 +456,17 @@ object CrawlEngine {
                 // row (or robots miss) that cannot be charged.
                 val robotsResolved = !robotsObey || e.fr.dontObeyRobots ||
                   localRow || e.meta.robotsKnown || robotsDone.contains(host)
-                if (robotsResolved && (e.cached || budgetLeft >= 1)) {
+                val hit = hitAt(e, t) // stale entry ⇒ ordinary miss (6f)
+                if (robotsResolved && (hit || budgetLeft >= 1)) {
                   if (robotsObey && !e.fr.dontObeyRobots && !localRow &&
                       !rules.allowed(e.fr.url, robotsUA)) {
                     out += DeqOut(KForbidden, e.fr, 0L, -1, slot)
-                    if (!e.cached) budgetLeft -= 1
+                    if (!hit) budgetLeft -= 1
                   } else {
                     val i = hostIdx.getOrElse(host, 0)
-                    out += DeqOut(KFetch, e.fr, t, i, slot, cached = e.cached)
+                    out += DeqOut(KFetch, e.fr, t, i, slot, cached = hit)
                     hostIdx(host) = i + 1
-                    if (!e.cached) {
+                    if (!hit) {
                       t += st.delay
                       budgetLeft -= 1
                     }
@@ -547,7 +571,7 @@ object CrawlEngine {
           LocalFetched(r.fr.url, r.fr, r.t, r.hostIdx, r.kind, r.seq, r.slot,
             r.cached, lr.status, None,
             Option(lr.body).filter(_ => lr.isHtml), None, None, None, None,
-            None, timedOut = lr.status == 599 && lr.retryExc)
+            None, None, timedOut = lr.status == 599 && lr.retryExc)
         }.toDF()
       httpFetched.unionByName(localFetched)
     }).persist()
@@ -879,6 +903,31 @@ object CrawlEngine {
     val nSurvivors = survivors.count()
     val statusCounts = Await.result(statusCountsF, Duration.Inf)
     lap("expand+dedup+antiJoin")
+    // cache delta (contract 6d/6f): DummyPolicy stores every first-hand
+    // response (minus ignore-codes/ignore-scheme); rfc2616 stores only
+    // should_cache_response responses (Cache-Control max-age / 300·301·308;
+    // robots fetches carry no headers and are never storable, so the rfc2616
+    // delta is built from the page-fetch side). Entries carry
+    // (storedTMs, status, Cache-Control) for the walk's freshness check.
+    val httpCacheDelta: DataFrame =
+      if (!cfg.httpcacheEnabled) null
+      else if (cfg.httpcachePolicy == "rfc2616") {
+        val storableU = udf((status: Int, cc: String) =>
+          Rfc2616Policy.storable(status, cc))
+        fetched
+          .filter(!$"cached" && $"status" =!= 599 &&
+            !$"fr.url".startsWith("file:"))
+          .filter(storableU($"status", $"cacheControl"))
+          .select(lower(hex($"fr.fp")).as("fpHex"), $"t".as("storedTMs"),
+            $"status", $"cacheControl")
+      } else fetchLog.filter(!$"cached" && $"status" =!= 599 &&
+          !$"url".startsWith("file:") && // ignore-scheme (contract 6e)
+          // HTTPCACHE_IGNORE_HTTP_CODES (should_cache_response, 6d)
+          (if (cfg.httpcacheIgnoreHttpCodes.isEmpty) lit(true)
+           else !$"status".isin(cfg.httpcacheIgnoreHttpCodes: _*)))
+        .select(lower(hex($"fp")).as("fpHex"), $"virtualTMs".as("storedTMs"),
+          $"status", lit(null).cast("string").as("cacheControl"))
+
     val candMetrics = obsCand.get
     val nCands = metric(candMetrics, "cands")
     val nRetryMax = metric(candMetrics, "retryMax")
@@ -924,9 +973,12 @@ object CrawlEngine {
         case (_, _, false, ek, cnt) if ek != "f" => cnt }.sum
       counters("httpcache/firsthand") = statusCounts.collect {
         case (st, _, false, ek, cnt) if st != 599 && ek != "f" => cnt }.sum
-      counters("httpcache/store") = statusCounts.collect {
-        case (st, _, false, ek, cnt)
-          if st != 599 && ek != "f" && !ignoreCodes.contains(st) => cnt }.sum
+      counters("httpcache/store") =
+        if (cfg.httpcachePolicy == "rfc2616")
+          httpCacheDelta.count() // politeness-bounded rows off cached `fetched`
+        else statusCounts.collect {
+          case (st, _, false, ek, cnt)
+            if st != 599 && ek != "f" && !ignoreCodes.contains(st) => cnt }.sum
     }
     counters("retry/count") = nRetries
     counters("retry/max_reached") = nRetryMax
@@ -1070,16 +1122,6 @@ object CrawlEngine {
       if (bloom.isDefined && prescreenMetrics)
         (metric(obsBloomNew.get, "n"), metric(obsBloomMaybe.get, "n"))
       else (-1L, -1L)
-    // cache delta (contract 6d): every first-hand response's fp — cached
-    // rows are not re-stored; 599s carry no response
-    val httpCacheDelta: DataFrame =
-      if (!cfg.httpcacheEnabled) null
-      else fetchLog.filter(!$"cached" && $"status" =!= 599 &&
-          !$"url".startsWith("file:") && // ignore-scheme (contract 6e)
-          // HTTPCACHE_IGNORE_HTTP_CODES (should_cache_response, 6d)
-          (if (cfg.httpcacheIgnoreHttpCodes.isEmpty) lit(true)
-           else !$"status".isin(cfg.httpcacheIgnoreHttpCodes: _*)))
-        .select(lower(hex($"fp")).as("fpHex"))
     // zero-valued counters are dropped on both sides of the conformance compare
     EpochResult(fetchLog, nextFrontier, seenDelta, hostStateDelta, robotsDelta,
       cookieDelta, media, counters.toMap.filter(_._2 != 0L), baseSeq + nFetches,

@@ -19,12 +19,17 @@ import graft.urlkit.UrlKit
   */
 object Oracle {
 
+  /** Stored HTTP-cache entry (contract 6d/6f): virtual store time, response
+    * status and Cache-Control — what the rfc2616 freshness check reads.
+    * DummyPolicy entries carry (t, status, null). */
+  final case class CacheEntry(storedTMs: Long, status: Int, cacheControl: String)
+
   final case class Result(
       fetchLog: Vector[FetchLogRow],
       urlSeen: Set[String], // fp hex
       counters: Map[String, Long],
       epochs: Int,
-      httpCache: Set[String] = Set.empty) // stored response fps (contract 6d)
+      httpCache: Map[String, CacheEntry] = Map.empty) // stored responses (6d/6f)
 
   def run(
       cfg: CrawlConfig,
@@ -32,7 +37,7 @@ object Oracle {
       pages: Map[String, PageRow], // canonical url -> page
       robots: Map[String, Option[Array[Byte]]],
       dns: Map[String, String] = Map.empty, // host -> ip (resolver cache)
-      primedCache: Set[String] = Set.empty): Result = { // fp hexes of a prior crawl's cache
+      primedCache: Map[String, CacheEntry] = Map.empty): Result = { // prior crawl's cache
 
     val counters = mutable.Map.empty[String, Long].withDefaultValue(0L)
     def inc(k: String, by: Long = 1): Unit = counters(k) += by
@@ -62,10 +67,16 @@ object Oracle {
     val fetchLog = Vector.newBuilder[FetchLogRow]
     var fetchSeq = 0L
     var pageFetches = 0L
-    // HTTP cache (contract step 6d, DummyPolicy): stored response fps.
-    // Stores become VISIBLE at epoch end (BSP, like cookies) — the engine
-    // joins the epoch-start cache table, so the oracle must too.
-    val httpCache = mutable.HashSet.empty[String] ++ primedCache
+    // HTTP cache (contract step 6d/6f): fp -> stored entry. Stores become
+    // VISIBLE at epoch end (BSP, like cookies) — the engine joins the
+    // epoch-start cache table, so the oracle must too. Under rfc2616 a hit
+    // additionally requires FRESHNESS at the row's walk-time virtual clock.
+    val httpCache = mutable.Map.empty[String, CacheEntry] ++ primedCache
+    val policyDummy = cfg.httpcachePolicy != "rfc2616"
+    def freshHit(fpHex: String, nowMs: Long): Boolean =
+      httpCache.get(fpHex).exists(e => policyDummy ||
+        graft.operators.Rfc2616Policy.freshAt(e.status, e.cacheControl,
+          e.storedTMs, nowMs))
 
     // ---- seed enqueue (dupefilter in seq order; FIXTURES.md §4) ----------
     for (s <- seeds.sortBy(_.seq)) {
@@ -101,7 +112,8 @@ object Oracle {
     var epoch = 0
     var stop = false
     while (frontier.nonEmpty && epoch < cfg.maxEpochs && !stop) {
-      val epochStart = epoch.toLong * cfg.epochMs
+      // virtual clock origin (contract 6f): default 0 = historical timeline
+      val epochStart = cfg.virtualClockStartMs + epoch.toLong * cfg.epochMs
       val bySlot = frontier.groupBy(r => slotOf(r.host))
       val epochFetches = mutable.ArrayBuffer.empty[(Long, String, Int, FrontierRow, Boolean, Boolean)]
       // (virtualT, host, perHostIdx, row-or-robots, isRobots, cacheHit)
@@ -155,11 +167,9 @@ object Oracle {
             // data:/file: rows skip robots entirely (contract 6e)
             val localRow = cfg.localSchemes &&
               graft.operators.LocalFetch.isLocal(row.url)
-            // cache-hit rows (contract 6d) bypass the downloader: no budget
-            // unit, no virtual-time advance — logged at the slot's next-fetch
-            // time as of their walk position; file: is an ignore-scheme (6e)
-            val rowHit = cfg.httpcacheEnabled && !row.url.startsWith("file:") &&
-              httpCache.contains(UrlKit.toHex(row.fp))
+            // (the row's cache-hit check happens AFTER the robots surcharge
+            // below — its rfc2616 freshness reads the walk clock, which a
+            // robots fetch may have advanced; mirrors CrawlEngine)
             // robots fetch charged once per host per epoch, before its first
             // row — even when no page unit remains after it (contract step 2);
             // never triggered by a dont_obey_robotstxt row, and the robots
@@ -172,7 +182,9 @@ object Oracle {
               val scheme = row.url.substring(0, math.max(row.url.indexOf("://"), 0))
               val robotsUrl = s"$scheme://$host/robots.txt"
               val fp = UrlKit.fingerprint(robotsUrl)
-              val robotsHit = cfg.httpcacheEnabled && httpCache.contains(UrlKit.toHex(fp))
+              // robots responses are never storable under rfc2616 (6f)
+              val robotsHit = cfg.httpcacheEnabled && policyDummy &&
+                httpCache.contains(UrlKit.toHex(fp))
               if (robotsHit || budgetLeft >= 1) {
                 val rules = robots.get(host).flatten match {
                   case Some(body) => RobotsRules.parse(body)
@@ -197,6 +209,12 @@ object Oracle {
             }
             val robotsResolved = !cfg.robotsObey || row.dontObeyRobots ||
               localRow || robotsCache.contains(host)
+            // cache-hit rows (contract 6d) bypass the downloader: no budget
+            // unit, no virtual-time advance — logged at the slot's next-fetch
+            // time as of their walk position; file: is an ignore-scheme (6e);
+            // rfc2616 requires freshness at the walk clock, stale = miss (6f)
+            val rowHit = cfg.httpcacheEnabled && !row.url.startsWith("file:") &&
+              freshHit(UrlKit.toHex(row.fp), t)
             if (robotsResolved && (rowHit || budgetLeft >= 1)) {
               inc("scheduler/dequeued")
               val rules = robotsCache.getOrElse(host, RobotsRules.AllowAll)
@@ -225,7 +243,8 @@ object Oracle {
       val ordered = epochFetches.sortBy { case (t, host, i, _, _, _) => (t, host, i) }
       val candidates = mutable.ArrayBuffer.empty[FrontierRow]
       val epochSetCookies = mutable.ArrayBuffer.empty[(Long, String, String, String)]
-      val epochStores = mutable.ArrayBuffer.empty[String] // cache fps, visible next epoch
+      // cache stores, visible (and latest-wins-replacing) at epoch end
+      val epochStores = mutable.ArrayBuffer.empty[(String, CacheEntry)]
       for ((t, host, _, row, isRobots, hit) <- ordered) {
         val seq = fetchSeq
         fetchSeq += 1
@@ -237,9 +256,13 @@ object Oracle {
               inc("httpcache/miss")
               if (status != 599) { // robots error = exception, no response
                 inc("httpcache/firsthand")
-                if (!cfg.httpcacheIgnoreHttpCodes.contains(status)) {
+                // rfc2616: a header-less robots 200 is never storable (6f)
+                val ok =
+                  if (policyDummy) !cfg.httpcacheIgnoreHttpCodes.contains(status)
+                  else graft.operators.Rfc2616Policy.storable(status, null)
+                if (ok) {
                   inc("httpcache/store")
-                  epochStores += UrlKit.toHex(row.fp)
+                  epochStores += ((UrlKit.toHex(row.fp), CacheEntry(t, status, null)))
                 }
               }
             }
@@ -290,11 +313,18 @@ object Oracle {
             if (hit) inc("httpcache/hit")
             else {
               inc("httpcache/miss")
-              if (status != 599) { // every first-hand response (DummyPolicy)
+              if (status != 599) { // every first-hand response
                 inc("httpcache/firsthand")
-                if (!cfg.httpcacheIgnoreHttpCodes.contains(status)) {
-                  inc("httpcache/store") // HTTPCACHE_IGNORE_HTTP_CODES (6d)
-                  epochStores += UrlKit.toHex(row.fp)
+                val cc = pageOpt.map(_.cacheControl).orNull
+                // dummy: store all but HTTPCACHE_IGNORE_HTTP_CODES (6d);
+                // rfc2616: should_cache_response over Cache-Control (6f)
+                val ok =
+                  if (policyDummy) !cfg.httpcacheIgnoreHttpCodes.contains(status)
+                  else graft.operators.Rfc2616Policy.storable(status, cc)
+                if (ok) {
+                  inc("httpcache/store")
+                  epochStores += ((UrlKit.toHex(row.fp),
+                    CacheEntry(t, status, if (policyDummy) null else cc)))
                 }
               }
             }
@@ -473,7 +503,8 @@ object Oracle {
         }
       }
 
-      httpCache ++= epochStores // BSP visibility: stores land at epoch end
+      // BSP visibility: stores land (and replace, latest-wins) at epoch end
+      for ((h, e) <- epochStores) httpCache(h) = e
       frontier = remaining.result()
       epoch += 1
       if (cfg.closespiderPageCount > 0 && pageFetches >= cfg.closespiderPageCount)
@@ -482,6 +513,6 @@ object Oracle {
 
     // zero-valued counters dropped (conformance compares non-zero keys)
     Result(fetchLog.result(), urlSeen.toSet, counters.toMap.filter(_._2 != 0L),
-      epoch, httpCache.toSet)
+      epoch, httpCache.toMap)
   }
 }

@@ -15,7 +15,7 @@ class ConformanceSpec extends AnyFunSuite {
 
   private def compare(spec: CorpusSpec, cfg: CrawlConfig, label: String,
       cachePrimeDirs: Seq[String] = Nil,
-      oraclePrime: Set[String] = Set.empty): (graft.plans.Manifest, Oracle.Result) = {
+      oraclePrime: Map[String, Oracle.CacheEntry] = Map.empty): (graft.plans.Manifest, Oracle.Result) = {
     import spark.implicits._
     val corpusDir = TestSpark.tempDir(s"corpus-$label")
     val snapRoot = TestSpark.tempDir(s"snap-$label")
@@ -181,8 +181,12 @@ class ConformanceSpec extends AnyFunSuite {
     val (m1, o1) = compare(Corpus.Small, cfg, "httpcache-cold")
     assert(o1.counters.getOrElse("httpcache/store", 0L) > 0)
     val engineCache = CrawlDriver.readHttpCache(spark, m1.httpCacheDirs)
-      .as[String].collect().toSet
-    assert(engineCache === o1.httpCache, "stored-cache fp sets must match")
+      .as[(String, Option[Long], Option[Int], Option[String])].collect()
+      .map { case (fp, t, st, cc) =>
+        fp -> Oracle.CacheEntry(t.getOrElse(-1L), st.getOrElse(-1), cc.orNull) }
+      .toMap
+    assert(engineCache === o1.httpCache,
+      "stored-cache entries (fp, storedT, status, cc) must match")
     // fresh crawl primed with the first crawl's cache chain: hits consume no
     // politeness budget and no virtual time — byte-identical on both sides
     val (_, o2) = compare(Corpus.Small, cfg, "httpcache-primed",
@@ -236,6 +240,34 @@ class ConformanceSpec extends AnyFunSuite {
         httpcacheIgnoreHttpCodes = Seq(503)), "httpcache-ignorecodes")
     assert(o.counters.getOrElse("httpcache/store", 0L) <
       o.counters.getOrElse("httpcache/firsthand", 0L))
+  }
+
+  test("rfc2616 cache policy in the fetch chain conforms (virtual-time freshness)") {
+    import spark.implicits._
+    // Cache-Control corpus: max-age spreads, no-store/no-cache, expiry-free
+    // pages (not stored without validators), 301s (one-year fallback)
+    val spec = Corpus.Small.copy(cacheHeaders = true)
+    val cfg = CrawlConfig(maxEpochs = 8, httpcacheEnabled = true,
+      httpcachePolicy = "rfc2616")
+    val (m1, o1) = compare(spec, cfg, "rfc2616-cold")
+    // selective stores: only max-age'd / 300-301-308 responses
+    assert(o1.counters.getOrElse("httpcache/store", 0L) > 0)
+    assert(o1.counters.getOrElse("httpcache/store", 0L) <
+      o1.counters.getOrElse("httpcache/firsthand", 0L))
+    val engineCache = CrawlDriver.readHttpCache(spark, m1.httpCacheDirs)
+      .as[(String, Option[Long], Option[Int], Option[String])].collect()
+      .map { case (fp, t, st, cc) =>
+        fp -> Oracle.CacheEntry(t.getOrElse(-1L), st.getOrElse(-1), cc.orNull) }
+      .toMap
+    assert(engineCache === o1.httpCache, "stored entries must match")
+    // primed second crawl 15 virtual seconds later: short max-ages have
+    // expired (stale → re-download + re-store), long ones still hit — the
+    // freshness split at the shifted walk clock must match byte-for-byte
+    val cfg2 = cfg.copy(virtualClockStartMs = 15000)
+    val (_, o2) = compare(spec, cfg2, "rfc2616-primed",
+      cachePrimeDirs = m1.httpCacheDirs, oraclePrime = o1.httpCache)
+    assert(o2.counters.getOrElse("httpcache/hit", 0L) > 0, "fresh entries hit")
+    assert(o2.counters.getOrElse("httpcache/store", 0L) > 0, "stale re-stores")
   }
 
   test("bucket-local Bloom prescreen variant conforms byte-for-byte") {
