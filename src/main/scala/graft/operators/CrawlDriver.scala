@@ -83,15 +83,23 @@ object CrawlDriver {
       .as[CookieRow]
   }
 
-  /** HTTP-cache chain (contract 6d/6f): per fp the LATEST chain entry wins —
-    * under DummyPolicy stores are disjoint appends (store-once), under
-    * rfc2616 a stale entry's revalidation re-stores the fp with a newer
-    * storedTMs, so the merge must resolve like host_state. */
-  def readHttpCache(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+  /** HTTP-cache chain (contract 6d/6f). Under DummyPolicy stores are
+    * disjoint appends (store-once: a stored fp always hits afterwards), so
+    * the chain is a plain union — no shuffle, like the robots chain. Under
+    * rfc2616 a stale entry's revalidation RE-stores the fp with a newer
+    * storedTMs, so the read must resolve latest-wins (`latestWins = true`)
+    * like host_state. At 10^10-fetch scale the rfc2616 chain should be
+    * bucket-partitioned by fp like url_seen so this merge stays per-bucket;
+    * the dummy path already avoids it entirely. */
+  def readHttpCache(spark: SparkSession, dirs: Seq[String],
+      latestWins: Boolean = true): DataFrame = {
     import spark.implicits._
     if (dirs.isEmpty)
       spark.emptyDataset[(String, Option[Long], Option[Int], Option[String])]
         .toDF("fpHex", "storedTMs", "status", "cacheControl")
+    else if (!latestWins)
+      dirs.map(d => spark.read.schema(HttpCacheSchema).parquet(d))
+        .reduce(_.unionByName(_))
     else dirs.zipWithIndex.map { case (d, i) =>
       spark.read.schema(HttpCacheSchema).parquet(d).withColumn("chainIdx", lit(i))
     }.reduce(_.unionByName(_))
@@ -248,8 +256,13 @@ object CrawlDriver {
       val hostState = readHostState(spark, m.hostStateDirs).persist()
       val robotsCache = readRobotsCache(spark, m.robotsCacheDirs)
       val cookieJar = readCookieJar(spark, m.cookieJarDirs)
+      // dummy chains never re-store a fp → plain-union read (no merge
+      // shuffle); rfc2616 resolves latest-wins. Two joins consume the view
+      // per epoch — persist the (politeness-relevant, fp-keyed) table once.
       val httpCache =
-        if (cfg.httpcacheEnabled) readHttpCache(spark, m.httpCacheDirs) else null
+        if (!cfg.httpcacheEnabled) null
+        else readHttpCache(spark, m.httpCacheDirs,
+          latestWins = cfg.httpcachePolicy == "rfc2616").persist()
 
       // prescreen evaluation mode (engine sizing knob, ignored by the
       // oracle): broadcast while the resident filter is small — one
@@ -399,7 +412,8 @@ object CrawlDriver {
         if (r.httpCacheDelta != null) m.httpCacheDirs :+ hcDir else m.httpCacheDirs
       if (httpCacheDirs.size > 8) {
         val cDir = dataDir(root, e1, "http_cache_compact")
-        readHttpCache(spark, httpCacheDirs).coalesce(smallParts)
+        readHttpCache(spark, httpCacheDirs,
+            latestWins = cfg.httpcachePolicy == "rfc2616").coalesce(smallParts)
           .write.mode(SaveMode.Overwrite).parquet(cDir)
         httpCacheDirs = Seq(cDir)
       }
@@ -442,6 +456,7 @@ object CrawlDriver {
       Snapshot.write(root, m)
       if (bloomBc != null) bloomBc.destroy()
       hostState.unpersist(false)
+      if (httpCache != null) httpCache.unpersist(false)
       r.cleanup() // drop only this epoch's caches; the corpus stays resident
       val epochSecs = (System.nanoTime() - tEpoch) / 1e9
       epochStats += ((r.pageFetchCount, epochSecs))
