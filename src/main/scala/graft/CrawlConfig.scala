@@ -172,8 +172,11 @@ package graft
   *     like any download. `data:` bodies parse out of the URI (invalid →
   *     599 exception, counter `downloader/exception_type_count/builtins.
   *     ValueError`, NOT retried); `file:` bodies read from the filesystem
-  *     (missing → 599 exception, `.../builtins.FileNotFoundError`, retried
-  *     like a timeout — IOError is in EXCEPTIONS_TO_RETRY). Links are
+  *     (a failed read is a 599 exception carrying the OSError subclass
+  *     CPython open() would raise — `.../builtins.FileNotFoundError`,
+  *     `.../builtins.PermissionError`, `.../builtins.IsADirectoryError`,
+  *     else `.../builtins.OSError` — retried like a timeout: IOError is in
+  *     EXCEPTIONS_TO_RETRY). Links are
   *     extracted only from HTML responses (media type / filename dispatch,
   *     `responsetypes.py`); local responses carry no latency (no timeout,
   *     no AutoThrottle events), no headers and no Set-Cookie. Under 6d the

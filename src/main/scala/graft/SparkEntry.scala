@@ -139,6 +139,17 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), min("value").as("mn"), max("value").as("mx"))),
 
+    // ---- state-table delta-chain merge: latest entry per key wins (the
+    // r4 host_state/cookie/http_cache chain-read semantics, see
+    // CrawlDriver.readHostState) — max_by over the chain position, here the
+    // unique event_id as the append order; DuckDB cross-checks via arg_max
+    "q_state_chain_merge" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), col("event_id")).as("latest_type"),
+          max(col("event_id")).as("latest_id"),
+          count(lit(1)).as("n_entries"))),
+
     // ---- item_completed gather: media results back onto items (SURVEY §2.4,
     // reference MediaPipeline.item_completed) — groupBy+collect_list+join,
     // rendered to strings so DuckDB can verify the gathered order exactly
@@ -331,6 +342,8 @@ object SparkEntry {
     "q_embedding_neardup" ->
       "SELECT vec_id, nn_id FROM (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, row_number() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id != b.vec_id) WHERE rn = 1",
     "q_item_completed_gather" ->
-      "SELECT o_orderkey, count(*) AS n_items, array_to_string(list(l_partkey ORDER BY l_linenumber, l_partkey, l_suppkey), ',') AS parts FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey"
+      "SELECT o_orderkey, count(*) AS n_items, array_to_string(list(l_partkey ORDER BY l_linenumber, l_partkey, l_suppkey), ',') AS parts FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey",
+    "q_state_chain_merge" ->
+      "SELECT user_id, arg_max(event_type, event_id) AS latest_type, max(event_id) AS latest_id, count(*) AS n_entries FROM events GROUP BY user_id"
   )
 }

@@ -419,7 +419,8 @@ object Corpus {
       "data:text/plain;base65,broken", // invalid marker → ValueError
       s"file://$dir/local.html",
       s"file://$dir/note.txt",
-      s"file://$dir/missing.html") // → FileNotFoundError, retried
+      s"file://$dir/missing.html", // → FileNotFoundError, retried
+      s"file://$dir/subdir") // a directory → IsADirectoryError, retried
     urls.zipWithIndex.map { case (u, i) =>
       SeedRow(spec.seedCount.toLong + i, u, 0)
     }
@@ -442,6 +443,7 @@ object Corpus {
       html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.write(d.resolve("note.txt"),
       "just text, no links".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.createDirectories(d.resolve("subdir"))
   }
 
   // ---- canned specs -------------------------------------------------------

@@ -37,8 +37,13 @@ object FeedSpiders {
       row += field.toString; field.clear(); quoted = false
     }
     def endRow(): Unit = {
-      endField()
-      rows += row.result(); row = Vector.newBuilder[String]
+      // an entirely blank line yields an EMPTY row like CPython csv.reader
+      // ([] — not ['']), so a single-column CSV's header-length filter
+      // skips it (ADVICE r4)
+      if (sawAny || field.nonEmpty || quoted) { endField(); rows += row.result() }
+      else rows += Vector.empty
+      row = Vector.newBuilder[String]
+      field.clear(); quoted = false
       sawAny = false
     }
     while (i < text.length) {

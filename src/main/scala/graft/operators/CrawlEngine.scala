@@ -76,7 +76,10 @@ object CrawlEngine {
       imageId: Option[String], latencyMs: Option[Int],
       contentEncoding: Option[String], refererPolicy: Option[String],
       setCookie: Option[String], cacheControl: Option[String],
-      timedOut: Boolean)
+      timedOut: Boolean,
+      // Python exception class of a failed (599) fetch — the
+      // `downloader/exception_type_count/<cls>` counter key (ADVICE r4)
+      excClass: Option[String])
 
   /** Candidate row through the bucket-local prescreen. */
   final case class FwIn(fpHex: String, bucket: Int, fr: FrontierRow)
@@ -556,6 +559,9 @@ object CrawlEngine {
           coalesce($"latencyMs" >= lit(timeoutMs), lit(false)))
       .withColumn("status",
         when($"timedOut", lit(599)).otherwise(coalesce($"status", lit(404))))
+      .withColumn("excClass",
+        when($"timedOut", lit("twisted.internet.error.TimeoutError"))
+          .otherwise(lit(null).cast("string")))
     // local-scheme dispatch (contract 6e): data:/file: rows never touch the
     // corpus join — the handler runs as a pure per-row map over the
     // (politeness-bounded) fetch batch. No response headers, no latency; a
@@ -571,7 +577,8 @@ object CrawlEngine {
           LocalFetched(r.fr.url, r.fr, r.t, r.hostIdx, r.kind, r.seq, r.slot,
             r.cached, lr.status, None,
             Option(lr.body).filter(_ => lr.isHtml), None, None, None, None,
-            None, None, timedOut = lr.status == 599 && lr.retryExc)
+            None, None, timedOut = lr.status == 599 && lr.retryExc,
+            excClass = Option(lr.excClass))
         }.toDF()
       httpFetched.unionByName(localFetched)
     }).persist()
@@ -887,17 +894,27 @@ object CrawlEngine {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    // exception-class discriminator for 599 rows (contract 6e): derived in
-    // the aggregation only — the fetch-log schema (the byte-compare object)
-    // is untouched. Pure-HTTP crawls keep a constant column.
+    // scheme-kind discriminator (contract 6e: file: rows never pass the
+    // cache middleware) + the per-row exception class carried on `fetched`
+    // (ADVICE r4: the handler's actual OSError subclass, not a per-scheme
+    // constant). The fetch-log schema (the byte-compare object) is
+    // untouched; pure-HTTP crawls keep constant columns.
     val excKindCol =
       if (!localOn) lit("h")
-      else when($"url".startsWith("data:"), lit("d"))
-        .when($"url".startsWith("file:"), lit("f")).otherwise(lit("h"))
+      else when($"fr.url".startsWith("data:"), lit("d"))
+        .when($"fr.url".startsWith("file:"), lit("f")).otherwise(lit("h"))
     val statusCountsF = Future {
-      fetchLog.groupBy($"status", $"isRobots", $"cached", excKindCol.as("ek"))
+      fetched
+        .groupBy($"status", $"cached", excKindCol.as("ek"), $"excClass")
         .count()
-        .as[(Int, Boolean, Boolean, String, Long)].collect()
+        .select($"status", lit(false).as("isRobots"), $"cached", $"ek",
+          $"excClass", $"count")
+        .unionByName(robotsFetchLog
+          .groupBy($"status", $"cached").count()
+          .select($"status", lit(true).as("isRobots"), $"cached",
+            lit("h").as("ek"), lit(null).cast("string").as("excClass"),
+            $"count"))
+        .as[(Int, Boolean, Boolean, String, Option[String], Long)].collect()
     }
     // survivors.count() materializes the expansion chain, firing obsCand
     val nSurvivors = survivors.count()
@@ -946,14 +963,11 @@ object CrawlEngine {
     // contract 6c/6e: a non-robots 599 is a download exception, not a
     // response (robots 599 = robots fetch error, a response status) — the
     // class depends on the scheme: HTTP timeout, bad data: URI, missing file
-    for ((status, isRobots, _, ek, cnt) <- statusCounts) {
+    for ((status, isRobots, _, _, excCls, cnt) <- statusCounts) {
       if (!isRobots && status == 599) {
         counters("downloader/exception_count") += cnt
-        val cls = ek match {
-          case "d" => "builtins.ValueError"
-          case "f" => "builtins.FileNotFoundError"
-          case _ => "twisted.internet.error.TimeoutError"
-        }
+        // the handler's actual exception class rides on `fetched` (6c/6e)
+        val cls = excCls.getOrElse("twisted.internet.error.TimeoutError")
         counters(s"downloader/exception_type_count/$cls") += cnt
       } else counters(s"downloader/response_status_count/$status") += cnt
     }
@@ -968,16 +982,16 @@ object CrawlEngine {
       // (DummyPolicy.should_cache_response)
       val ignoreCodes = cfg.httpcacheIgnoreHttpCodes.toSet
       counters("httpcache/hit") = statusCounts.collect {
-        case (_, _, true, _, cnt) => cnt }.sum
+        case (_, _, true, _, _, cnt) => cnt }.sum
       counters("httpcache/miss") = statusCounts.collect {
-        case (_, _, false, ek, cnt) if ek != "f" => cnt }.sum
+        case (_, _, false, ek, _, cnt) if ek != "f" => cnt }.sum
       counters("httpcache/firsthand") = statusCounts.collect {
-        case (st, _, false, ek, cnt) if st != 599 && ek != "f" => cnt }.sum
+        case (st, _, false, ek, _, cnt) if st != 599 && ek != "f" => cnt }.sum
       counters("httpcache/store") =
         if (cfg.httpcachePolicy == "rfc2616")
           httpCacheDelta.count() // politeness-bounded rows off cached `fetched`
         else statusCounts.collect {
-          case (st, _, false, ek, cnt)
+          case (st, _, false, ek, _, cnt)
             if st != 599 && ek != "f" && !ignoreCodes.contains(st) => cnt }.sum
     }
     counters("retry/count") = nRetries

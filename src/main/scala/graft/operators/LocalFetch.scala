@@ -37,18 +37,23 @@ object LocalFetch {
 
   /** Fetch-chain response for a local-scheme row: `status` 200 with a body,
     * or 599 = the handler raised (exception, no response object). `isHtml`
-    * gates link extraction; `retryExc` marks a retryable exception class. */
+    * gates link extraction; `retryExc` marks a retryable exception class;
+    * `excClass` is the Python exception class the reference would raise
+    * (the `downloader/exception_type_count/<cls>` counter key). */
   final case class LocalResponse(
       status: Int,
       body: Array[Byte],
       isHtml: Boolean,
-      retryExc: Boolean)
+      retryExc: Boolean,
+      excClass: String = null)
 
   def isLocal(url: String): Boolean =
     url.startsWith("data:") || url.startsWith("file:")
 
   /** Exception-class counter key for a failed local fetch
-    * (`downloader/exception_type_count/<cls>` — stats.py naming). */
+    * (`downloader/exception_type_count/<cls>` — stats.py naming). The
+    * common-case classes; [[fetch]] discriminates the actual OSError
+    * subclass per failure (ADVICE r4). */
   def excType(url: String): String =
     if (url.startsWith("data:")) "builtins.ValueError"
     else "builtins.FileNotFoundError"
@@ -73,7 +78,8 @@ object LocalFetch {
         case Right(p) =>
           LocalResponse(200, p.data, p.mediaType == "text/html", retryExc = false)
         case Left(_) =>
-          LocalResponse(599, null, isHtml = false, retryExc = false)
+          LocalResponse(599, null, isHtml = false, retryExc = false,
+            excClass = "builtins.ValueError")
       }
     } else {
       val path = fileUriToPath(url)
@@ -81,8 +87,18 @@ object LocalFetch {
         val body = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
         LocalResponse(200, body, isHtmlPath(path), retryExc = false)
       } catch {
-        case _: java.io.IOException =>
-          LocalResponse(599, null, isHtml = false, retryExc = true)
+        // discriminate the OSError subclass CPython's open() would raise
+        // (ADVICE r4); all are IOError subclasses → retried (retry.py
+        // EXCEPTIONS_TO_RETRY)
+        case e: java.io.IOException =>
+          val cls = e match {
+            case _: java.nio.file.NoSuchFileException => "builtins.FileNotFoundError"
+            case _: java.nio.file.AccessDeniedException => "builtins.PermissionError"
+            case _ if java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get(path)) => "builtins.IsADirectoryError"
+            case _ => "builtins.OSError"
+          }
+          LocalResponse(599, null, isHtml = false, retryExc = true, excClass = cls)
       }
     }
   }

@@ -306,7 +306,7 @@ object Oracle {
           if (timedOut || localNoRetryExc) {
             inc("downloader/exception_count")
             inc("downloader/exception_type_count/" +
-              (if (isLocalRow) graft.operators.LocalFetch.excType(row.url)
+              (if (isLocalRow) localResp.get.excClass // handler's class (6e)
                else "twisted.internet.error.TimeoutError"))
           } else inc(s"downloader/response_status_count/$status")
           if (cfg.httpcacheEnabled && !row.url.startsWith("file:")) {

@@ -60,6 +60,44 @@ object DataUri {
     out.toByteArray
   }
 
+  /** CPython `binascii.a2b_base64` strictness over an alphabet-filtered
+    * payload (ADVICE r4: java.util.Base64 is laxer on both sides — it
+    * accepts missing padding where Python raises Incorrect padding, and
+    * rejects data after padding where Python stops and ignores it).
+    * Empirically pinned rules (see DataUriSpec goldens):
+    *  - '=' with an empty current quad is discarded ('=QQQQ' → b'A\x04\x10')
+    *  - '=' after 1 data char in the quad is an error (b64 can't encode it)
+    *  - '=' after 2 data chars requires an immediate second '='
+    *    ('QQ==' ok, 'QQ='/'QQ=Q' → Incorrect padding); decode then STOPS —
+    *    later chars are ignored ('QQ==QQ' → b'A')
+    *  - '=' after 3 data chars completes the quad and stops ('QQA=QQ==' →
+    *    b'A\x00')
+    *  - input exhausted mid-quad → Incorrect padding ('SGVsbG8' errors)
+    * Returns the correctly-padded prefix java.util.Base64 can decode. */
+  private def normalizeB64(filtered: String): Either[String, String] = {
+    val sb = new StringBuilder
+    var p = 0 // data chars in the current quad
+    var i = 0
+    val n = filtered.length
+    while (i < n) {
+      val c = filtered.charAt(i)
+      if (c != '=') { sb.append(c); p = (p + 1) % 4; i += 1 }
+      else if (p == 0) i += 1 // stray '=' on a quad boundary: discarded
+      else if (p == 1) return Left("Invalid base64-encoded string: number " +
+        "of data characters cannot be 1 more than a multiple of 4")
+      else if (p == 2) {
+        if (i + 1 < n && filtered.charAt(i + 1) == '=') {
+          sb.append("==")
+          return Right(sb.toString) // padding terminates the decode
+        } else return Left("Incorrect padding")
+      } else { // p == 3
+        sb.append('=')
+        return Right(sb.toString)
+      }
+    }
+    if (p != 0) Left("Incorrect padding") else Right(sb.toString)
+  }
+
   /** Parse a (request-sanitized) data URI. Left = the ValueError message the
     * reference handler would raise (an unretried download exception). */
   def parse(uri: String): Either[String, Parsed] = {
@@ -104,10 +142,15 @@ object DataUri {
       val filtered = payload.filter(c =>
         (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
           (c >= '0' && c <= '9') || c == '+' || c == '/' || c == '=')
-      try Right(Parsed(mediaType, params,
-        java.util.Base64.getDecoder.decode(filtered)))
-      catch {
-        case _: IllegalArgumentException => Left("Invalid base64-encoded string")
+      normalizeB64(filtered) match {
+        case Left(err) => Left(err)
+        case Right(norm) =>
+          try Right(Parsed(mediaType, params,
+            java.util.Base64.getDecoder.decode(norm)))
+          catch {
+            case _: IllegalArgumentException =>
+              Left("Invalid base64-encoded string")
+          }
       }
     } else if (marker.isEmpty) {
       Right(Parsed(mediaType, params,

@@ -211,6 +211,10 @@ class ConformanceSpec extends AnyFunSuite {
     // missing.html: first fetch + retryTimes retries, all FileNotFoundError
     assert(o.counters.getOrElse(
       "downloader/exception_type_count/builtins.FileNotFoundError", 0L) === 3L)
+    // subdir: a directory read → IsADirectoryError, retried (ADVICE r4:
+    // the handler discriminates the OSError subclass)
+    assert(o.counters.getOrElse(
+      "downloader/exception_type_count/builtins.IsADirectoryError", 0L) === 3L)
     assert(m.counters === o.counters)
   }
 

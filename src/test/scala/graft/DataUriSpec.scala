@@ -64,6 +64,29 @@ class DataUriSpec extends AnyFunSuite {
     assert(DataUri.parse("notdata:,x").isLeft)
   }
 
+  test("base64 strictness matches CPython b64decode (ADVICE r4 goldens)") {
+    def b64(payload: String): Either[String, Seq[Byte]] =
+      DataUri.parse(s"data:text/plain;base64,$payload").map(_.data.toSeq)
+    // unpadded input: Python raises Incorrect padding → handler ValueError
+    assert(b64("SGVsbG8").isLeft)
+    // data after completed padding is IGNORED, not an error
+    assert(b64("QQ%3D%3DQQ") === Right(Seq[Byte]('A')))
+    assert(b64("QQ%3D%3DQQQQ") === Right(Seq[Byte]('A')))
+    // one '=' after 2 data chars without an immediate second '=' → error
+    assert(b64("QQ%3D").isLeft)
+    assert(b64("QQ%3DQ").isLeft)
+    // '=' on a quad boundary is discarded (CPython a2b_base64)
+    assert(b64("%3DQQQQ") === Right(Seq[Byte]('A', 0x04, 0x10)))
+    assert(b64("QQQQ%3D") === Right(Seq[Byte]('A', 0x04, 0x10)))
+    // '=' after 3 data chars completes the quad and stops
+    assert(b64("QQA%3DQQ%3D%3D") === Right(Seq[Byte]('A', 0x00)))
+    // 1 data char can never be padded into a byte
+    assert(b64("A%3D%3D%3D").isLeft)
+    // non-alphabet chars are discarded BEFORE the padding check
+    assert(b64("SGV%20sbG8%21sIHdvcmxkLg%3D%3D") ===
+      Right("Hello, world.".getBytes("US-ASCII").toSeq))
+  }
+
   test("urlkit survives data:/file: URLs (sanitize, fingerprint, host)") {
     val sanitized = UrlKit.safeUrlString(
       """data:text/html,<a href="http://h1.test/p/1">one</a>""")
@@ -89,8 +112,13 @@ class DataUriSpec extends AnyFunSuite {
     assert(new String(ok.body, "UTF-8").contains("h.test"))
     val miss = LocalFetch.fetch(s"file://$d/gone.html")
     assert(miss.status === 599 && miss.retryExc)
+    assert(miss.excClass === "builtins.FileNotFoundError")
     assert(LocalFetch.excType(s"file://$d/gone.html") ===
       "builtins.FileNotFoundError")
+    // a directory: CPython open() raises IsADirectoryError (ADVICE r4)
+    val dirResp = LocalFetch.fetch(s"file://$d")
+    assert(dirResp.status === 599 && dirResp.retryExc)
+    assert(dirResp.excClass === "builtins.IsADirectoryError")
     val bad = LocalFetch.fetch("data:text/plain;base65,xx")
     assert(bad.status === 599 && !bad.retryExc)
     assert(LocalFetch.excType("data:x") === "builtins.ValueError")

@@ -76,6 +76,17 @@ class FeedSpidersSpec extends AnyFunSuite {
         "custom" -> Nil)))
   }
 
+  test("blank lines yield [] like csv.reader; single-column CSV skips them (ADVICE r4)") {
+    // CPython: csv.reader("a\n\nb\n,\n\n") → [['a'], [], ['b'], ['',''], []]
+    // — blank lines yield [] and are dropped by the 1-column header filter,
+    // while the ','-only line still yields ['','']
+    assert(FeedSpiders.csvRows("a\n\nb\n,\n\n".getBytes("UTF-8"),
+      headers = Some(Seq("h"))) === Seq(Map("h" -> "a"), Map("h" -> "b")))
+    // single-column body: the blank interior line must NOT produce a row
+    assert(FeedSpiders.csvRows("h\nx\n\ny\n".getBytes("UTF-8")) ===
+      Seq(Map("h" -> "x"), Map("h" -> "y")))
+  }
+
   test("itertag matching is namespace-exact; entities decode in text") {
     val body =
       ("""<feed xmlns="http://www.w3.org/2005/Atom"><entry><title>a &amp; b</title></entry></feed>""")
