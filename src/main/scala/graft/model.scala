@@ -138,4 +138,17 @@ object Model {
     val h = graft.urlkit.UrlKit.fpHash64(fp)
     (((h % NumBuckets) + NumBuckets) % NumBuckets).toInt
   }
+
+  /** [[bucketOf]] from a hex-encoded fingerprint (either case) — the
+    * http-cache chain stores lowercase fpHex, not bytes. */
+  def bucketOfHex(fpHex: String): Int = {
+    val bytes = new Array[Byte](fpHex.length / 2)
+    var i = 0
+    while (i < bytes.length) {
+      bytes(i) = ((Character.digit(fpHex.charAt(2 * i), 16) << 4) |
+        Character.digit(fpHex.charAt(2 * i + 1), 16)).toByte
+      i += 1
+    }
+    bucketOf(bytes)
+  }
 }

@@ -239,6 +239,35 @@ object CrawlDriver {
         new java.io.File(m.bloomPath, "shard-000.bloom").exists()) m.bloomPath
       else ""
 
+    // HTTP-cache-fp Bloom shards (round-4 verdict #1): with the cache ON,
+    // per-epoch cache-membership resolution probes these shards first so
+    // only maybe-cached frontier rows pay the exact join — O(cached slice),
+    // not O(frontier) — and the per-slot cached counts bound the dequeue
+    // admit (CrawlEngine.cacheAdmit). Advisory like the url_seen prescreen
+    // (no false negatives ⇒ exactness from the join); rebuilt from the
+    // chain at run start (covers resume AND cachePrimeDirs), grown per
+    // bucket from per-epoch delta shards like the seen filter. At cache
+    // sizes where broadcasting the shards would hurt (≫ bloomLocalMinBytes)
+    // the same bucket-local shard-file layout BloomShards.save provides is
+    // the escape hatch — not wired here because the probe would then need a
+    // frontier exchange by fp bucket, which only pays off once the cache
+    // rivals the frontier in size.
+    val cacheBloomUdfBucket = udf((h: String) => Model.bucketOfHex(h))
+    var cacheShards: graft.plans.BloomShards = null
+    if (cfg.httpcacheEnabled) {
+      cacheShards = BloomShards.create(bloomItems, bloomFpp)
+      if (m.httpCacheDirs.nonEmpty) {
+        val chain = readHttpCache(spark, m.httpCacheDirs, latestWins = false)
+          .select(col("fpHex"))
+          .withColumn("bucket", cacheBloomUdfBucket(col("fpHex")))
+        val cnts = chain.groupBy("bucket").count().as[(Int, Long)].collect().toMap
+        if (cnts.nonEmpty)
+          BloomShards.buildShards(spark, chain,
+            b => BloomShards.grownCapacity(cnts.getOrElse(b, 0L)), bloomFpp)
+            .foreach(cacheShards.replace)
+      }
+    }
+
     while (m.frontierCount > 0 && m.snapshotId < maxEpochs &&
         !(cfg.closespiderPageCount > 0 && m.pageFetches >= cfg.closespiderPageCount)) {
       val epoch = m.snapshotId
@@ -284,10 +313,13 @@ object CrawlDriver {
           bloomBc = spark.sparkContext.broadcast(shards)
           CrawlEngine.BroadcastShards(bloomBc)
         }
+      val cacheBloomBc =
+        if (cacheShards == null) None
+        else Some(spark.sparkContext.broadcast(cacheShards))
       val r = CrawlEngine.runEpoch(spark, cfg, epoch, m.nextFetchSeq,
         frontier, urlSeen, hostState, robotsCache, cookieJar, pages, robotsCorpus,
         dns, images, withMedia, Some(bloomMode), frontierCountHint = m.frontierCount,
-        httpCache = httpCache)
+        httpCache = httpCache, cacheBloom = cacheBloomBc)
 
       val timing = sys.env.contains("GRAFT_TIMING")
       var tW = System.nanoTime()
@@ -417,6 +449,30 @@ object CrawlDriver {
           .write.mode(SaveMode.Overwrite).parquet(cDir)
         httpCacheDirs = Seq(cDir)
       }
+      // cache-fp Bloom upkeep (mirrors the seen-shard flow): merge this
+      // epoch's store delta (politeness-bounded) at resident capacities;
+      // rebuild any saturated bucket from the chain (membership only —
+      // plain-union read; rfc2616 re-stores may double-count an fp, which
+      // only triggers a rebuild early, never a false negative)
+      if (cacheShards != null && r.httpCacheDelta != null) {
+        val deltaDf = spark.read.schema(HttpCacheSchema).parquet(hcDir)
+          .select(col("fpHex"))
+          .withColumn("bucket", cacheBloomUdfBucket(col("fpHex")))
+        val caps = cacheShards.capacities
+        BloomShards.buildShards(spark, deltaDf, b => caps(b), bloomFpp)
+          .foreach(cacheShards.merge)
+        val sat = cacheShards.saturatedBuckets
+        if (sat.nonEmpty) {
+          val newCaps = sat.map(b =>
+            b -> BloomShards.grownCapacity(cacheShards.counts(b))).toMap
+          BloomShards.buildShards(spark,
+            readHttpCache(spark, httpCacheDirs, latestWins = false)
+              .select(col("fpHex"))
+              .withColumn("bucket", cacheBloomUdfBucket(col("fpHex")))
+              .filter(col("bucket").isin(sat: _*)),
+            newCaps, bloomFpp).foreach(cacheShards.replace)
+        }
+      }
       var cookieJarDirs = m.cookieJarDirs :+ cjDir
       if (cookieJarDirs.size > 8) {
         val cDir = dataDir(root, e1, "cookie_jar_compact")
@@ -455,6 +511,7 @@ object CrawlDriver {
         httpCacheDirs = httpCacheDirs)
       Snapshot.write(root, m)
       if (bloomBc != null) bloomBc.destroy()
+      cacheBloomBc.foreach(_.destroy())
       hostState.unpersist(false)
       if (httpCache != null) httpCache.unpersist(false)
       r.cleanup() // drop only this epoch's caches; the corpus stays resident

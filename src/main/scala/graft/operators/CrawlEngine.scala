@@ -43,7 +43,11 @@ object CrawlEngine {
   final case class HostMeta(
       host: String, slot: String, lastT: Long, budget: Int, delay: Long,
       robotsKnown: Boolean, knownBody: Array[Byte], knownOk: Boolean,
-      corpusBody: Array[Byte])
+      corpusBody: Array[Byte],
+      // rows of this slot whose fp IS in the epoch-start HTTP cache (exact
+      // membership, pre-freshness) — the bounded dequeue admit input
+      // ([[cacheAdmit]]); 0 when the cache is off
+      cachedCnt: Long = 0L)
   final case class Enriched(fr: FrontierRow, meta: HostMeta,
       cached: Boolean = false, robotsCached: Boolean = false,
       // stored cache entry under the rfc2616 policy (contract 6f): the walk
@@ -112,6 +116,21 @@ object CrawlEngine {
       // null when the cache is off
       httpCacheDelta: DataFrame,
       cleanup: () => Unit)
+
+  /** Bounded dequeue admit with the HTTP cache ON (round-4 verdict #1 —
+    * the cache-off path admits exactly `budget`). The walk of contract
+    * step 2 processes, per slot, at most `budget` charged rows (every
+    * non-cached fetch/robots/forbidden unit decrements the budget) plus at
+    * most `cachedRows` budget-free cache hits (a hit requires exact
+    * epoch-start cache membership, which `cachedRows` counts; rfc2616
+    * freshness only shrinks the hit set). The walk then stops at the first
+    * uncharged non-cached row — position ≤ budget + cachedRows + 1 in the
+    * slot's dequeue order — so a top-(budget+cachedRows+1) priority queue
+    * provably contains every processed row AND the stop row; everything
+    * evicted is Kept, exactly what the full walk would do with it. Executor
+    * memory per slot is O(budget + slot's cached rows), never O(slot). */
+  def cacheAdmit(budget: Int, cachedRows: Long): Int =
+    math.min(budget.toLong + math.max(cachedRows, 0L) + 1L, Int.MaxValue.toLong).toInt
 
   /** The dequeue comparator of the crawl contract (CrawlConfig step 2). */
   def dequeueLt(cfg: CrawlConfig)(a: FrontierRow, b: FrontierRow): Boolean = {
@@ -226,7 +245,13 @@ object CrawlEngine {
       frontierCountHint: Long = Long.MaxValue,
       // stored-response fp table (column fpHex, lowercase) — contract 6d;
       // null when httpcacheEnabled is off
-      httpCache: DataFrame = null): EpochResult = {
+      httpCache: DataFrame = null,
+      // resident Bloom shards over the cache fps (round-4 verdict #1):
+      // frontier rows the filter rules out never join the cache table —
+      // membership resolution costs O(maybe rows), not O(frontier). None =
+      // every row joins (exact, the small-scale / direct-caller fallback).
+      cacheBloom: Option[org.apache.spark.broadcast.Broadcast[
+        graft.plans.BloomShards]] = None): EpochResult = {
     import spark.implicits._
 
     val timing = sys.env.contains("GRAFT_TIMING")
@@ -258,6 +283,12 @@ object CrawlEngine {
     // epoch start — the row's own fp, and the fp of the robots URL the row
     // would trigger (derived from ITS scheme, mirroring the oracle's
     // triggering-request rule). Cache off ⇒ constant false, no joins.
+    // Scale shape (round-4 verdict #1): robots flags resolve per DISTINCT
+    // (host, scheme) — O(hosts) SHA-1s and join rows, never per frontier
+    // row; row flags pass the cache-fp Bloom first so only MAYBE rows pay
+    // the exact join (≈ the genuinely-cached slice + fpp noise — work
+    // proportional to actual cache hits, not frontier size).
+    var maybeJoinedHandle: DataFrame = null
     val withCacheFlags =
       if (!cfg.httpcacheEnabled || httpCache == null)
         withSlot.withColumn("cached", lit(false))
@@ -266,28 +297,62 @@ object CrawlEngine {
           .withColumn("ceStatus", lit(null).cast("int"))
           .withColumn("ceCC", lit(null).cast("string"))
       else {
-        val robotsFpHexUdf = udf((url: String, host: String) => {
+        val schemeUdf = udf((url: String) => {
           val i = url.indexOf("://")
-          val scheme = if (i < 0) "" else url.substring(0, i)
-          UrlKit.toHex(UrlKit.fingerprint(s"$scheme://$host/robots.txt"))
+          if (i < 0) "" else url.substring(0, i)
         })
-        withSlot
+        val robotsFpHexUdf = udf((scheme: String, host: String) =>
+          UrlKit.toHex(UrlKit.fingerprint(s"$scheme://$host/robots.txt")))
+        // one map-side-combined distinct over small (host, scheme) pairs
+        val robotsFlags = withSlot
+          .select($"host", schemeUdf($"url").as("rscheme")).distinct()
+          .withColumn("robotsFpHex", robotsFpHexUdf($"rscheme", $"host"))
+          .join(httpCache.select($"fpHex".as("robotsFpHex"),
+            lit(true).as("robotsCached")), Seq("robotsFpHex"), "left")
+          .select($"host", $"rscheme",
+            coalesce($"robotsCached", lit(false)).as("robotsCached"))
+        val maybeCol = cacheBloom match {
+          case Some(bc) =>
+            udf((fp: Array[Byte], fpHex: String) =>
+              bc.value.mightContain(Model.bucketOf(fp), fpHex))
+              .apply($"fp", $"rowFpHex")
+          case None => lit(true) // no shards: every row joins (still exact)
+        }
+        val withMaybe = withSlot
           .withColumn("rowFpHex", lower(hex($"fp")))
-          .withColumn("robotsFpHex", robotsFpHexUdf($"url", $"host"))
+          .withColumn("rscheme", schemeUdf($"url"))
+          .withColumn("maybeCached", maybeCol)
+        val notCached = withMaybe.filter(!$"maybeCached")
+          .withColumn("cached", lit(false))
+          .withColumn("ceStoredT", lit(null).cast("long"))
+          .withColumn("ceStatus", lit(null).cast("int"))
+          .withColumn("ceCC", lit(null).cast("string"))
+        // the maybe branch is small — persist it: both the union below and
+        // the per-slot cached-count aggregation read it
+        val maybeJoined = withMaybe.filter($"maybeCached")
           .join(httpCache.select($"fpHex".as("rowFpHex"),
             lit(true).as("cached"), $"storedTMs".as("ceStoredT"),
             $"status".as("ceStatus"), $"cacheControl".as("ceCC")),
             Seq("rowFpHex"), "left")
-          .join(httpCache.select($"fpHex".as("robotsFpHex"),
-            lit(true).as("robotsCached")), Seq("robotsFpHex"), "left")
           // file: responses are never cached (HTTPCACHE_IGNORE_SCHEMES
           // default, contract 6e) — a file fp can't be stored, but keep the
           // exclusion explicit
           .withColumn("cached",
             coalesce($"cached", lit(false)) && !$"url".startsWith("file:"))
+          .persist()
+        maybeJoinedHandle = maybeJoined
+        maybeJoined.unionByName(notCached)
+          .join(robotsFlags, Seq("host", "rscheme"), "left")
           .withColumn("robotsCached", coalesce($"robotsCached", lit(false)))
-          .drop("rowFpHex", "robotsFpHex")
+          .drop("rowFpHex", "rscheme", "maybeCached")
       }
+    // per-slot cached-membership counts (off the persisted maybe branch —
+    // the non-maybe branch is cached=false by construction): the bounded
+    // dequeue admit's cachedCnt input ([[cacheAdmit]])
+    val cachedCnts =
+      if (maybeJoinedHandle == null) null
+      else maybeJoinedHandle.groupBy($"slot")
+        .agg(sum(when($"cached", 1L).otherwise(0L)).as("slotCachedCnt"))
 
     // per-slot state join + epoch delay/cap resolution (contract step 1a):
     // the slot's delay for this epoch — DOWNLOAD_SLOTS override, stored
@@ -295,7 +360,10 @@ object CrawlEngine {
     // hostState is tiny next to the frontier (broadcast under AQE). With no
     // overrides and AutoThrottle off (the common broad-crawl config) both
     // columns are CONSTANTS — no per-frontier-row UDF calls.
-    val joinedState = withCacheFlags
+    val joinedState = (if (cachedCnts == null)
+        withCacheFlags.withColumn("slotCachedCnt", lit(0L))
+      else withCacheFlags.join(cachedCnts, Seq("slot"), "left")
+        .withColumn("slotCachedCnt", coalesce($"slotCachedCnt", lit(0L))))
       .join(hostState.toDF().select($"host".as("slot"), $"lastTMs".as("lastT"),
         $"delayMs".as("storedDelay")), Seq("slot"), "left")
     val withState =
@@ -329,7 +397,7 @@ object CrawlEngine {
           $"slotDelay".as("delay"),
           coalesce($"robotsKnown", lit(false)).as("robotsKnown"),
           $"knownBody", coalesce($"knownOk", lit(false)).as("knownOk"),
-          $"corpusBody").as("meta"),
+          $"corpusBody", $"slotCachedCnt".as("cachedCnt")).as("meta"),
         $"cached", $"robotsCached", $"ceStoredT", $"ceStatus", $"ceCC")
       .as[Enriched]
 
@@ -361,20 +429,20 @@ object CrawlEngine {
     val deqOut0: Dataset[DeqOut] = enriched
       .repartition($"meta.slot")
       .mapPartitions { it =>
-        final class SlotAcc(var lastT: Long, val budget: Int, val delay: Long) {
+        final class SlotAcc(var lastT: Long, val budget: Int, val delay: Long,
+            val cachedCnt: Long) {
           // start SMALL and grow: pre-allocating `budget` slots (e.g. 5000)
           // per PQ is O(slots × budget) memory — at 10^6 one-page hosts that
           // is gigabytes for queues holding one row each.
-          // With the HTTP cache on, the processable prefix is NOT
-          // budget-bounded (cache hits charge nothing — contract 6d) and
-          // under streaming arrival no incremental bound is safe: a miss
-          // evicted early would re-qualify when later cached arrivals widen
-          // the bound, and its absence lets the walk run past the true
-          // stopping row. So the cache path holds the slot's full queue
-          // (memory O(slot rows)) — the walk then reproduces the oracle's
-          // stop rule exactly. The bounded-PQ optimization stays for the
-          // cache-off path (the broad-crawl/bench configuration).
-          def admit: Int = if (cacheOn) Int.MaxValue else budget
+          // With the HTTP cache on, cache hits charge no budget (contract
+          // 6d), so the processable prefix is budget + this slot's cached
+          // rows (+1 for the stop row) — the PROVEN bound [[cacheAdmit]]
+          // documents. The per-slot cached-row count is aggregated before
+          // the dequeue, so the admit is FIXED per slot: no unsafe
+          // incremental widening under streaming arrival, and executor
+          // memory is O(budget + cached rows), never O(slot rows)
+          // (round-4 verdict #1).
+          def admit: Int = if (cacheOn) cacheAdmit(budget, cachedCnt) else budget
           val pq = new java.util.PriorityQueue[Enriched](
             math.min(budget, 16) + 1,
             (x: Enriched, y: Enriched) => if (lt(x.fr, y.fr)) 1 else -1) // head = worst
@@ -383,7 +451,8 @@ object CrawlEngine {
         val keptIter: Iterator[DeqOut] = it.flatMap { e =>
           var st = states.get(e.meta.slot)
           if (st == null) {
-            st = new SlotAcc(e.meta.lastT, e.meta.budget, e.meta.delay)
+            st = new SlotAcc(e.meta.lastT, e.meta.budget, e.meta.delay,
+              e.meta.cachedCnt)
             states.put(e.meta.slot, st)
           }
           if (st.admit == 0) Iterator.single(DeqOut(KKept, e.fr, 0L, -1, e.meta.slot))
@@ -1128,6 +1197,7 @@ object CrawlEngine {
       candsRaw.unpersist(false)
       cands.unpersist(false)
       if (flaggedHandle != null) flaggedHandle.unpersist(false)
+      if (maybeJoinedHandle != null) maybeJoinedHandle.unpersist(false)
       survivors.unpersist(false)
       ()
     }

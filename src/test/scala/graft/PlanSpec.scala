@@ -117,6 +117,66 @@ class PlanSpec extends AnyFunSuite {
     if (handle != null) handle.unpersist()
   }
 
+  test("httpcache admit bound is finite and monotone (round-4 verdict #1)") {
+    import graft.operators.CrawlEngine.cacheAdmit
+    assert(cacheAdmit(10, 0) === 11) // budget + stop row
+    assert(cacheAdmit(10, 5) === 16) // + the slot's cached rows
+    assert(cacheAdmit(0, 0) === 1)
+    assert(cacheAdmit(Int.MaxValue, Long.MaxValue) === Int.MaxValue) // clamps
+    for (c <- 0L until 5L)
+      assert(cacheAdmit(3, c) < cacheAdmit(3, c + 1))
+  }
+
+  test("httpcache membership resolution is Bloom-gated (non-maybe rows never join)") {
+    import spark.implicits._
+    import graft._
+    import graft.operators.CrawlEngine
+    import graft.urlkit.UrlKit
+    // 5 frontier rows on one host; the cache table holds fps of rows 1 and 3
+    val urls = (0 until 5).map(j => s"http://h0.test/p/$j")
+    val frontier = urls.zipWithIndex.map { case (u, i) =>
+      FrontierRow(u, UrlKit.fingerprint(u), "h0.test", 0, 0, isStart = true,
+        -1, i.toLong, 0, 0, 0, dontFilter = false)
+    }.toDS()
+    val pages = urls.map(u => PageRow(u, 200, null,
+      "<html></html>".getBytes("UTF-8"), null, 10)).toDS().toDF()
+      .withColumnRenamed("url", "canonical")
+    val httpCache = Seq(1, 3)
+      .map(j => (UrlKit.toHex(UrlKit.fingerprint(urls(j))), 0L, 200,
+        Option.empty[String]))
+      .toDF("fpHex", "storedTMs", "status", "cacheControl")
+    val cfg = CrawlConfig(httpcacheEnabled = true, robotsObey = false)
+    def run(bloom: Option[org.apache.spark.broadcast.Broadcast[
+        graft.plans.BloomShards]]): Map[String, Long] = {
+      val r = CrawlEngine.runEpoch(spark, cfg, 0, 0L, frontier,
+        Seq.empty[String].toDF("fpHex"),
+        spark.emptyDataset[HostState],
+        spark.emptyDataset[CrawlEngine.RobotsCacheRow],
+        spark.emptyDataset[CookieRow],
+        pages, Seq.empty[(String, Array[Byte])].toDF("host", "body"),
+        null, null, withMedia = false, httpCache = httpCache,
+        cacheBloom = bloom)
+      val c = r.counters
+      r.cleanup()
+      c
+    }
+    // an EMPTY bloom says "definitely not cached" for every row: the exact
+    // join must never see them — no hits even though the table has the fps.
+    // (A real filter has no false negatives, so this path can only fire for
+    // genuinely-uncached rows; the test proves the join is bloom-gated.)
+    val emptyBloom = spark.sparkContext.broadcast(
+      graft.plans.BloomShards.create(1024, 0.03))
+    val without = run(Some(emptyBloom))
+    assert(without.getOrElse("httpcache/hit", 0L) === 0L,
+      s"empty bloom must suppress the exact join: $without")
+    assert(without.getOrElse("httpcache/miss", 0L) === 5L)
+    // no bloom supplied: every row joins → the 2 cached fps hit
+    val withJoin = run(None)
+    assert(withJoin.getOrElse("httpcache/hit", 0L) === 2L, s"$withJoin")
+    assert(withJoin.getOrElse("httpcache/miss", 0L) === 3L)
+    emptyBloom.destroy()
+  }
+
   test("embedding near-dup argmax is an aggregate, not a window over the join") {
     val p = plan("q_embedding_neardup")
     assert(!p.contains("Window"),
