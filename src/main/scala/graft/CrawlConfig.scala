@@ -17,8 +17,9 @@ package graft
   *     delay and virtual-time sequence. Hosts missing from the DNS table
   *     fall back to host keying (`dnscache.get(host, host)`).
   *     Per-slot fetch budget per epoch:
-  *     `budget = max(1, epochMs / max(delayMs,1))` capped at
-  *     `maxPerHostPerEpoch`.
+  *     `budget = max(1, (epochMs / max(delayMs,1)) * concurrency)` capped
+  *     at `maxPerHostPerEpoch` — the slot serves `concurrency` transfers
+  *     per delay tick (step 4).
   *  1a. Per-slot delay and cap (DOWNLOAD_SLOTS + AutoThrottle,
   *     `scrapy/core/downloader/__init__.py:131-166`,
   *     `scrapy/extensions/throttle.py:62-140`): each slot's delay for the
@@ -77,10 +78,19 @@ package graft
   *     `robotstxt/forbidden`; their fp stays in url_seen — the reference
   *     inserts into url_seen at schedule time, before robots runs,
   *     SURVEY.md §2.7). They do not consume a politeness slot.
-  *  4. Virtual fetch times per SLOT: t_0 = max(lastT_s + delay_s, epochStart),
-  *     t_{i+1} = t_i + delay_s; lastT_s := t_last (delay_s from step 1a — equal
-  *     to delayMs when no override/autothrottle applies). A pending robots
-  *     fetch takes its host's first position in the slot's sequence.
+  *  4. Virtual fetch times per SLOT: charged (non-cached) departure i of
+  *     the epoch leaves at
+  *       t_i = max(lastT_s + delay_s, epochStart) + floor(i / concurrency) * delay_s
+  *     — `concurrency` transfers per delay tick, the BSP analogue of the
+  *     reference's per-slot transfer slots (CONCURRENT_REQUESTS_PER_DOMAIN,
+  *     `scrapy/core/downloader/__init__.py:57-58,214-221`: with delay == 0
+  *     up to `concurrency` requests transfer in parallel; with delay > 0
+  *     the reference's `_process_queue` dispatches one per tick — the
+  *     default `concurrency = 1` reproduces that exactly, and the batched
+  *     schedule is the deterministic generalization for delay > 0 + conc >
+  *     1 configurations). lastT_s := t of the slot's last charged
+  *     departure; delay_s from step 1a. A pending robots fetch takes its
+  *     host's first position in the slot's sequence.
   *  5. Global fetch-log order within the epoch: (virtualT ASC, host ASC,
   *     per-host index ASC); `seq` continues across epochs.
   *  6. Fetch = corpus lookup by sanitized URL (unknown → 404). Status counts
@@ -255,6 +265,9 @@ final case class CrawlConfig(
     delayMs: Long = 100, // DOWNLOAD_DELAY (virtual ms)
     epochMs: Long = 1000, // virtual epoch duration
     maxPerHostPerEpoch: Int = 16, // cap on budget (CONCURRENT_* analogue)
+    // transfers per slot per delay tick (CONCURRENT_REQUESTS_PER_DOMAIN
+    // analogue, contract step 4); 1 = the reference's delay>0 serialization
+    concurrency: Int = 1,
     depthLimit: Int = 0, // DEPTH_LIMIT, 0 = off
     depthPriority: Int = 0, // DEPTH_PRIORITY (1 → BFO)
     queueOrder: String = "lifo", // "lifo" (DFO, default) | "fifo" (BFO)
@@ -321,12 +334,16 @@ final case class CrawlConfig(
     allowedDomains.isEmpty ||
       allowedDomains.exists(d => host == d || host.endsWith("." + d))
   require(queueOrder == "lifo" || queueOrder == "fifo", s"bad queueOrder $queueOrder")
+  require(concurrency >= 1, s"bad concurrency $concurrency")
   require(httpcachePolicy == "dummy" || httpcachePolicy == "rfc2616",
     s"bad httpcachePolicy $httpcachePolicy")
 
-  /** Budget at delay `delay` under per-epoch cap `cap` (contract step 1a). */
+  /** Budget at delay `delay` under per-epoch cap `cap` (contract step 1a):
+    * `concurrency` transfers leave per delay tick (step 4). */
   def budgetFor(delay: Long, cap: Int): Int =
-    math.min(math.max(1L, epochMs / math.max(delay, 1L)), cap.toLong).toInt
+    math.min(
+      math.max(1L, (epochMs / math.max(delay, 1L)) * concurrency.toLong),
+      cap.toLong).toInt
 
   /** Default budget (no override, no adaptive delay) — step 1's formula. */
   def hostBudget: Int = budgetFor(delayMs, maxPerHostPerEpoch)

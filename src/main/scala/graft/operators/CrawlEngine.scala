@@ -408,6 +408,7 @@ object CrawlEngine {
     val robotsObey = cfg.robotsObey
     val robotsUA = cfg.effectiveRobotsUserAgent
     val localOn = cfg.localSchemes
+    val conc = cfg.concurrency // transfers per delay tick (contract step 4)
     val lt = dequeueLt(cfg) _
     // rfc2616 (contract 6f): hits require the stored entry to be FRESH at
     // the row's walk-time virtual clock; DummyPolicy hits on membership
@@ -469,7 +470,12 @@ object CrawlEngine {
             val deq = new Array[Enriched](st.pq.size)
             var n = deq.length - 1
             while (n >= 0) { deq(n) = st.pq.poll(); n -= 1 } // worst→best, back→front
-            var t = math.max(st.lastT + st.delay, epochStart)
+            // charged-departure schedule (contract step 4): departure i
+            // leaves at tBase + floor(i/conc)·delay — `conc` transfers per
+            // delay tick; cache hits and forbidden rows are not departures
+            val tBase = math.max(st.lastT + st.delay, epochStart)
+            var transfers = 0
+            def curT: Long = tBase + (transfers / conc).toLong * st.delay
             var budgetLeft = st.budget
             var stopped = false
             val robotsDone = scala.collection.mutable.HashSet.empty[String]
@@ -514,11 +520,11 @@ object CrawlEngine {
                   val fp = UrlKit.fingerprint(robotsUrl)
                   out += DeqOut(KRobots,
                     FrontierRow(robotsUrl, fp, host, 1000, 0, isStart = false,
-                      epoch, -1L, -1, 0, 0, dontFilter = true), t, -1, slot,
+                      epoch, -1L, -1, 0, 0, dontFilter = true), curT, -1, slot,
                     cached = robotsHit)
                   robotsDone += host
                   if (!robotsHit) {
-                    t += st.delay
+                    transfers += 1
                     budgetLeft -= 1
                   }
                 }
@@ -528,18 +534,18 @@ object CrawlEngine {
                 // row (or robots miss) that cannot be charged.
                 val robotsResolved = !robotsObey || e.fr.dontObeyRobots ||
                   localRow || e.meta.robotsKnown || robotsDone.contains(host)
-                val hit = hitAt(e, t) // stale entry ⇒ ordinary miss (6f)
+                val hit = hitAt(e, curT) // stale entry ⇒ ordinary miss (6f)
                 if (robotsResolved && (hit || budgetLeft >= 1)) {
                   if (robotsObey && !e.fr.dontObeyRobots && !localRow &&
                       !rules.allowed(e.fr.url, robotsUA)) {
                     out += DeqOut(KForbidden, e.fr, 0L, -1, slot)
-                    if (!hit) budgetLeft -= 1
+                    if (!hit) budgetLeft -= 1 // charged, but not a departure
                   } else {
                     val i = hostIdx.getOrElse(host, 0)
-                    out += DeqOut(KFetch, e.fr, t, i, slot, cached = hit)
+                    out += DeqOut(KFetch, e.fr, curT, i, slot, cached = hit)
                     hostIdx(host) = i + 1
                     if (!hit) {
-                      t += st.delay
+                      transfers += 1
                       budgetLeft -= 1
                     }
                   }

@@ -156,7 +156,11 @@ object Oracle {
 
       for ((slot, rows) <- bySlot.toSeq.sortBy(_._1)) {
         val sorted = rows.sortWith(dequeueLt)
-        var t = math.max(slotLastT(slot) + dlyOf(slot), epochStart)
+        // charged-departure schedule (contract step 4): `concurrency`
+        // transfers per delay tick; hits/forbidden are not departures
+        val tBase = math.max(slotLastT(slot) + dlyOf(slot), epochStart)
+        var transfers = 0
+        def curT: Long = tBase + (transfers / cfg.concurrency).toLong * dlyOf(slot)
         var budgetLeft = budgetOf(slot)
         var stopped = false
         val hostIdx = mutable.Map.empty[String, Int].withDefaultValue(0)
@@ -193,14 +197,14 @@ object Oracle {
                 robotsCache(host) = rules
                 inc("robotstxt/request_count")
                 val status = if (robots.get(host).flatten.isDefined) 200 else 599
-                epochFetches += ((t, host,
+                epochFetches += ((curT, host,
                   -1, FrontierRow(robotsUrl, fp, host, 1000, 0, isStart = false,
                     dEpoch = epoch, dParent = -1, dLink = -1, 0, 0, dontFilter = true),
                   true, robotsHit))
                 inc(s"downloader/response_status_count/$status")
                 if (!robotsHit) {
-                  slotLastT(slot) = t
-                  t += dlyOf(slot)
+                  slotLastT(slot) = curT
+                  transfers += 1
                   budgetLeft -= 1
                 }
               }
@@ -214,20 +218,20 @@ object Oracle {
             // time as of their walk position; file: is an ignore-scheme (6e);
             // rfc2616 requires freshness at the walk clock, stale = miss (6f)
             val rowHit = cfg.httpcacheEnabled && !row.url.startsWith("file:") &&
-              freshHit(UrlKit.toHex(row.fp), t)
+              freshHit(UrlKit.toHex(row.fp), curT)
             if (robotsResolved && (rowHit || budgetLeft >= 1)) {
               inc("scheduler/dequeued")
               val rules = robotsCache.getOrElse(host, RobotsRules.AllowAll)
               if (cfg.robotsObey && !row.dontObeyRobots && !localRow &&
                   !rules.allowed(row.url, cfg.effectiveRobotsUserAgent)) {
                 inc("robotstxt/forbidden")
-                if (!rowHit) budgetLeft -= 1
+                if (!rowHit) budgetLeft -= 1 // charged, but not a departure
               } else {
-                epochFetches += ((t, host, hostIdx(host), row, false, rowHit))
+                epochFetches += ((curT, host, hostIdx(host), row, false, rowHit))
                 hostIdx(host) += 1
                 if (!rowHit) {
-                  slotLastT(slot) = t
-                  t += dlyOf(slot)
+                  slotLastT(slot) = curT
+                  transfers += 1
                   budgetLeft -= 1
                 }
               }

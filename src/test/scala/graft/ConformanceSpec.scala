@@ -173,6 +173,15 @@ class ConformanceSpec extends AnyFunSuite {
         restrictText = Seq("to |trap |x "))), "linkfilter")
   }
 
+  test("per-slot concurrency variant conforms (8 transfers per delay tick)") {
+    // CONCURRENT_REQUESTS_PER_DOMAIN analogue (contract step 4): with
+    // conc=8 and delay>0, charged departures leave in batches of 8 sharing
+    // one virtual time, budgets scale by conc (capped), and the global
+    // (t, host, idx) interleaving shifts — all must match the oracle
+    compare(Corpus.Small,
+      CrawlConfig(maxEpochs = 8, concurrency = 8), "concurrency")
+  }
+
   test("httpcache conforms: cold crawl stores, cache-primed second crawl hits skip the slot") {
     import spark.implicits._
     val cfg = CrawlConfig(maxEpochs = 8, httpcacheEnabled = true)
