@@ -38,7 +38,12 @@ final case class CorpusSpec(
     // emit Cache-Control response headers (contract 6f rfc2616 variant);
     // drawn from an independent RNG stream so flag-off corpora are
     // byte-identical to older rounds
-    cacheHeaders: Boolean = false) {
+    cacheHeaders: Boolean = false,
+    // tier-2 cookie corpus: odd hosts become subdomains of their even
+    // neighbor (sub.hK.test) and Set-Cookie headers carry Domain/Path/
+    // Max-Age/Secure attributes + multi-header responses (independent RNG
+    // stream; page bodies/latencies stay identical to the flag-off spec)
+    cookieTraps: Boolean = false) {
 
   /** Pages on host k: host 0 is the hot host; the rest share uniformly. */
   def pagesOnHost(k: Int): Int = {
@@ -50,7 +55,12 @@ final case class CorpusSpec(
       if (k <= rest - per * (nHosts - 1)) per + 1 else per
     }
   }
-  def hostName(k: Int): String = s"h$k.test"
+  def hostName(k: Int): String =
+    if (cookieTraps && k % 2 == 1) s"sub.h${k - 1}.test" else s"h$k.test"
+
+  /** Registrable parent domain of host k's subdomain pair (cookieTraps):
+    * hosts 2m and 2m+1 share it, so a Domain-scoped cookie crosses them. */
+  def pairDomain(k: Int): String = s"h${k - (k % 2)}.test"
 
   // prefix offsets memoized once (recomputed per executor after
   // deserialization — O(nHosts), trivial): pageGlobalIdx must be O(1) or a
@@ -186,10 +196,14 @@ object Corpus {
         else if (polRoll < 0.98) "bogus-token, same-origin" // rightmost-valid
         else "totally-unknown" // → default policy
       // Set-Cookie traps: per-page session values (same-host pages overwrite
-      // the same name → last-writer-by-seq wins), attribute noise, deletions
+      // the same name → last-writer-by-seq wins), attribute noise, deletions.
+      // cookieTraps swaps in the tier-2 battery from an INDEPENDENT stream
+      // (ckRoll still drawn so the shared stream — and the latency draw
+      // after it — stays byte-identical to the flag-off spec)
       val ckRoll = r.nextDouble()
       val setCookie =
-        if (ckRoll < 0.80) null
+        if (spec.cookieTraps) cookieTrapHeader(spec, k, j)
+        else if (ckRoll < 0.80) null
         else if (ckRoll < 0.88) s"sid=v$j; Path=/; HttpOnly"
         else if (ckRoll < 0.92) s"pref=p${j % 3}"
         // non-ASCII collation traps: the two names share a prefix and then
@@ -208,6 +222,27 @@ object Corpus {
       PageRow(url, 200, null, body, f"img$gIdx%09d", 10 + r.nextInt(490), enc,
         refPolicy, setCookie, cacheControl = cc)
     }
+  }
+
+  /** Tier-2 Set-Cookie battery (cookieTraps; see graft.operators.Cookies):
+    * Domain-scoped pair-shared cookies, path scoping, Secure, Max-Age
+    * expiry mid-crawl, Max-Age=0 deletions, multi-header responses,
+    * rejected foreign domains, malformed lines. Newline = separate
+    * Set-Cookie headers of one response. */
+  def cookieTrapHeader(spec: CorpusSpec, k: Int, j: Int): String = {
+    val ck = rng(spec, 7500000011L * (spec.pageGlobalIdx(k, j) + 1))
+    val roll = ck.nextDouble()
+    val parent = spec.pairDomain(k)
+    if (roll < 0.35) null
+    else if (roll < 0.48) s"site=s${k - (k % 2)}; Domain=$parent; Path=/" // crosses the pair
+    else if (roll < 0.56) s"p=v$j; Path=/p" // path-scoped: /p/* only, not /private/
+    else if (roll < 0.62) s"sec=v$j; Secure" // https-only (sent in the https variant)
+    else if (roll < 0.70) s"ttl=v$j; Max-Age=${1 + ck.nextInt(4)}" // expires mid-crawl
+    else if (roll < 0.75) s"site=gone; Max-Age=0; Domain=$parent; Path=/" // deletion
+    else if (roll < 0.82) s"a=1\npref=p${j % 3}; Path=/" // two headers, one response
+    else if (roll < 0.88) s"pref=q$j" // default path (/p for /p/N pages)
+    else if (roll < 0.94) s"evil=x; Domain=other-domain.example" // rejected (no match)
+    else "malformed-no-equals" // ignored
   }
 
   private def pageHtml(spec: CorpusSpec, k: Int, j: Int, r: Random): String = {

@@ -110,9 +110,15 @@ final case class SeedRow(seq: Long, url: String, priority: Int,
 final case class HostState(host: String, lastTMs: Long, robotsFetched: Boolean,
     delayMs: Long = -1L)
 
-/** One cookie in the per-host jar (reference CookiesMiddleware state,
-  * see [[graft.operators.Cookies]]). */
-final case class CookieRow(host: String, name: String, value: String)
+/** One stored cookie (reference CookiesMiddleware jar state, see
+  * [[graft.operators.Cookies]]). The `host` column holds the cookie's
+  * normalized DOMAIN (the persisted column name predates the tier-2
+  * semantics and is kept for chain compatibility); jar key =
+  * (host, path, name). `expiresMs` is on the virtual clock, -1 = session
+  * cookie; an expired entry is a delete tombstone (latest-wins). */
+final case class CookieRow(host: String, name: String, value: String,
+    path: String = "/", hostOnly: Boolean = true, expiresMs: Long = -1L,
+    secure: Boolean = false)
 
 /** Media output row (reference: ImagesPipeline results,
   * `scrapy/pipelines/images.py:110-210` + files checksum `files.py:61-75`). */

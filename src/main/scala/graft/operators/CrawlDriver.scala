@@ -37,7 +37,8 @@ object CrawlDriver {
   // delayMs (parquet fills the missing column with null → coalesce -1)
   private val HostStateSchema = "host STRING, lastTMs BIGINT, robotsFetched BOOLEAN, delayMs BIGINT"
   private val RobotsSchema = "host STRING, body BINARY, ok BOOLEAN"
-  private val CookieSchema = "host STRING, name STRING, value STRING"
+  private val CookieSchema = "host STRING, name STRING, value STRING, " +
+    "path STRING, hostOnly BOOLEAN, expiresMs BIGINT, secure BOOLEAN"
   // storedTMs/status/cacheControl since the 6f rfc2616 policy — a dummy
   // chain written before that reads with nulls (membership is all it needs)
   private val HttpCacheSchema =
@@ -69,17 +70,31 @@ object CrawlDriver {
       .reduce(_.unionByName(_)).as[CrawlEngine.RobotsCacheRow]
   }
 
-  /** Cookie-jar chain: per (host, name) the latest chain entry wins; an
-    * empty value is a delete tombstone, dropped after the merge. */
+  /** Cookie-jar chain: per (domain, path, name) the latest chain entry
+    * wins (RFC 6265 §5.3 jar key — the `host` column holds the cookie
+    * DOMAIN). An expired entry IS its key's delete tombstone: it shadows
+    * older live entries and is never sent ([[Cookies.sendable]]), so the
+    * merge keeps it. Pre-round-5 chains lack the attribute columns (filled
+    * with host-only defaults) and used value == "" as the tombstone —
+    * those legacy rows are dropped at read. */
   def readCookieJar(spark: SparkSession, dirs: Seq[String]): Dataset[CookieRow] = {
     import spark.implicits._
     if (dirs.isEmpty) spark.emptyDataset[CookieRow]
     else dirs.zipWithIndex.map { case (d, i) =>
-      spark.read.schema(CookieSchema).parquet(d).withColumn("chainIdx", lit(i))
+      spark.read.schema(CookieSchema).parquet(d)
+        .filter(!($"value" === "" && $"expiresMs".isNull)) // legacy tombstone
+        .select($"host", $"name", $"value",
+          coalesce($"path", lit("/")).as("path"),
+          coalesce($"hostOnly", lit(true)).as("hostOnly"),
+          coalesce($"expiresMs", lit(-1L)).as("expiresMs"),
+          coalesce($"secure", lit(false)).as("secure"))
+        .withColumn("chainIdx", lit(i))
     }.reduce(_.unionByName(_))
-      .groupBy($"host", $"name")
-      .agg(max_by($"value", $"chainIdx").as("value"))
-      .filter($"value" =!= "")
+      .groupBy($"host", $"path", $"name")
+      .agg(max_by(struct($"value", $"hostOnly", $"expiresMs", $"secure"),
+        $"chainIdx").as("r"))
+      .select($"host", $"name", $"r.value", $"path", $"r.hostOnly",
+        $"r.expiresMs", $"r.secure")
       .as[CookieRow]
   }
 

@@ -100,7 +100,7 @@ object CrawlEngine {
       // compaction, exactly like url_seen
       hostStateDelta: Dataset[HostState], // touched slots, new values
       robotsDelta: Dataset[RobotsCacheRow], // hosts fetched this epoch (append-only)
-      cookieDelta: Dataset[CookieRow], // (host,name) writes; value "" = delete tombstone
+      cookieDelta: Dataset[CookieRow], // (domain,path,name) writes; expired = tombstone
       media: Dataset[MediaRow],
       counters: Map[String, Long],
       nextFetchSeq: Long,
@@ -664,15 +664,33 @@ object CrawlEngine {
       .withColumn("status",
         when(coalesce($"hasBody", lit(false)), lit(200)).otherwise(lit(599)))
 
-    // Cookie header per host, from the jar snapshot at epoch start
-    // (CookiesMiddleware analogue, see graft.operators.Cookies): a tiny
-    // host-keyed table — broadcast join under AQE like the other host state.
-    // Rendering goes through Cookies.renderRendered so the sort collation
-    // (UTF-16 code units) is byte-identical to the oracle's.
+    // Cookie header per fetch, from the jar snapshot at epoch start
+    // (CookiesMiddleware analogue, see graft.operators.Cookies). The jar is
+    // DOMAIN-keyed (tier-2: a Domain cookie reaches subdomains), so the
+    // suffix-match becomes an equi-join: each fetch row explodes into its
+    // ≤ label-count domain suffixes, joins the jar on the suffix, then a
+    // per-row sendable() filter applies host-only/path/expiry(at the
+    // fetch's virtual time)/secure — all over the politeness-bounded fetch
+    // batch, never the frontier. Rendering goes through
+    // Cookies.renderRendered so the sort collation (UTF-16 code units) is
+    // byte-identical to the oracle's.
     val renderCookiesUdf = udf((pairs: Seq[String]) =>
       Cookies.renderRendered(pairs).orNull)
-    val jarHeaders = cookieJar.toDF()
-      .groupBy($"host")
+    val suffixesUdf = udf((host: String) => Cookies.domainSuffixes(host))
+    val reqPathUdf = udf((url: String) => Cookies.reqPathOf(url))
+    val urlSchemeUdf = udf((url: String) => {
+      val i = url.indexOf("://")
+      if (i < 0) "" else url.substring(0, i)
+    })
+    val sendableUdf = udf(Cookies.sendable _)
+    def cookieHeaders(fetchRows: DataFrame): DataFrame = fetchRows
+      .select($"seq", $"url", $"host", $"t")
+      .withColumn("cdomain", explode(suffixesUdf($"host")))
+      .join(cookieJar.toDF().withColumnRenamed("host", "cdomain"),
+        Seq("cdomain"))
+      .filter(sendableUdf($"host", reqPathUdf($"url"), urlSchemeUdf($"url"),
+        $"t", $"cdomain", $"hostOnly", $"path", $"expiresMs", $"secure"))
+      .groupBy($"seq")
       .agg(renderCookiesUdf(
         collect_list(concat($"name", lit("="), $"value"))).as("cookies"))
 
@@ -692,14 +710,15 @@ object CrawlEngine {
       else udf((url: String, host: String) =>
         cfg.proxyFor(graft.urlkit.PyUrl.urlparse(url).scheme, host))
         .apply($"url", $"host")
-    val fetchLog = fetched
+    val preLog = fetched
       .select($"fr.*", $"t", $"seq", $"status", lit(false).as("isRobots"),
         $"cached")
       .unionByName(robotsFetchLog
         .select($"fr.url".as("url"), $"fr.fp".as("fp"), $"host",
           $"t", $"seq", $"status", lit(true).as("isRobots"), $"cached"),
         allowMissingColumns = true)
-      .join(jarHeaders, Seq("host"), "left")
+    val fetchLog = preLog
+      .join(cookieHeaders(preLog), Seq("seq"), "left")
       .select(lit(epoch).as("epoch"), $"seq", $"host", $"url", $"fp",
         $"t".as("virtualTMs"), $"status", $"isRobots", $"referer", $"cookies",
         lit(cfg.userAgent).as("userAgent"),
@@ -1144,20 +1163,30 @@ object CrawlEngine {
         coalesce($"newDelay", $"oldDelay", lit(-1L)).as("delayMs"))
       .as[HostState]
 
-    // cookie-jar update: Set-Cookie headers from this epoch's page responses,
-    // last writer by global fetch seq per (host, name); empty value deletes
+    // cookie-jar update: Set-Cookie headers from this epoch's page
+    // responses, parsed at the response's virtual fetch time (Max-Age
+    // expiry is clock-relative), last writer by global fetch seq per
+    // (domain, path, name) jar key; a Max-Age ≤ 0 store is an expired
+    // entry = the key's delete tombstone (latest-wins shadowing)
     val epochCookies = fetched
       .filter($"setCookie".isNotNull && !$"timedOut") // a timeout has no response
-      .select($"fr.host".as("host"), $"setCookie", $"seq")
-      .as[(String, String, Long)]
-      .flatMap { case (host, sc, seq) =>
-        Cookies.parseSetCookie(sc).map { case (n, v) => (host, n, v, seq) }
+      .select($"fr.host".as("host"), $"fr.url".as("url"), $"setCookie",
+        $"seq", $"t")
+      .as[(String, String, String, Long, Long)]
+      .flatMap { case (host, url, sc, seq, t) =>
+        Cookies.parseSetCookies(sc, host, Cookies.reqPathOf(url), t)
+          .map(c => (c.domain, c.path, c.name, c.value, c.hostOnly,
+            c.expiresMs, c.secure, seq))
       }
-      .toDF("host", "name", "value", "seq")
-      .groupBy($"host", $"name")
-      .agg(max_by($"value", $"seq").as("value"))
-    // DELTA: this epoch's (host,name) writes as-is — empty values ride
-    // along as delete tombstones the read-merge drops
+      .toDF("host", "path", "name", "value", "hostOnly", "expiresMs",
+        "secure", "seq")
+      .groupBy($"host", $"path", $"name")
+      .agg(max_by(struct($"value", $"hostOnly", $"expiresMs", $"secure"),
+        $"seq").as("r"))
+      .select($"host", $"name", $"r.value", $"path", $"r.hostOnly",
+        $"r.expiresMs", $"r.secure")
+    // DELTA: this epoch's jar-key writes as-is (expired entries included —
+    // they are the tombstones the chain merge keeps)
     val cookieDelta = epochCookies.as[CookieRow]
 
     // DELTA: robots rows are append-only (one fetch per host ever), so the

@@ -58,12 +58,23 @@ object Oracle {
     def authOf(host: String): String = cfg.authorizationFor(host)
     def proxyOf(url: String): String =
       cfg.proxyFor(graft.urlkit.PyUrl.urlparse(url).scheme, UrlKit.hostOf(url))
-    // per-host cookie jar (graft.operators.Cookies contract): header from the
-    // epoch-start snapshot; Set-Cookie applied at epoch end in seq order
-    val cookieJar = mutable.Map.empty[(String, String), String] // (host,name)->value
-    def cookieHeader(host: String): String =
-      graft.operators.Cookies.renderHeader(
-        cookieJar.collect { case ((h, n), v) if h == host => (n, v) }.toSeq).orNull
+    // domain-keyed cookie jar (graft.operators.Cookies tier-2 contract):
+    // header from the epoch-start snapshot, entries keyed (domain, path,
+    // name); Set-Cookie applied at epoch end in seq order. sendable()
+    // evaluates domain/path/expiry(at the fetch's virtual time)/secure —
+    // shared with the engine so both sides agree byte-for-byte.
+    import graft.operators.Cookies
+    val cookieJar = mutable.Map.empty[(String, String, String), Cookies.ParsedCookie]
+    def cookieHeader(host: String, url: String, t: Long): String = {
+      val reqPath = Cookies.reqPathOf(url)
+      val i = url.indexOf("://")
+      val scheme = if (i < 0) "" else url.substring(0, i)
+      Cookies.renderHeader(
+        cookieJar.valuesIterator.filter(c =>
+          Cookies.sendable(host, reqPath, scheme, t, c.domain, c.hostOnly,
+            c.path, c.expiresMs, c.secure))
+          .map(c => (c.name, c.value)).toSeq).orNull
+    }
     val fetchLog = Vector.newBuilder[FetchLogRow]
     var fetchSeq = 0L
     var pageFetches = 0L
@@ -246,7 +257,7 @@ object Oracle {
       // global order: (t, host, perHostIdx)
       val ordered = epochFetches.sortBy { case (t, host, i, _, _, _) => (t, host, i) }
       val candidates = mutable.ArrayBuffer.empty[FrontierRow]
-      val epochSetCookies = mutable.ArrayBuffer.empty[(Long, String, String, String)]
+      val epochSetCookies = mutable.ArrayBuffer.empty[(Long, Cookies.ParsedCookie)]
       // cache stores, visible (and latest-wins-replacing) at epoch end
       val epochStores = mutable.ArrayBuffer.empty[(String, CacheEntry)]
       for ((t, host, _, row, isRobots, hit) <- ordered) {
@@ -272,7 +283,7 @@ object Oracle {
             }
           }
           fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status,
-            isRobots = true, cookies = cookieHeader(host),
+            isRobots = true, cookies = cookieHeader(host, row.url, t),
             userAgent = cfg.userAgent, authorization = authOf(host),
             proxy = proxyOf(row.url), cached = hit)
         } else {
@@ -334,7 +345,8 @@ object Oracle {
             }
           }
           fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status,
-            isRobots = false, referer = row.referer, cookies = cookieHeader(host),
+            isRobots = false, referer = row.referer,
+            cookies = cookieHeader(host, row.url, t),
             userAgent = cfg.userAgent, authorization = authOf(host),
             proxy = proxyOf(row.url), cached = hit)
           if (timedOut) {
@@ -354,8 +366,9 @@ object Oracle {
             // neither do local-scheme responses (6e)
             if (cfg.autothrottle && !hit && !isLocalRow)
               delayEvents += ((seq, slotOf(host), page.latencyMs.toLong, status))
-            for ((n, v) <- graft.operators.Cookies.parseSetCookie(page.setCookie))
-              epochSetCookies += ((seq, host, n, v))
+            for (c <- Cookies.parseSetCookies(page.setCookie, host,
+                Cookies.reqPathOf(row.url), t))
+              epochSetCookies += ((seq, c))
             // decompression stage (contract step 6b) — must mirror
             // CrawlEngine's expansion flatMap exactly: nothing decodable →
             // no counters (reference `if not to_decode: return response`);
@@ -488,11 +501,11 @@ object Oracle {
         }
       }
 
-      // apply Set-Cookie in seq order (last writer wins); empty value deletes
-      for ((_, host, n, v) <- epochSetCookies.sortBy(_._1)) {
-        if (v.isEmpty) cookieJar.remove((host, n))
-        else cookieJar((host, n)) = v
-      }
+      // apply Set-Cookie in seq order (last writer wins per jar key); an
+      // expired entry stays stored — it shadows the live one and is never
+      // sent (the deletion, mirroring the engine's chain tombstone)
+      for ((_, c) <- epochSetCookies.sortBy(_._1))
+        cookieJar((c.domain, c.path, c.name)) = c
 
       // replay AutoThrottle adjustments per slot in global seq order (step
       // 1a) — the updated delay takes effect next epoch, like cookies

@@ -173,6 +173,22 @@ class ConformanceSpec extends AnyFunSuite {
         restrictText = Seq("to |trap |x "))), "linkfilter")
   }
 
+  test("cookie tier-2 variant conforms (domain scoping, paths, Max-Age, multi-header)") {
+    // odd hosts become sub.hK.test: Domain=hK.test cookies cross the
+    // subdomain pair, Path=/p scopes, Max-Age expires mid-crawl on the
+    // virtual clock, Max-Age=0 deletes, two-header responses split,
+    // foreign Domain attributes are rejected — all byte-for-byte
+    compare(Corpus.Small.copy(cookieTraps = true),
+      CrawlConfig(maxEpochs = 8), "cookies2")
+  }
+
+  test("secure-cookie variant conforms (https corpus sends Secure cookies)") {
+    // same battery over https: Secure cookies now match the scheme and the
+    // robots URLs derive from https — the sendable() scheme gate flips
+    compare(Corpus.Small.copy(cookieTraps = true, scheme = "https"),
+      CrawlConfig(maxEpochs = 6), "cookies2https")
+  }
+
   test("per-slot concurrency variant conforms (8 transfers per delay tick)") {
     // CONCURRENT_REQUESTS_PER_DOMAIN analogue (contract step 4): with
     // conc=8 and delay>0, charged departures leave in batches of 8 sharing
