@@ -282,6 +282,14 @@ final case class CrawlConfig(
     allowedDomains: Seq[String] = Nil, // offsite filter; empty = allow all
     imagesMinWidth: Int = 0, // IMAGES_MIN_WIDTH (media min-size filter)
     imagesMinHeight: Int = 0, // IMAGES_MIN_HEIGHT
+    // FILES_EXPIRES analogue (`pipelines/files.py:539-567` uptodate reuse):
+    // ≥ 0 enables the media_seen state table — a media row whose stored age
+    // on the VIRTUAL clock is ≤ this many days is replayed from stored
+    // metadata instead of re-downloaded/decoded (counters file_count +
+    // file_status_count/{downloaded,uptodate}). -1 (default) = off: the
+    // reference defaults to 90, but within one crawl url_seen already makes
+    // each media unique, so the table only pays for cache-primed re-crawls
+    filesExpiresDays: Int = -1,
     downloadMaxSize: Long = 1073741824L, // DOWNLOAD_MAXSIZE (decompression guard)
     refererPolicy: String = "scrapy-default", // REFERRER_POLICY default policy
     metarefreshMaxDelay: Double = 100.0, // METAREFRESH_MAXDELAY (seconds)

@@ -132,6 +132,14 @@ final case class MediaRow(
     phash: Long,
     checksumMd5: String)
 
+/** media_seen state row (FILES_EXPIRES uptodate reuse, reference
+  * `scrapy/pipelines/files.py:539-567`: stat_file → age-gated skip): one
+  * row per stored media, latest-wins delta chain like the other state
+  * tables. `storedTMs` is the storing fetch's VIRTUAL time; the stored
+  * metadata is replayed on an uptodate hit so no byte I/O or decode runs. */
+final case class MediaSeenRow(image_id: String, storedTMs: Long, w: Int,
+    h: Int, fmt: String, caption: String, phash: Long, checksumMd5: String)
+
 /** url_seen row: fingerprint + hash bucket for partitioned storage. */
 final case class SeenRow(fp: Array[Byte], bucket: Int)
 

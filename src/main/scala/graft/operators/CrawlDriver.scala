@@ -70,6 +70,22 @@ object CrawlDriver {
       .reduce(_.unionByName(_)).as[CrawlEngine.RobotsCacheRow]
   }
 
+  /** media_seen chain (FILES_EXPIRES reuse): latest store per image_id
+    * wins — a re-download replaces the older entry's storedTMs/metadata. */
+  def readMediaSeen(spark: SparkSession, dirs: Seq[String]): Dataset[MediaSeenRow] = {
+    import spark.implicits._
+    if (dirs.isEmpty) spark.emptyDataset[MediaSeenRow]
+    else dirs.zipWithIndex.map { case (d, i) =>
+      spark.read.parquet(d).withColumn("chainIdx", lit(i))
+    }.reduce(_.unionByName(_))
+      .groupBy($"image_id")
+      .agg(max_by(struct($"storedTMs", $"w", $"h", $"fmt", $"caption",
+        $"phash", $"checksumMd5"), $"chainIdx").as("r"))
+      .select($"image_id", $"r.storedTMs", $"r.w", $"r.h", $"r.fmt",
+        $"r.caption", $"r.phash", $"r.checksumMd5")
+      .as[MediaSeenRow]
+  }
+
   /** Cookie-jar chain: per (domain, path, name) the latest chain entry
     * wins (RFC 6265 §5.3 jar key — the `host` column holds the cookie
     * DOMAIN). An expired entry IS its key's delete tombstone: it shadows
@@ -182,7 +198,11 @@ object CrawlDriver {
       // prime a fresh crawl with a prior crawl's HTTP-cache chain (the
       // reference's persistent HTTPCACHE_DIR across runs, contract 6d);
       // ignored on resume (the manifest's own chain wins)
-      cachePrimeDirs: Seq[String] = Nil): RunResult = {
+      cachePrimeDirs: Seq[String] = Nil,
+      // prime a fresh crawl with a prior crawl's media_seen chain (the
+      // reference's persistent FILES_STORE across runs: stat_file sees the
+      // earlier run's files); needs cfg.filesExpiresDays ≥ 0 to matter
+      mediaPrimeDirs: Seq[String] = Nil): RunResult = {
     import spark.implicits._
 
     // Pre-partition the corpus ("the web") by its join key once and keep it
@@ -213,9 +233,11 @@ object CrawlDriver {
         Snapshot.withDefaults(spark.read.parquet(s"$corpusDir/seeds"),
           Seq("dontObeyRobots" -> org.apache.spark.sql.functions.lit(false)))
           .as[SeedRow], root)
-      if (cachePrimeDirs.isEmpty) m0
+      if (cachePrimeDirs.isEmpty && mediaPrimeDirs.isEmpty) m0
       else {
-        val primed = m0.copy(httpCacheDirs = cachePrimeDirs)
+        val primed = m0.copy(
+          httpCacheDirs = if (cachePrimeDirs.nonEmpty) cachePrimeDirs else m0.httpCacheDirs,
+          mediaSeenDirs = if (mediaPrimeDirs.nonEmpty) mediaPrimeDirs else m0.mediaSeenDirs)
         Snapshot.write(root, primed)
         primed
       }
@@ -331,10 +353,13 @@ object CrawlDriver {
       val cacheBloomBc =
         if (cacheShards == null) None
         else Some(spark.sparkContext.broadcast(cacheShards))
+      val mediaSeen =
+        if (cfg.filesExpiresDays < 0 || m.mediaSeenDirs.isEmpty) null
+        else readMediaSeen(spark, m.mediaSeenDirs).toDF()
       val r = CrawlEngine.runEpoch(spark, cfg, epoch, m.nextFetchSeq,
         frontier, urlSeen, hostState, robotsCache, cookieJar, pages, robotsCorpus,
         dns, images, withMedia, Some(bloomMode), frontierCountHint = m.frontierCount,
-        httpCache = httpCache, cacheBloom = cacheBloomBc)
+        httpCache = httpCache, cacheBloom = cacheBloomBc, mediaSeen = mediaSeen)
 
       val timing = sys.env.contains("GRAFT_TIMING")
       var tW = System.nanoTime()
@@ -396,6 +421,13 @@ object CrawlDriver {
           writeJobs += Future(r.media.write.mode(SaveMode.Overwrite).parquet(mDir))
           m.mediaDirs :+ mDir
         } else m.mediaDirs
+      val msDir = dataDir(root, e1, "media_seen_delta")
+      var mediaSeenDirs =
+        if (r.mediaSeenDelta != null && withMedia && images != null) {
+          writeJobs += Future(r.mediaSeenDelta.coalesce(smallParts)
+            .write.mode(SaveMode.Overwrite).parquet(msDir))
+          m.mediaSeenDirs :+ msDir
+        } else m.mediaSeenDirs
       // merge this epoch's per-bucket delta filters into the resident shards
       // while the writes run (same parallel phase; the delta scan happens on
       // executors from the cached delta) — the save happens after the
@@ -495,6 +527,12 @@ object CrawlDriver {
           .write.mode(SaveMode.Overwrite).parquet(cDir)
         cookieJarDirs = Seq(cDir)
       }
+      if (mediaSeenDirs.size > 8) {
+        val cDir = dataDir(root, e1, "media_seen_compact")
+        readMediaSeen(spark, mediaSeenDirs).coalesce(smallParts)
+          .write.mode(SaveMode.Overwrite).parquet(cDir)
+        mediaSeenDirs = Seq(cDir)
+      }
 
       // saturated-shard rebuild: a bucket whose exact seen count outgrew its
       // filter capacity gets a fresh 2×-headroom filter built from its full
@@ -523,7 +561,7 @@ object CrawlDriver {
         m.fetchLogDirs :+ flDir, mediaDirs,
         r.nextFetchSeq, frontierCount, m.pageFetches + r.pageFetchCount,
         mergedCounters, bloomPath, cookieJarDirs = cookieJarDirs,
-        httpCacheDirs = httpCacheDirs)
+        httpCacheDirs = httpCacheDirs, mediaSeenDirs = mediaSeenDirs)
       Snapshot.write(root, m)
       if (bloomBc != null) bloomBc.destroy()
       cacheBloomBc.foreach(_.destroy())

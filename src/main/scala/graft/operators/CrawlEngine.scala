@@ -102,6 +102,9 @@ object CrawlEngine {
       robotsDelta: Dataset[RobotsCacheRow], // hosts fetched this epoch (append-only)
       cookieDelta: Dataset[CookieRow], // (domain,path,name) writes; expired = tombstone
       media: Dataset[MediaRow],
+      // media stored THIS epoch (FILES_EXPIRES reuse, null when
+      // filesExpiresDays < 0): appended to the media_seen delta chain
+      mediaSeenDelta: Dataset[MediaSeenRow],
       counters: Map[String, Long],
       nextFetchSeq: Long,
       pageFetchCount: Long,
@@ -251,7 +254,10 @@ object CrawlEngine {
       // membership resolution costs O(maybe rows), not O(frontier). None =
       // every row joins (exact, the small-scale / direct-caller fallback).
       cacheBloom: Option[org.apache.spark.broadcast.Broadcast[
-        graft.plans.BloomShards]] = None): EpochResult = {
+        graft.plans.BloomShards]] = None,
+      // media_seen state (MediaSeenRow columns) for the FILES_EXPIRES
+      // uptodate reuse; null when filesExpiresDays < 0 or no chain yet
+      mediaSeen: DataFrame = null): EpochResult = {
     import spark.implicits._
 
     val timing = sys.env.contains("GRAFT_TIMING")
@@ -1199,26 +1205,74 @@ object CrawlEngine {
       .as[RobotsCacheRow]
 
     // ---- media ------------------------------------------------------------
-    val media: Dataset[MediaRow] =
-      if (!withMedia || images == null) spark.emptyDataset[MediaRow]
+    // With filesExpiresDays ≥ 0 (FILES_EXPIRES analogue, reference
+    // `pipelines/files.py:539-567` media_to_download stat+age gate): media
+    // candidates left-join the media_seen state; a fresh hit replays the
+    // stored metadata — no byte join, no decode — and counts
+    // file_status_count/uptodate; stale/new rows take the download+decode
+    // path, count .../downloaded, and form the media_seen delta. All joins
+    // move only the politeness-bounded fetch batch. Min-size rejects are
+    // never stored (the reference's ImageException → media_failed: no file
+    // on disk ⇒ next crawl re-attempts).
+    var mediaPersists: List[Dataset[_]] = Nil
+    val mediaExpiryOn = withMedia && images != null && cfg.filesExpiresDays >= 0
+    val mediaPair: (Dataset[MediaRow], Dataset[MediaSeenRow]) =
+      if (!withMedia || images == null)
+        (spark.emptyDataset[MediaRow],
+          if (cfg.filesExpiresDays >= 0) spark.emptyDataset[MediaSeenRow] else null)
       else {
-        fetched.filter($"status" >= 200 && $"status" < 300 && $"imageId".isNotNull)
-          .select($"fr.url".as("url"), $"imageId".as("image_id"))
+        val cand = fetched
+          .filter($"status" >= 200 && $"status" < 300 && $"imageId".isNotNull)
+          .select($"fr.url".as("url"), $"imageId".as("image_id"), $"t")
+        def decodePath(rows: DataFrame): Dataset[(MediaRow, Long)] = rows
           .join(images, Seq("image_id"), "inner")
-          .select($"image_id", $"url", $"bytes", $"fmt", $"caption")
-          .as[(String, String, Array[Byte], String, String)]
+          .select($"image_id", $"url", $"bytes", $"fmt", $"caption", $"t")
+          .as[(String, String, Array[Byte], String, String, Long)]
           .mapPartitions { it =>
-            it.flatMap { case (id, url, bytes, fmt, caption) =>
+            it.flatMap { case (id, url, bytes, fmt, caption, t) =>
               graft.media.ImageOps.decode(bytes)
                 // min-size filter (`scrapy/pipelines/images.py:156-162`)
                 .filter(px => px.w >= cfg.imagesMinWidth && px.h >= cfg.imagesMinHeight)
                 .map { px =>
-                  MediaRow(id, url, px.w, px.h, fmt, caption,
-                    graft.media.Phash.phash64(px), graft.media.ImageOps.md5Hex(bytes))
+                  (MediaRow(id, url, px.w, px.h, fmt, caption,
+                    graft.media.Phash.phash64(px),
+                    graft.media.ImageOps.md5Hex(bytes)), t)
                 }
             }
           }
+        if (!mediaExpiryOn)
+          (decodePath(cand).map(_._1), null)
+        else {
+          val seen =
+            if (mediaSeen != null) mediaSeen
+            else spark.emptyDataset[MediaSeenRow].toDF()
+          val flagged = cand.join(
+            seen.select($"image_id", $"storedTMs", $"w".as("sw"),
+              $"h".as("sh"), $"fmt".as("sfmt"), $"caption".as("scaption"),
+              $"phash".as("sphash"), $"checksumMd5".as("schecksum")),
+            Seq("image_id"), "left")
+            .withColumn("uptodate", $"storedTMs".isNotNull &&
+              ($"t" - $"storedTMs") <= lit(cfg.filesExpiresDays * 86400000L))
+          val up = flagged.filter($"uptodate")
+            .select($"image_id", $"url", $"sw".as("w"), $"sh".as("h"),
+              $"sfmt".as("fmt"), $"scaption".as("caption"),
+              $"sphash".as("phash"), $"schecksum".as("checksumMd5"))
+            .as[MediaRow].persist()
+          val dl = decodePath(flagged.filter(!$"uptodate")
+            .select($"image_id", $"url", $"t")).persist()
+          mediaPersists = List(up, dl)
+          val nUp = up.count()
+          val nDl = dl.count()
+          counters("file_count") = nUp + nDl
+          counters("file_status_count/uptodate") = nUp
+          counters("file_status_count/downloaded") = nDl
+          (up.unionByName(dl.map(_._1)),
+            dl.map { case (r, t) => MediaSeenRow(r.image_id, t, r.w, r.h,
+              r.fmt, r.caption, r.phash, r.checksumMd5) })
+        }
       }
+    val media = mediaPair._1
+    val mediaSeenDelta = mediaPair._2
 
     val nFetches = pageFetchCount + robotsFetchCount
     val nextFrontierCount = kindCounts.getOrElse(KKept, 0L) + nSurvivors + nDontFilter
@@ -1234,6 +1288,7 @@ object CrawlEngine {
       if (flaggedHandle != null) flaggedHandle.unpersist(false)
       if (maybeJoinedHandle != null) maybeJoinedHandle.unpersist(false)
       survivors.unpersist(false)
+      mediaPersists.foreach(_.unpersist(false))
       ()
     }
     // survivors.count() above materialized both prescreen branches
@@ -1243,7 +1298,8 @@ object CrawlEngine {
       else (-1L, -1L)
     // zero-valued counters are dropped on both sides of the conformance compare
     EpochResult(fetchLog, nextFrontier, seenDelta, hostStateDelta, robotsDelta,
-      cookieDelta, media, counters.toMap.filter(_._2 != 0L), baseSeq + nFetches,
+      cookieDelta, media, mediaSeenDelta,
+      counters.toMap.filter(_._2 != 0L), baseSeq + nFetches,
       pageFetchCount, nextFrontierCount, nSurvivors, preNew, preMaybe,
       httpCacheDelta, cleanup)
   }

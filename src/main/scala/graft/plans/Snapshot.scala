@@ -34,7 +34,8 @@ final case class Manifest(
     counters: Map[String, Long],
     bloomPath: String = "", // persisted url_seen Bloom shard table (advisory)
     cookieJarDirs: Seq[String] = Nil, // per-host cookie jar delta chain
-    httpCacheDirs: Seq[String] = Nil) // stored-response fp delta chain (contract 6d)
+    httpCacheDirs: Seq[String] = Nil, // stored-response fp delta chain (contract 6d)
+    mediaSeenDirs: Seq[String] = Nil) // media_seen delta chain (FILES_EXPIRES)
 
 object Snapshot {
 
@@ -75,6 +76,7 @@ object Snapshot {
     sb.append("\"bloomPath\": ").append(jstr(m.bloomPath)).append(", ")
     sb.append("\"cookieJarDirs\": [").append(m.cookieJarDirs.map(jstr).mkString(", ")).append("], ")
     sb.append("\"httpCacheDirs\": [").append(m.httpCacheDirs.map(jstr).mkString(", ")).append("], ")
+    sb.append("\"mediaSeenDirs\": [").append(m.mediaSeenDirs.map(jstr).mkString(", ")).append("], ")
     sb.append("\"nextFetchSeq\": ").append(m.nextFetchSeq).append(", ")
     sb.append("\"frontierCount\": ").append(m.frontierCount).append(", ")
     sb.append("\"pageFetches\": ").append(m.pageFetches).append(", ")
@@ -149,7 +151,8 @@ object Snapshot {
       chainField("robotsCacheDirs", "robotsCacheDir"),
       arrField("fetchLogDirs"), arrField("mediaDirs"),
       numField("nextFetchSeq"), numField("frontierCount"), numField("pageFetches"),
-      counters, optStrField("bloomPath"), cookieDirs, arrField("httpCacheDirs"))
+      counters, optStrField("bloomPath"), cookieDirs, arrField("httpCacheDirs"),
+      arrField("mediaSeenDirs"))
   }
 
   private def unescape(s: String): String = {
