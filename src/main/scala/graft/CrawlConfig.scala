@@ -310,6 +310,9 @@ final case class CrawlConfig(
     // per-extractor LinkExtractor user knobs applied to extracted links
     // (contract step 7; reference `lxmlhtml.py:217-240` _link_allowed)
     linkFilter: graft.extract.LinkFilter = graft.extract.LinkFilter.Empty,
+    // COOKIES_ENABLED (reference default True): false removes the
+    // CookiesMiddleware — no Cookie headers, no jar state at all
+    cookiesEnabled: Boolean = true,
     httpcacheEnabled: Boolean = false, // HTTPCACHE_ENABLED + DummyPolicy (step 6d)
     httpcacheIgnoreHttpCodes: Seq[Int] = Nil, // HTTPCACHE_IGNORE_HTTP_CODES (6d)
     httpcachePolicy: String = "dummy", // "dummy" | "rfc2616" (step 6f)

@@ -25,6 +25,8 @@ package graft.operators
   *  - `Secure` ⇒ sent only on https requests.
   *  - multiple Set-Cookie headers per response travel newline-separated in
   *    the corpus page row's single string column.
+  *  - `cookiesEnabled=false` (COOKIES_ENABLED) removes the middleware
+  *    entirely: no Cookie header, no jar reads or writes.
   *
   * Retained graft-contract simplifications (oracle implements the SAME
   * contract, so conformance is exact):

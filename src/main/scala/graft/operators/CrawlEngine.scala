@@ -723,8 +723,11 @@ object CrawlEngine {
         .select($"fr.url".as("url"), $"fr.fp".as("fp"), $"host",
           $"t", $"seq", $"status", lit(true).as("isRobots"), $"cached"),
         allowMissingColumns = true)
-    val fetchLog = preLog
-      .join(cookieHeaders(preLog), Seq("seq"), "left")
+    // COOKIES_ENABLED=false (reference: CookiesMiddleware not installed):
+    // constant-null column, no jar join at all
+    val fetchLog = (if (!cfg.cookiesEnabled)
+        preLog.withColumn("cookies", nullStr)
+      else preLog.join(cookieHeaders(preLog), Seq("seq"), "left"))
       .select(lit(epoch).as("epoch"), $"seq", $"host", $"url", $"fp",
         $"t".as("virtualTMs"), $"status", $"isRobots", $"referer", $"cookies",
         lit(cfg.userAgent).as("userAgent"),
@@ -1192,8 +1195,10 @@ object CrawlEngine {
       .select($"host", $"name", $"r.value", $"path", $"r.hostOnly",
         $"r.expiresMs", $"r.secure")
     // DELTA: this epoch's jar-key writes as-is (expired entries included —
-    // they are the tombstones the chain merge keeps)
-    val cookieDelta = epochCookies.as[CookieRow]
+    // they are the tombstones the chain merge keeps); no middleware, no jar
+    val cookieDelta =
+      if (!cfg.cookiesEnabled) spark.emptyDataset[CookieRow]
+      else epochCookies.as[CookieRow]
 
     // DELTA: robots rows are append-only (one fetch per host ever), so the
     // epoch's new hosts ARE the delta — no union with the old cache, no

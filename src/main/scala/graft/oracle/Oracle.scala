@@ -66,6 +66,7 @@ object Oracle {
     import graft.operators.Cookies
     val cookieJar = mutable.Map.empty[(String, String, String), Cookies.ParsedCookie]
     def cookieHeader(host: String, url: String, t: Long): String = {
+      if (!cfg.cookiesEnabled) return null // COOKIES_ENABLED=false: no mw
       val reqPath = Cookies.reqPathOf(url)
       val i = url.indexOf("://")
       val scheme = if (i < 0) "" else url.substring(0, i)
@@ -366,9 +367,10 @@ object Oracle {
             // neither do local-scheme responses (6e)
             if (cfg.autothrottle && !hit && !isLocalRow)
               delayEvents += ((seq, slotOf(host), page.latencyMs.toLong, status))
-            for (c <- Cookies.parseSetCookies(page.setCookie, host,
-                Cookies.reqPathOf(row.url), t))
-              epochSetCookies += ((seq, c))
+            if (cfg.cookiesEnabled)
+              for (c <- Cookies.parseSetCookies(page.setCookie, host,
+                  Cookies.reqPathOf(row.url), t))
+                epochSetCookies += ((seq, c))
             // decompression stage (contract step 6b) — must mirror
             // CrawlEngine's expansion flatMap exactly: nothing decodable →
             // no counters (reference `if not to_decode: return response`);

@@ -189,6 +189,13 @@ class ConformanceSpec extends AnyFunSuite {
       CrawlConfig(maxEpochs = 6), "cookies2https")
   }
 
+  test("COOKIES_ENABLED=false variant conforms (no headers, no jar writes)") {
+    // middleware removed: every fetch-log cookies column is null on BOTH
+    // sides and the jar chain stays empty — over the attribute-rich corpus
+    compare(Corpus.Small.copy(cookieTraps = true),
+      CrawlConfig(maxEpochs = 6, cookiesEnabled = false), "nocookies")
+  }
+
   test("per-slot concurrency variant conforms (8 transfers per delay tick)") {
     // CONCURRENT_REQUESTS_PER_DOMAIN analogue (contract step 4): with
     // conc=8 and delay>0, charged departures leave in batches of 8 sharing
