@@ -248,6 +248,36 @@ package graft
   *     request_scheduled patch hook, `referer.py:381-399`); retries keep
   *     theirs unchanged; seeds and robots fetches carry none. The fetch log
   *     records the header per fetch — part of the byte-for-byte compare.
+  *  7d. Request-meta controls + HttpError (since r5): meta["dont_redirect"]
+  *     passes 3xx AND qualifying meta-refresh responses through to the
+  *     spider untouched (`redirect.py:54-57`, metarefresh shares the
+  *     check); meta["dont_retry"] passes retryable statuses through and
+  *     lets exceptions fail silently — no retry counters
+  *     (`retry.py:52-55` + process_exception); meta["max_retry_times"]
+  *     overrides RETRY_TIMES per request (`retry.py:68`). Every response
+  *     that REACHES the spider (2xx, retry-exhausted, dont_redirect'd,
+  *     dont_retry'd, location-less 3xx, 404s and other plain statuses —
+  *     NOT exceptions (599) and NOT responses consumed by the
+  *     redirect/retry rewrites) passes the HttpError gate
+  *     (`httperror.py:38-60`): allowed = 2xx, or the request's
+  *     meta["handle_httpstatus_list"]/"all" (replaces, never unions), else
+  *     cfg.httperrorAllowedCodes/httperrorAllowAll. Allowed responses run
+  *     the normal step-7/7a/7c expansion on their body; disallowed ones
+  *     are dropped with `httperror/response_ignored_count` and
+  *     `httperror/response_ignored_status_count/<status>`. All four metas
+  *     are inherited by retries/redirects (meta copy), never by links.
+  *     meta["dont_cache"] (`httpcache.py:64-65,99-100`) makes the request
+  *     invisible to the 6d/6f cache: no lookup (never served cached), no
+  *     store, and NO httpcache counters fire for it.
+  *  7e. Depth stats (`spidermiddlewares/depth.py`): `request_depth_max` =
+  *     max depth over link/rule candidates passing the depth filter
+  *     (pre-dupefilter), merged across epochs by MAX. Under
+  *     depthStatsVerbose (DEPTH_STATS_VERBOSE) additionally
+  *     `request_depth_count/<n>` per surviving candidate, and
+  *     `request_depth_count/0` once per spider-reaching ALLOWED response
+  *     of a depth-0 request (the reference's _init_depth on responses
+  *     whose meta lacks "depth" — start requests and their
+  *     retries/redirects).
   *  8. Dupefilter (`scrapy/dupefilters.py:94-105` via scheduler `:343-345`):
   *     candidates processed in discovery order; dontFilter rows bypass (no
   *     seen-check, no insert); otherwise first-wins on fp against
@@ -313,6 +343,15 @@ final case class CrawlConfig(
     // COOKIES_ENABLED (reference default True): false removes the
     // CookiesMiddleware — no Cookie headers, no jar state at all
     cookiesEnabled: Boolean = true,
+    // HTTPERROR_ALLOWED_CODES / HTTPERROR_ALLOW_ALL (`spidermiddlewares/
+    // httperror.py:29-37`, contract step 7d): spider-level non-2xx statuses
+    // passed to the spider; per-request meta overrides both
+    httperrorAllowedCodes: Seq[Int] = Nil,
+    httperrorAllowAll: Boolean = false,
+    // DEPTH_STATS_VERBOSE (`spidermiddlewares/depth.py`, contract 7e):
+    // per-depth request_depth_count/<n> counters; request_depth_max is
+    // always tracked
+    depthStatsVerbose: Boolean = false,
     httpcacheEnabled: Boolean = false, // HTTPCACHE_ENABLED + DummyPolicy (step 6d)
     httpcacheIgnoreHttpCodes: Seq[Int] = Nil, // HTTPCACHE_IGNORE_HTTP_CODES (6d)
     httpcachePolicy: String = "dummy", // "dummy" | "rfc2616" (step 6f)
@@ -337,6 +376,18 @@ final case class CrawlConfig(
       * broadcasts. */
     bloomLocalMinBytes: Long = 64L << 20
 ) {
+  /** HttpErrorMiddleware allow predicate (`spidermiddlewares/httperror.py:
+    * 38-52`, contract step 7d) — THE single authority both the oracle and
+    * the engine call. `handleMeta` is the request's handleHttpstatus meta
+    * ("" unset / "all" / comma-joined codes); a set meta REPLACES the
+    * spider-level list outright (reference: meta wins, no union). */
+  def httperrorAllowed(status: Int, handleMeta: String): Boolean =
+    (status >= 200 && status < 300) || (handleMeta match {
+      case "" => httperrorAllowAll || httperrorAllowedCodes.contains(status)
+      case "all" => true
+      case s => s.split(",").contains(status.toString)
+    })
+
   /** Offsite predicate (`scrapy/downloadermiddlewares/offsite.py:47-99`):
     * host must equal an allowed domain or be a subdomain of one. Applied to
     * extracted link candidates before the dupefilter (legacy spider-mw

@@ -31,6 +31,11 @@ object CrawlMain {
     // small corpus + Cache-Control headers (contract 6f; pair with
     // GRAFT_HTTPCACHE=1 GRAFT_HTTPCACHE_POLICY=rfc2616 on the run side)
     case "smallcache" :: Nil => Corpus.Small.copy(cacheHeaders = true)
+    // small corpus + request-meta control seeds (contract 7d)
+    case "smallmeta" :: Nil => Corpus.Small.copy(metaControlSeeds = true)
+    // small corpus + tier-2 cookie traps + cookiejar-meta seeds
+    case "smalljar" :: Nil =>
+      Corpus.Small.copy(cookieTraps = true, cookieJarSeeds = true)
     case "bench" :: Nil => Corpus.bench()
     case "bench" :: n :: Nil => Corpus.bench(n.toInt)
     case "bench" :: n :: "notraps" :: Nil => // round-1-shaped A/B baseline

@@ -22,6 +22,11 @@ object UrlTool {
       // run the reference-semantics oracle on a canned corpus and print the log
       val spec = rest.headOption.getOrElse("tiny") match {
         case "small" => graft.corpus.Corpus.Small
+        case "smallmeta" => // request-meta control seeds (contract 7d)
+          graft.corpus.Corpus.Small.copy(metaControlSeeds = true)
+        case "smalljar" => // cookiejar-meta seeds over tier-2 cookie traps
+          graft.corpus.Corpus.Small.copy(cookieTraps = true,
+            cookieJarSeeds = true)
         case _ => graft.corpus.Corpus.Tiny
       }
       val pages = graft.corpus.Corpus.allPages(spec).map(p => p.url -> p).toMap

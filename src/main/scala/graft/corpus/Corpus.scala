@@ -43,7 +43,19 @@ final case class CorpusSpec(
     // neighbor (sub.hK.test) and Set-Cookie headers carry Domain/Path/
     // Max-Age/Secure attributes + multi-header responses (independent RNG
     // stream; page bodies/latencies stay identical to the flag-off spec)
-    cookieTraps: Boolean = false) {
+    cookieTraps: Boolean = false,
+    // cookiejar-meta seeds (`cookies.py:52-66,79-81`): ~30% of seeds carry
+    // meta["cookiejar"] ∈ {jA, jB} and ~12% meta["dont_merge_cookies"]
+    // (independent RNG stream; flag-off seed lists are byte-identical).
+    // Same-host seeds sharing a jar spread across epochs under per-slot
+    // delay, so later ones SEND what earlier ones stored — per-jar headers
+    // observably diverge from the default jar's.
+    cookieJarSeeds: Boolean = false,
+    // request-meta control seeds (contract step 7d): appends seeds that
+    // target known 3xx/503/404 pages with dont_redirect / dont_retry /
+    // max_retry_times / handle_httpstatus metas, so every meta observably
+    // changes the fetch log or the httperror counters
+    metaControlSeeds: Boolean = false) {
 
   /** Pages on host k: host 0 is the hot host; the rest share uniformly. */
   def pagesOnHost(k: Int): Int = {
@@ -430,8 +442,69 @@ object Corpus {
       if (spec.bypassRobotsSeeds && r.nextDouble() < 0.25)
         SeedRow(s, privateUrl(spec, k, 1 + r.nextInt(4)), prio,
           dontObeyRobots = true)
-      else SeedRow(s, url, prio)
-    } ++ localSeeds(spec)
+      else {
+        // cookiejar meta (independent per-seed stream — base draws above
+        // are untouched, so flag-off seed lists stay byte-identical)
+        val (jar, dmc) =
+          if (!spec.cookieJarSeeds) ("", false)
+          else {
+            val cr = rng(spec, 8300000087L * (s + 1))
+            val roll = cr.nextDouble()
+            if (roll < 0.30) ("j" + ('A' + cr.nextInt(2)).toChar, false)
+            else if (roll < 0.42) ("", true)
+            else ("", false)
+          }
+        SeedRow(s, url, prio, cookieJar = jar, dontMergeCookies = dmc)
+      }
+    } ++ localSeeds(spec) ++ metaSeeds(spec)
+  }
+
+  /** Meta-control seeds (contract step 7d; appended when
+    * `metaControlSeeds`): deterministic scans of the pure page function
+    * find redirect/retry/404 pages, then each meta key gets a seed whose
+    * behavior it observably changes — dont_redirect'd 3xx (ignored vs
+    * handled), dont_retry'd + max_retry_times'd 503s (0 = instant
+    * max_reached, 4 = extra retries), a handled 404. Scans only run with
+    * the knob on (never at bench scale). */
+  def metaSeeds(spec: CorpusSpec): Seq[SeedRow] = {
+    if (!spec.metaControlSeeds) return Nil
+    def find(n: Int)(pred: PageRow => Boolean): Seq[(Int, Int)] = {
+      val out = Seq.newBuilder[(Int, Int)]
+      var cnt = 0
+      val it = (0 until spec.nHosts).iterator.flatMap(k =>
+        (0 until spec.pagesOnHost(k)).iterator.map(j => (k, j)))
+      while (cnt < n && it.hasNext) {
+        val (k, j) = it.next()
+        if (pred(page(spec, k, j))) { out += ((k, j)); cnt += 1 }
+      }
+      out.result()
+    }
+    val redirects = find(3)(p => p.status == 301 || p.status == 302)
+    val retryables = find(5)(_.status == 503)
+    val notFound = find(2)(_.status == 404)
+    def u(kj: (Int, Int)) = pageUrl(spec, kj._1, kj._2)
+    val metas: Seq[SeedRow] =
+      redirects.zipWithIndex.map {
+        case (kj, 0) => SeedRow(0, u(kj), 0, dontRedirect = true)
+        case (kj, 1) => SeedRow(0, u(kj), 0, dontRedirect = true,
+          handleHttpstatus = "301,302")
+        case (kj, _) => SeedRow(0, u(kj), 0, dontRedirect = true,
+          handleHttpstatus = "all")
+      } ++ retryables.zipWithIndex.map {
+        case (kj, 0) => SeedRow(0, u(kj), 0, dontRetry = true)
+        case (kj, 1) => SeedRow(0, u(kj), 0, maxRetryTimes = 0)
+        case (kj, 2) => SeedRow(0, u(kj), 0, maxRetryTimes = 4)
+        // dont_cache vs control: under httpcacheEnabled the control's
+        // retries hit the stored 503 while the dont_cache seed's retries
+        // re-download every time (cached flag diverges in the byte compare)
+        case (kj, 3) => SeedRow(0, u(kj), 0, dontCache = true)
+        case (kj, _) => SeedRow(0, u(kj), 0)
+      } ++ notFound.zipWithIndex.map {
+        case (kj, 0) => SeedRow(0, u(kj), 0, handleHttpstatus = "404")
+        case (kj, _) => SeedRow(0, u(kj), 0)
+      }
+    val base = spec.seedCount.toLong + localSeeds(spec).size
+    metas.zipWithIndex.map { case (s, i) => s.copy(seq = base + i) }
   }
 
   /** data:/file: seeds appended when `localSeedsDir` is set (contract 6e):

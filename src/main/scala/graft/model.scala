@@ -44,7 +44,41 @@ final case class FrontierRow(
     // `spiders/crawl.py:125-131`); -1 = seed / non-rule request. Under
     // cfg.crawlRules it decides whether the response is expanded further
     // (Rule.follow). Retries/redirects inherit it (meta copy).
-    ruleIdx: Int = -1)
+    ruleIdx: Int = -1,
+    // meta["cookiejar"] (`downloadermiddlewares/cookies.py:52-66`): selects
+    // which cookie jar the request reads its Cookie header from and which
+    // jar its response's Set-Cookie writes land in. "" = the default jar
+    // (meta absent). NOT sticky (reference docs: the key must be passed
+    // along explicitly) — retries/redirects inherit it via the meta copy,
+    // extracted links never do.
+    cookieJar: String = "",
+    // meta["dont_merge_cookies"] (`cookies.py:79-81,96-98`): the request
+    // bypasses the jar entirely — no Cookie header is attached AND the
+    // response's Set-Cookie headers are not stored. Inherited by
+    // retries/redirects (meta copy), never by links.
+    dontMergeCookies: Boolean = false,
+    // meta["dont_redirect"] (`redirect.py:54-57`, shared with metarefresh):
+    // 3xx/meta-refresh responses pass through to the spider instead of
+    // being rewritten. Inherited by retries, never by links.
+    dontRedirect: Boolean = false,
+    // meta["dont_retry"] (`retry.py:52-55` + process_exception): retryable
+    // statuses and download exceptions pass through instead of being
+    // re-enqueued (an exception then just fails — no retry counters).
+    dontRetry: Boolean = false,
+    // meta["max_retry_times"] (`retry.py:68`): per-request RETRY_TIMES
+    // override; -1 = unset (cfg.retryTimes applies).
+    maxRetryTimes: Int = -1,
+    // meta["handle_httpstatus_list"] / meta["handle_httpstatus_all"]
+    // (`spidermiddlewares/httperror.py:43-52`): "" = unset (the
+    // spider/settings list applies), "all" = handle everything, else
+    // comma-joined status codes. The meta list REPLACES the settings list
+    // (reference semantics: meta wins outright, no union).
+    handleHttpstatus: String = "",
+    // meta["dont_cache"] (`httpcache.py:64-65,99-100`): the request skips
+    // the HTTP cache entirely — no lookup, no store, and NO httpcache
+    // counters fire for it. Inherited by retries/redirects (meta copy),
+    // never by links.
+    dontCache: Boolean = false)
 
 /** One fetch in the ordered crawl log — the byte-for-byte conformance object
   * (SURVEY.md §7.4, FIXTURES.md §6). `seq` is the global fetch index. */
@@ -100,7 +134,15 @@ final case class RobotsRow(host: String, body: Array[Byte])
   * (`robotstxt.py:57-59`), settable per start request like in the
   * reference's spiders. */
 final case class SeedRow(seq: Long, url: String, priority: Int,
-    dontObeyRobots: Boolean = false)
+    dontObeyRobots: Boolean = false,
+    // meta["cookiejar"] / meta["dont_merge_cookies"] on the start request
+    // (`cookies.py:52-66,79-81`) — see [[FrontierRow]]
+    cookieJar: String = "", dontMergeCookies: Boolean = false,
+    // redirect/retry/httperror/cache meta controls on the start request —
+    // see [[FrontierRow]]
+    dontRedirect: Boolean = false, dontRetry: Boolean = false,
+    maxRetryTimes: Int = -1, handleHttpstatus: String = "",
+    dontCache: Boolean = false)
 
 /** Per-slot politeness state carried across epochs (reference: downloader
   * Slot.lastseen + Slot.delay, `scrapy/core/downloader/__init__.py:148-177`).
@@ -114,11 +156,13 @@ final case class HostState(host: String, lastTMs: Long, robotsFetched: Boolean,
   * [[graft.operators.Cookies]]). The `host` column holds the cookie's
   * normalized DOMAIN (the persisted column name predates the tier-2
   * semantics and is kept for chain compatibility); jar key =
-  * (host, path, name). `expiresMs` is on the virtual clock, -1 = session
-  * cookie; an expired entry is a delete tombstone (latest-wins). */
+  * (jar, host, path, name) where `jar` is the meta["cookiejar"] id that
+  * owns the entry ("" = default jar, `cookies.py:52-66`). `expiresMs` is
+  * on the virtual clock, -1 = session cookie; an expired entry is a
+  * delete tombstone (latest-wins). */
 final case class CookieRow(host: String, name: String, value: String,
     path: String = "/", hostOnly: Boolean = true, expiresMs: Long = -1L,
-    secure: Boolean = false)
+    secure: Boolean = false, jar: String = "")
 
 /** Media output row (reference: ImagesPipeline results,
   * `scrapy/pipelines/images.py:110-210` + files checksum `files.py:61-75`). */

@@ -27,6 +27,14 @@ package graft.operators
   *    the corpus page row's single string column.
   *  - `cookiesEnabled=false` (COOKIES_ENABLED) removes the middleware
   *    entirely: no Cookie header, no jar reads or writes.
+  *  - `meta["cookiejar"]` (tier-3, `cookies.py:52-66`): the request's jar
+  *    id ("" = default) prefixes the jar key — jars are fully isolated; a
+  *    request reads its Cookie header from and stores its Set-Cookie into
+  *    its own jar only. Not sticky: retries/redirects inherit the id (meta
+  *    copy), extracted links never do. Robots requests are fresh Requests
+  *    (`robotstxt.py:82-99`) — always the default jar.
+  *  - `meta["dont_merge_cookies"]` (`cookies.py:79-81,96-98`): the request
+  *    sends no Cookie header AND its response's Set-Cookie is discarded.
   *
   * Retained graft-contract simplifications (oracle implements the SAME
   * contract, so conformance is exact):

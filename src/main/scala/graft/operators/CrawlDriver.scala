@@ -38,7 +38,8 @@ object CrawlDriver {
   private val HostStateSchema = "host STRING, lastTMs BIGINT, robotsFetched BOOLEAN, delayMs BIGINT"
   private val RobotsSchema = "host STRING, body BINARY, ok BOOLEAN"
   private val CookieSchema = "host STRING, name STRING, value STRING, " +
-    "path STRING, hostOnly BOOLEAN, expiresMs BIGINT, secure BOOLEAN"
+    "path STRING, hostOnly BOOLEAN, expiresMs BIGINT, secure BOOLEAN, " +
+    "jar STRING"
   // storedTMs/status/cacheControl since the 6f rfc2616 policy — a dummy
   // chain written before that reads with nulls (membership is all it needs)
   private val HttpCacheSchema =
@@ -103,14 +104,16 @@ object CrawlDriver {
           coalesce($"path", lit("/")).as("path"),
           coalesce($"hostOnly", lit(true)).as("hostOnly"),
           coalesce($"expiresMs", lit(-1L)).as("expiresMs"),
-          coalesce($"secure", lit(false)).as("secure"))
+          coalesce($"secure", lit(false)).as("secure"),
+          // pre-cookiejar-meta chains have no jar column → default jar
+          coalesce($"jar", lit("")).as("jar"))
         .withColumn("chainIdx", lit(i))
     }.reduce(_.unionByName(_))
-      .groupBy($"host", $"path", $"name")
+      .groupBy($"jar", $"host", $"path", $"name")
       .agg(max_by(struct($"value", $"hostOnly", $"expiresMs", $"secure"),
         $"chainIdx").as("r"))
       .select($"host", $"name", $"r.value", $"path", $"r.hostOnly",
-        $"r.expiresMs", $"r.secure")
+        $"r.expiresMs", $"r.secure", $"jar")
       .as[CookieRow]
   }
 
@@ -164,7 +167,10 @@ object CrawlDriver {
       lit(0).as("retryTimes"), lit(0).as("redirectTimes"),
       lit(false).as("dontFilter"),
       lit(null).cast("string").as("referer"),
-      $"dontObeyRobots", lit(-1).as("ruleIdx")).as[FrontierRow]
+      $"dontObeyRobots", lit(-1).as("ruleIdx"),
+      $"cookieJar", $"dontMergeCookies",
+      $"dontRedirect", $"dontRetry", $"maxRetryTimes",
+      $"handleHttpstatus", $"dontCache").as[FrontierRow]
 
     val fDir = dataDir(root, 0, "frontier")
     frontier0.write.mode(SaveMode.Overwrite).parquet(fDir)
@@ -231,7 +237,14 @@ object CrawlDriver {
     var m = Snapshot.loadLatest(root).getOrElse {
       val m0 = init(spark, cfg,
         Snapshot.withDefaults(spark.read.parquet(s"$corpusDir/seeds"),
-          Seq("dontObeyRobots" -> org.apache.spark.sql.functions.lit(false)))
+          Seq("dontObeyRobots" -> org.apache.spark.sql.functions.lit(false),
+            "cookieJar" -> org.apache.spark.sql.functions.lit(""),
+            "dontMergeCookies" -> org.apache.spark.sql.functions.lit(false),
+            "dontRedirect" -> org.apache.spark.sql.functions.lit(false),
+            "dontRetry" -> org.apache.spark.sql.functions.lit(false),
+            "maxRetryTimes" -> org.apache.spark.sql.functions.lit(-1),
+            "handleHttpstatus" -> org.apache.spark.sql.functions.lit(""),
+            "dontCache" -> org.apache.spark.sql.functions.lit(false)))
           .as[SeedRow], root)
       if (cachePrimeDirs.isEmpty && mediaPrimeDirs.isEmpty) m0
       else {
@@ -314,7 +327,14 @@ object CrawlDriver {
       val frontier = Snapshot.withDefaults(spark.read.parquet(m.frontierDir),
         Seq("referer" -> lit(null).cast("string"),
           "dontObeyRobots" -> lit(false),
-          "ruleIdx" -> lit(-1))).as[FrontierRow]
+          "ruleIdx" -> lit(-1),
+          "cookieJar" -> lit(""),
+          "dontMergeCookies" -> lit(false),
+          "dontRedirect" -> lit(false),
+          "dontRetry" -> lit(false),
+          "maxRetryTimes" -> lit(-1),
+          "handleHttpstatus" -> lit(""),
+          "dontCache" -> lit(false))).as[FrontierRow]
       val urlSeen = readSeen(spark, m.seenDirs)
       // the merged host-state view feeds three joins inside the epoch (slot
       // state, delay updates, the next delta) — materialize the chain merge
@@ -554,7 +574,12 @@ object CrawlDriver {
       bloomOnDisk = bloomPath
 
       val mergedCounters = (m.counters.keySet ++ r.counters.keySet).map { k =>
-        k -> (m.counters.getOrElse(k, 0L) + r.counters.getOrElse(k, 0L))
+        // request_depth_max is a running MAX (reference stats.max_value,
+        // contract 7e); everything else sums
+        if (k == "request_depth_max")
+          k -> math.max(m.counters.getOrElse(k, 0L), r.counters.getOrElse(k, 0L))
+        else
+          k -> (m.counters.getOrElse(k, 0L) + r.counters.getOrElse(k, 0L))
       }.toMap
 
       m = Manifest(e1, epoch, fDir, seenDirs, hostStateDirs, robotsCacheDirs,

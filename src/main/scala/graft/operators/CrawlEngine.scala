@@ -276,7 +276,9 @@ object CrawlEngine {
     // joins on the same key; plan unchanged).
     val frCols = Seq("url", "fp", "host", "priority", "depth", "isStart",
       "dEpoch", "dParent", "dLink", "retryTimes", "redirectTimes", "dontFilter",
-      "referer", "dontObeyRobots", "ruleIdx")
+      "referer", "dontObeyRobots", "ruleIdx", "cookieJar", "dontMergeCookies",
+      "dontRedirect", "dontRetry", "maxRetryTimes", "handleHttpstatus",
+      "dontCache")
     val withSlot =
       if (cfg.perIpSlots && dns != null)
         frontier.toDF()
@@ -327,7 +329,9 @@ object CrawlEngine {
         val withMaybe = withSlot
           .withColumn("rowFpHex", lower(hex($"fp")))
           .withColumn("rscheme", schemeUdf($"url"))
-          .withColumn("maybeCached", maybeCol)
+          // meta["dont_cache"]: no lookup — the row is definitively
+          // uncached (skips the exact join AND the slot cached-count)
+          .withColumn("maybeCached", maybeCol && !$"dontCache")
         val notCached = withMaybe.filter(!$"maybeCached")
           .withColumn("cached", lit(false))
           .withColumn("ceStoredT", lit(null).cast("long"))
@@ -689,11 +693,20 @@ object CrawlEngine {
       if (i < 0) "" else url.substring(0, i)
     })
     val sendableUdf = udf(Cookies.sendable _)
+    // jar selection (meta["cookiejar"], `cookies.py:52-66`): the join key
+    // gains the request's jar id, so a jar-tagged request only sees its own
+    // jar's entries. meta["dont_merge_cookies"] rows skip the join entirely
+    // (no Cookie header, `cookies.py:79-81`). Robots fetch rows carry no
+    // fr meta columns (union fills null) — a robots request is a fresh
+    // Request in the reference, so it reads the DEFAULT jar (coalesce "").
     def cookieHeaders(fetchRows: DataFrame): DataFrame = fetchRows
-      .select($"seq", $"url", $"host", $"t")
+      .filter(!coalesce($"dontMergeCookies", lit(false)))
+      .select($"seq", $"url", $"host", $"t",
+        coalesce($"cookieJar", lit("")).as("cjar"))
       .withColumn("cdomain", explode(suffixesUdf($"host")))
-      .join(cookieJar.toDF().withColumnRenamed("host", "cdomain"),
-        Seq("cdomain"))
+      .join(cookieJar.toDF().withColumnRenamed("host", "cdomain")
+        .withColumnRenamed("jar", "cjar"),
+        Seq("cdomain", "cjar"))
       .filter(sendableUdf($"host", reqPathUdf($"url"), urlSchemeUdf($"url"),
         $"t", $"cdomain", $"hostOnly", $"path", $"expiresMs", $"secure"))
       .groupBy($"seq")
@@ -749,22 +762,29 @@ object CrawlEngine {
     // candidate kind: 0 candidate, 1 retry/max_reached, 2 depth/filtered,
     // 3 offsite/filtered, 4 redirect/max_reached, 5 decompressed-response
     // marker (carries decoded byte count), 6 decompression max-size drop,
-    // 7 decompression decode-error drop
+    // 7 decompression decode-error drop, 8 httperror-ignored response
+    // (carries the status — contract step 7d)
     val obsCand = org.apache.spark.sql.Observation()
     val candsRaw0: Dataset[(Int, FrontierRow, Long)] = toExpand.flatMap {
       case (row, seq, status, timedOut, location, rawBody, contentEncoding,
           refPolicyHeader) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[(Int, FrontierRow, Long)]
+        // meta["max_retry_times"] overrides RETRY_TIMES (`retry.py:68`)
+        val effMaxRetry =
+          if (row.maxRetryTimes >= 0) row.maxRetryTimes else cfg.retryTimes
+        // a retry is the SAME request re-enqueued (`request.replace` keeps
+        // all meta) — copy() inherits every meta column by construction
+        def retryCand(): FrontierRow = row.copy(priority = row.priority - 1,
+          isStart = false, dEpoch = epoch, dParent = seq, dLink = -2,
+          retryTimes = row.retryTimes + 1, dontFilter = true)
         // download timeout (contract step 6c): no response at all — retried
-        // as an exception (same rewrite as a retryable status), nothing else
+        // as an exception (same rewrite as a retryable status) unless
+        // meta["dont_retry"] lets the failure drop silently (7d)
         if (timedOut) {
-          if (row.retryTimes < cfg.retryTimes) {
-            out += ((0, FrontierRow(row.url, row.fp, row.host, row.priority - 1,
-              row.depth, isStart = false, epoch, seq, -2,
-              row.retryTimes + 1, row.redirectTimes, dontFilter = true,
-              referer = row.referer, dontObeyRobots = row.dontObeyRobots,
-              ruleIdx = row.ruleIdx), 0L))
-          } else out += ((1, row, 0L))
+          if (!row.dontRetry) {
+            if (row.retryTimes < effMaxRetry) out += ((0, retryCand(), 0L))
+            else out += ((1, row, 0L))
+          }
         } else {
         // decompression stage (contract step 6b): decode before any body use;
         // an undecodable remainder coding leaves the body opaque (no links).
@@ -790,7 +810,15 @@ object CrawlEngine {
               out += ((7, row, 0L)); body = None
           }
         }
-        if (redirectStatuses.contains(status) && location.exists(_ != null)) {
+        // a redirect request inherits the full meta (`request.replace`) —
+        // copy() keeps it; the Referer is re-patched per step 7b
+        def redirectCand(target: String, patched: String): FrontierRow =
+          row.copy(url = target, fp = UrlKit.fingerprint(target),
+            host = UrlKit.hostOf(target), priority = row.priority + 2,
+            isStart = false, dEpoch = epoch, dParent = seq, dLink = -1,
+            redirectTimes = row.redirectTimes + 1, referer = patched)
+        if (redirectStatuses.contains(status) && location.exists(_ != null) &&
+            !row.dontRedirect) { // meta["dont_redirect"]: pass through (7d)
           if (row.redirectTimes < cfg.maxRedirectTimes) {
             val target = UrlKit.safeUrlString(UrlKit.urljoin(row.url, location.get))
             // redirected request inherits the Referer, then the default
@@ -800,25 +828,28 @@ object CrawlEngine {
               if (row.referer == null) null
               else defaultRefererPolicy.referrer(
                 UrlKit.safeUrlString(row.referer), target).orNull
-            out += ((0, FrontierRow(target, UrlKit.fingerprint(target),
-              UrlKit.hostOf(target), row.priority + 2, row.depth, isStart = false,
-              epoch, seq, -1, row.retryTimes, row.redirectTimes + 1, row.dontFilter,
-              referer = patched, dontObeyRobots = row.dontObeyRobots,
-              ruleIdx = row.ruleIdx), 0L))
+            out += ((0, redirectCand(target, patched), 0L))
           } else out += ((4, row, 0L)) // redirect chain past the cap: counted, dropped
-        } else if (retryStatuses.contains(status)) {
-          if (row.retryTimes < cfg.retryTimes) {
-            out += ((0, FrontierRow(row.url, row.fp, row.host, row.priority - 1,
-              row.depth, isStart = false, epoch, seq, -2,
-              row.retryTimes + 1, row.redirectTimes, dontFilter = true,
-              referer = row.referer, dontObeyRobots = row.dontObeyRobots,
-              ruleIdx = row.ruleIdx), 0L)) // retries keep their headers
-          } else out += ((1, row, 0L))
-        } else if (status >= 200 && status < 300 && body.isDefined) {
+        } else if (retryStatuses.contains(status) && !row.dontRetry) {
+          if (row.retryTimes < effMaxRetry) {
+            out += ((0, retryCand(), 0L)) // retries keep their headers
+          } else {
+            out += ((1, row, 0L))
+            // the exhausted RESPONSE reaches the spider (`retry.py` returns
+            // it) — HttpError gate applies (7d)
+            if (!cfg.httperrorAllowed(status, row.handleHttpstatus))
+              out += ((8, row, status.toLong))
+            else if (cfg.depthStatsVerbose && row.depth == 0)
+              out += ((9, row, 0L)) // _init_depth on the allowed response (7e)
+          }
+        } else if (status != 599 &&
+            cfg.httperrorAllowed(status, row.handleHttpstatus) &&
+            body.isDefined) {
           // meta-refresh intercept (contract step 7a): runs below the spider,
-          // so a qualifying directive pre-empts link extraction entirely
-          val mrTarget = graft.extract.MetaRefresh
-            .findInBytes(body.get)
+          // so a qualifying directive pre-empts link extraction entirely —
+          // unless meta["dont_redirect"] (metarefresh shares the check, 7d)
+          val mrTarget = (if (row.dontRedirect) None
+            else graft.extract.MetaRefresh.findInBytes(body.get))
             .filter(_._1 < cfg.metarefreshMaxDelay)
             .map { case (_, u) => UrlKit.safeUrlString(UrlKit.urljoin(row.url, u)) }
             .filter { t =>
@@ -832,13 +863,15 @@ object CrawlEngine {
                 if (row.referer == null) null
                 else defaultRefererPolicy.referrer(
                   UrlKit.safeUrlString(row.referer), target).orNull
-              out += ((0, FrontierRow(target, UrlKit.fingerprint(target),
-                UrlKit.hostOf(target), row.priority + 2, row.depth, isStart = false,
-                epoch, seq, -1, row.retryTimes, row.redirectTimes + 1, row.dontFilter,
-                referer = patched, dontObeyRobots = row.dontObeyRobots,
-                ruleIdx = row.ruleIdx), 0L))
+              out += ((0, redirectCand(target, patched), 0L))
             } else out += ((4, row, 0L))
-          } else if (cfg.crawlRules.nonEmpty) {
+          } else {
+          // depth-0 init (7e): _init_depth fires once per response that
+          // ACTUALLY reaches the spider with a depth-0 request (starts and
+          // their retries/redirects) — a qualifying meta-refresh was
+          // consumed by the downloader middleware first
+          if (cfg.depthStatsVerbose && row.depth == 0) out += ((9, row, 0L))
+          if (cfg.crawlRules.nonEmpty) {
             // CrawlSpider rule walk (contract 7c): extractors + hooks decide
             // the follow-requests; the engine applies depth/offsite/length
             // and the Referer policy to the (possibly hook-rewritten) URLs
@@ -878,6 +911,18 @@ object CrawlEngine {
             }
           } else links.foreach(_ => out += ((2, row, 0L)))
           }
+          } // end spider-input (non-metarefresh) expansion
+        } else if (status != 599 &&
+            !cfg.httperrorAllowed(status, row.handleHttpstatus)) {
+          // a response that reached the spider with a disallowed status
+          // (404s, dont_redirect'd 3xx, dont_retry'd 5xx, location-less
+          // redirects) — dropped by HttpErrorMiddleware (7d); 599 rows are
+          // exceptions with no response and never reach the spider
+          out += ((8, row, status.toLong))
+        } else if (status != 599 && cfg.depthStatsVerbose && row.depth == 0) {
+          // ALLOWED spider-input without a body (e.g. a handled corpus-miss
+          // 404): _init_depth still fires (7e)
+          out += ((9, row, 0L))
         }
         } // end !timedOut
         out
@@ -894,6 +939,10 @@ object CrawlEngine {
         sum(when($"kind" === 5, 1L).otherwise(0L)).as("decompCount"),
         sum(when($"kind" === 5, $"bytes").otherwise(0L)).as("decompBytes"),
         sum(when($"kind" === 6, 1L).otherwise(0L)).as("decompMaxSize"),
+        sum(when($"kind" === 8, 1L).otherwise(0L)).as("httperrorIgnored"),
+        sum(when($"kind" === 9, 1L).otherwise(0L)).as("depth0Inits"),
+        max(when($"kind" === 0 && $"fr.dLink" >= 0, $"fr.depth"))
+          .as("depthMax"),
         sum(when($"kind" === 7, 1L).otherwise(0L)).as("decompError"))
       .as[(Int, FrontierRow, Long)]
       .persist()
@@ -911,11 +960,15 @@ object CrawlEngine {
       .groupBy($"fpHex")
       .agg(min(struct($"dEpoch", $"dParent", $"dLink", $"url", $"fp", $"host",
         $"priority", $"depth", $"isStart", $"retryTimes", $"redirectTimes",
-        $"dontFilter", $"referer", $"dontObeyRobots", $"ruleIdx")).as("r"))
+        $"dontFilter", $"referer", $"dontObeyRobots", $"ruleIdx",
+        $"cookieJar", $"dontMergeCookies", $"dontRedirect", $"dontRetry",
+        $"maxRetryTimes", $"handleHttpstatus", $"dontCache")).as("r"))
       .select($"fpHex", $"r.url", $"r.fp", $"r.host", $"r.priority", $"r.depth",
         $"r.isStart", $"r.dEpoch", $"r.dParent", $"r.dLink", $"r.retryTimes",
         $"r.redirectTimes", $"r.dontFilter", $"r.referer", $"r.dontObeyRobots",
-        $"r.ruleIdx")
+        $"r.ruleIdx", $"r.cookieJar", $"r.dontMergeCookies", $"r.dontRedirect",
+        $"r.dontRetry", $"r.maxRetryTimes", $"r.handleHttpstatus",
+        $"r.dontCache")
 
     // Bloom prescreen (north rule: bloom/cuckoo URL-seen): a fingerprint the
     // filter has never seen is DEFINITELY new — only likely-dups pay the
@@ -1006,18 +1059,35 @@ object CrawlEngine {
       if (!localOn) lit("h")
       else when($"fr.url".startsWith("data:"), lit("d"))
         .when($"fr.url".startsWith("file:"), lit("f")).otherwise(lit("h"))
+    // two extra tiny grouping dims: `dc` (meta["dont_cache"] — those rows
+    // fire NO httpcache counters, contract 7d) and `storable` (rfc2616
+    // should_cache_response per row — the store counter reads it here
+    // instead of running a separate count() job over the delta; constant
+    // false under dummy/cache-off so the ship plan is unchanged)
+    val dcCol =
+      if (cfg.httpcacheEnabled) $"fr.dontCache" else lit(false)
+    val storableCol =
+      if (cfg.httpcacheEnabled && cfg.httpcachePolicy == "rfc2616")
+        udf((status: Int, cc: String) => Rfc2616Policy.storable(status, cc))
+          .apply($"status", $"cacheControl")
+      else lit(false)
     val statusCountsF = Future {
       fetched
-        .groupBy($"status", $"cached", excKindCol.as("ek"), $"excClass")
+        .groupBy($"status", $"cached", excKindCol.as("ek"), $"excClass",
+          dcCol.as("dc"), storableCol.as("storable"))
         .count()
         .select($"status", lit(false).as("isRobots"), $"cached", $"ek",
-          $"excClass", $"count")
+          $"excClass", $"dc", $"storable", $"count")
         .unionByName(robotsFetchLog
           .groupBy($"status", $"cached").count()
           .select($"status", lit(true).as("isRobots"), $"cached",
             lit("h").as("ek"), lit(null).cast("string").as("excClass"),
+            // robots requests carry no meta and are never rfc2616-storable
+            // (header-less response)
+            lit(false).as("dc"), lit(false).as("storable"),
             $"count"))
-        .as[(Int, Boolean, Boolean, String, Option[String], Long)].collect()
+        .as[(Int, Boolean, Boolean, String, Option[String], Boolean, Boolean,
+          Long)].collect()
     }
     // survivors.count() materializes the expansion chain, firing obsCand
     val nSurvivors = survivors.count()
@@ -1036,17 +1106,27 @@ object CrawlEngine {
           Rfc2616Policy.storable(status, cc))
         fetched
           .filter(!$"cached" && $"status" =!= 599 &&
-            !$"fr.url".startsWith("file:"))
+            !$"fr.url".startsWith("file:") &&
+            !$"fr.dontCache") // meta["dont_cache"]: never stored (7d)
           .filter(storableU($"status", $"cacheControl"))
           .select(lower(hex($"fr.fp")).as("fpHex"), $"t".as("storedTMs"),
             $"status", $"cacheControl")
-      } else fetchLog.filter(!$"cached" && $"status" =!= 599 &&
-          !$"url".startsWith("file:") && // ignore-scheme (contract 6e)
-          // HTTPCACHE_IGNORE_HTTP_CODES (should_cache_response, 6d)
-          (if (cfg.httpcacheIgnoreHttpCodes.isEmpty) lit(true)
-           else !$"status".isin(cfg.httpcacheIgnoreHttpCodes: _*)))
-        .select(lower(hex($"fp")).as("fpHex"), $"virtualTMs".as("storedTMs"),
-          $"status", lit(null).cast("string").as("cacheControl"))
+      } else {
+        // dummy delta from `fetched` + robots (not the fetch log — the log
+        // drops the meta columns, and dont_cache rows must not store)
+        val ignoreCond =
+          if (cfg.httpcacheIgnoreHttpCodes.isEmpty) lit(true)
+          else !$"status".isin(cfg.httpcacheIgnoreHttpCodes: _*)
+        fetched.filter(!$"cached" && $"status" =!= 599 &&
+            !$"fr.url".startsWith("file:") && // ignore-scheme (contract 6e)
+            !$"fr.dontCache" && ignoreCond)
+          .select(lower(hex($"fr.fp")).as("fpHex"), $"t".as("storedTMs"),
+            $"status", lit(null).cast("string").as("cacheControl"))
+          .unionByName(robotsFetchLog
+            .filter(!$"cached" && $"status" =!= 599 && ignoreCond)
+            .select(lower(hex($"fr.fp")).as("fpHex"), $"t".as("storedTMs"),
+              $"status", lit(null).cast("string").as("cacheControl")))
+      }
 
     val candMetrics = obsCand.get
     val nCands = metric(candMetrics, "cands")
@@ -1066,7 +1146,7 @@ object CrawlEngine {
     // contract 6c/6e: a non-robots 599 is a download exception, not a
     // response (robots 599 = robots fetch error, a response status) — the
     // class depends on the scheme: HTTP timeout, bad data: URI, missing file
-    for ((status, isRobots, _, _, excCls, cnt) <- statusCounts) {
+    for ((status, isRobots, _, _, excCls, _, _, cnt) <- statusCounts) {
       if (!isRobots && status == 599) {
         counters("downloader/exception_count") += cnt
         // the handler's actual exception class rides on `fetched` (6c/6e)
@@ -1083,19 +1163,27 @@ object CrawlEngine {
       // contract 6e): no hit, no miss, never stored. firsthand counts every
       // first-hand response; store excludes HTTPCACHE_IGNORE_HTTP_CODES
       // (DummyPolicy.should_cache_response)
+      // meta["dont_cache"] rows (dc) fire NO httpcache counters at all
+      // (reference process_request/process_response early return, 7d)
       val ignoreCodes = cfg.httpcacheIgnoreHttpCodes.toSet
       counters("httpcache/hit") = statusCounts.collect {
-        case (_, _, true, _, _, cnt) => cnt }.sum
+        case (_, _, true, _, _, _, _, cnt) => cnt }.sum
       counters("httpcache/miss") = statusCounts.collect {
-        case (_, _, false, ek, _, cnt) if ek != "f" => cnt }.sum
+        case (_, _, false, ek, _, dc, _, cnt) if ek != "f" && !dc => cnt }.sum
       counters("httpcache/firsthand") = statusCounts.collect {
-        case (st, _, false, ek, _, cnt) if st != 599 && ek != "f" => cnt }.sum
+        case (st, _, false, ek, _, dc, _, cnt)
+          if st != 599 && ek != "f" && !dc => cnt }.sum
       counters("httpcache/store") =
         if (cfg.httpcachePolicy == "rfc2616")
-          httpCacheDelta.count() // politeness-bounded rows off cached `fetched`
+          // per-row should_cache_response rides the statusCounts dims — no
+          // extra job over the delta (round-4 "unevenness" note)
+          statusCounts.collect {
+            case (st, _, false, ek, _, dc, storable, cnt)
+              if st != 599 && ek != "f" && !dc && storable => cnt }.sum
         else statusCounts.collect {
-          case (st, _, false, ek, _, cnt)
-            if st != 599 && ek != "f" && !ignoreCodes.contains(st) => cnt }.sum
+          case (st, _, false, ek, _, dc, _, cnt)
+            if st != 599 && ek != "f" && !dc &&
+              !ignoreCodes.contains(st) => cnt }.sum
     }
     counters("retry/count") = nRetries
     counters("retry/max_reached") = nRetryMax
@@ -1104,6 +1192,28 @@ object CrawlEngine {
     counters("httpcompression/response_bytes") = metric(candMetrics, "decompBytes")
     counters("httpcompression/max_size_exceeded") = metric(candMetrics, "decompMaxSize")
     counters("httpcompression/decode_error") = metric(candMetrics, "decompError")
+    // HttpError drops (contract step 7d): the total rides the existing
+    // observe; the per-status breakdown is a tiny grouped count over the
+    // already-persisted candidate set, run ONLY when a drop happened (a
+    // clean all-2xx epoch pays nothing)
+    val nHttperrorIgnored = metric(candMetrics, "httperrorIgnored")
+    counters("httperror/response_ignored_count") = nHttperrorIgnored
+    if (nHttperrorIgnored > 0) {
+      for ((st, cnt) <- candsRaw.filter(_._1 == 8).map(_._3)
+          .groupBy("value").count().as[(Long, Long)].collect())
+        counters(s"httperror/response_ignored_status_count/$st") = cnt
+    }
+    // depth stats (contract 7e): request_depth_max rides the observe and is
+    // MAX-merged across epochs by the driver; the verbose per-depth counts
+    // are a tiny grouped job over the persisted candidates, verbose-only
+    counters("request_depth_max") = metric(candMetrics, "depthMax")
+    if (cfg.depthStatsVerbose) {
+      counters("request_depth_count/0") = metric(candMetrics, "depth0Inits")
+      for ((d, cnt) <- candsRaw
+          .filter(r => r._1 == 0 && r._2.dLink >= 0).map(_._2.depth)
+          .groupBy("value").count().as[(Int, Long)].collect())
+        counters(s"request_depth_count/$d") = cnt
+    }
     counters("depth/filtered") = nDepthFiltered
     counters("offsite/filtered") = metric(candMetrics, "offsite")
     counters("dupefilter/filtered") = nNormal - nSurvivors
@@ -1177,23 +1287,27 @@ object CrawlEngine {
     // expiry is clock-relative), last writer by global fetch seq per
     // (domain, path, name) jar key; a Max-Age ≤ 0 store is an expired
     // entry = the key's delete tombstone (latest-wins shadowing)
+    // jar routing (meta["cookiejar"]): a response's Set-Cookie lands in the
+    // REQUEST's jar; meta["dont_merge_cookies"] responses store nothing
+    // (`cookies.py:96-98` process_response early return)
     val epochCookies = fetched
-      .filter($"setCookie".isNotNull && !$"timedOut") // a timeout has no response
+      .filter($"setCookie".isNotNull && !$"timedOut" && // timeout: no response
+        !$"fr.dontMergeCookies")
       .select($"fr.host".as("host"), $"fr.url".as("url"), $"setCookie",
-        $"seq", $"t")
-      .as[(String, String, String, Long, Long)]
-      .flatMap { case (host, url, sc, seq, t) =>
+        $"seq", $"t", $"fr.cookieJar".as("jar"))
+      .as[(String, String, String, Long, Long, String)]
+      .flatMap { case (host, url, sc, seq, t, jar) =>
         Cookies.parseSetCookies(sc, host, Cookies.reqPathOf(url), t)
           .map(c => (c.domain, c.path, c.name, c.value, c.hostOnly,
-            c.expiresMs, c.secure, seq))
+            c.expiresMs, c.secure, seq, jar))
       }
       .toDF("host", "path", "name", "value", "hostOnly", "expiresMs",
-        "secure", "seq")
-      .groupBy($"host", $"path", $"name")
+        "secure", "seq", "jar")
+      .groupBy($"jar", $"host", $"path", $"name")
       .agg(max_by(struct($"value", $"hostOnly", $"expiresMs", $"secure"),
         $"seq").as("r"))
       .select($"host", $"name", $"r.value", $"path", $"r.hostOnly",
-        $"r.expiresMs", $"r.secure")
+        $"r.expiresMs", $"r.secure", $"jar")
     // DELTA: this epoch's jar-key writes as-is (expired entries included —
     // they are the tombstones the chain merge keeps); no middleware, no jar
     val cookieDelta =

@@ -64,17 +64,23 @@ object Oracle {
     // evaluates domain/path/expiry(at the fetch's virtual time)/secure —
     // shared with the engine so both sides agree byte-for-byte.
     import graft.operators.Cookies
-    val cookieJar = mutable.Map.empty[(String, String, String), Cookies.ParsedCookie]
-    def cookieHeader(host: String, url: String, t: Long): String = {
+    // jar key = (meta["cookiejar"] id, domain, path, name) — "" is the
+    // default jar (`cookies.py:52-66`); a request only reads/writes its own
+    // jar, and meta["dont_merge_cookies"] bypasses the middleware per
+    // request (`cookies.py:79-81,96-98`)
+    val cookieJar =
+      mutable.Map.empty[(String, String, String, String), Cookies.ParsedCookie]
+    def cookieHeader(jar: String, host: String, url: String, t: Long): String = {
       if (!cfg.cookiesEnabled) return null // COOKIES_ENABLED=false: no mw
       val reqPath = Cookies.reqPathOf(url)
       val i = url.indexOf("://")
       val scheme = if (i < 0) "" else url.substring(0, i)
       Cookies.renderHeader(
-        cookieJar.valuesIterator.filter(c =>
-          Cookies.sendable(host, reqPath, scheme, t, c.domain, c.hostOnly,
-            c.path, c.expiresMs, c.secure))
-          .map(c => (c.name, c.value)).toSeq).orNull
+        cookieJar.iterator.filter { case (k, c) =>
+          k._1 == jar &&
+            Cookies.sendable(host, reqPath, scheme, t, c.domain, c.hostOnly,
+              c.path, c.expiresMs, c.secure)
+        }.map { case (_, c) => (c.name, c.value) }.toSeq).orNull
     }
     val fetchLog = Vector.newBuilder[FetchLogRow]
     var fetchSeq = 0L
@@ -102,7 +108,11 @@ object Oracle {
         frontier = frontier :+ FrontierRow(url, fp, UrlKit.hostOf(url), s.priority,
           0, isStart = true, dEpoch = -1, dParent = s.seq, dLink = 0,
           retryTimes = 0, redirectTimes = 0, dontFilter = false,
-          dontObeyRobots = s.dontObeyRobots)
+          dontObeyRobots = s.dontObeyRobots, cookieJar = s.cookieJar,
+          dontMergeCookies = s.dontMergeCookies,
+          dontRedirect = s.dontRedirect, dontRetry = s.dontRetry,
+          maxRetryTimes = s.maxRetryTimes,
+          handleHttpstatus = s.handleHttpstatus, dontCache = s.dontCache)
       }
     }
 
@@ -230,6 +240,7 @@ object Oracle {
             // time as of their walk position; file: is an ignore-scheme (6e);
             // rfc2616 requires freshness at the walk clock, stale = miss (6f)
             val rowHit = cfg.httpcacheEnabled && !row.url.startsWith("file:") &&
+              !row.dontCache && // meta["dont_cache"]: no lookup (7d)
               freshHit(UrlKit.toHex(row.fp), curT)
             if (robotsResolved && (rowHit || budgetLeft >= 1)) {
               inc("scheduler/dequeued")
@@ -258,7 +269,8 @@ object Oracle {
       // global order: (t, host, perHostIdx)
       val ordered = epochFetches.sortBy { case (t, host, i, _, _, _) => (t, host, i) }
       val candidates = mutable.ArrayBuffer.empty[FrontierRow]
-      val epochSetCookies = mutable.ArrayBuffer.empty[(Long, Cookies.ParsedCookie)]
+      val epochSetCookies =
+        mutable.ArrayBuffer.empty[(Long, String, Cookies.ParsedCookie)]
       // cache stores, visible (and latest-wins-replacing) at epoch end
       val epochStores = mutable.ArrayBuffer.empty[(String, CacheEntry)]
       for ((t, host, _, row, isRobots, hit) <- ordered) {
@@ -283,8 +295,10 @@ object Oracle {
               }
             }
           }
+          // a robots request is a FRESH Request (`robotstxt.py:82-99`) —
+          // default jar, no dont_merge meta
           fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status,
-            isRobots = true, cookies = cookieHeader(host, row.url, t),
+            isRobots = true, cookies = cookieHeader("", host, row.url, t),
             userAgent = cfg.userAgent, authorization = authOf(host),
             proxy = proxyOf(row.url), cached = hit)
         } else {
@@ -325,7 +339,8 @@ object Oracle {
               (if (isLocalRow) localResp.get.excClass // handler's class (6e)
                else "twisted.internet.error.TimeoutError"))
           } else inc(s"downloader/response_status_count/$status")
-          if (cfg.httpcacheEnabled && !row.url.startsWith("file:")) {
+          if (cfg.httpcacheEnabled && !row.url.startsWith("file:") &&
+              !row.dontCache) { // dont_cache: NO httpcache counters (7d)
             if (hit) inc("httpcache/hit")
             else {
               inc("httpcache/miss")
@@ -347,19 +362,38 @@ object Oracle {
           }
           fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status,
             isRobots = false, referer = row.referer,
-            cookies = cookieHeader(host, row.url, t),
+            cookies = if (row.dontMergeCookies) null // cookies.py:79-81
+              else cookieHeader(row.cookieJar, host, row.url, t),
             userAgent = cfg.userAgent, authorization = authOf(host),
             proxy = proxyOf(row.url), cached = hit)
+          // meta["max_retry_times"] overrides RETRY_TIMES (7d); a retry is
+          // the SAME request re-enqueued — copy() keeps all meta, like the
+          // reference's request.replace
+          val effMaxRetry =
+            if (row.maxRetryTimes >= 0) row.maxRetryTimes else cfg.retryTimes
+          def retryCand(): FrontierRow = row.copy(priority = row.priority - 1,
+            isStart = false, dEpoch = epoch, dParent = seq, dLink = -2,
+            retryTimes = row.retryTimes + 1, dontFilter = true)
+          def httperrorIgnore(st: Int): Unit = { // HttpError drop (7d)
+            inc("httperror/response_ignored_count")
+            inc(s"httperror/response_ignored_status_count/$st")
+          }
           if (timedOut) {
-            if (row.retryTimes < cfg.retryTimes) {
-              inc("retry/count")
-              candidates += FrontierRow(row.url, row.fp, row.host,
-                row.priority - 1, row.depth, isStart = false,
-                dEpoch = epoch, dParent = seq, dLink = -2,
-                row.retryTimes + 1, row.redirectTimes, dontFilter = true,
-                referer = row.referer, dontObeyRobots = row.dontObeyRobots,
-                ruleIdx = row.ruleIdx)
-            } else inc("retry/max_reached")
+            // meta["dont_retry"]: the exception fails silently (7d)
+            if (!row.dontRetry) {
+              if (row.retryTimes < effMaxRetry) {
+                inc("retry/count")
+                candidates += retryCand()
+              } else inc("retry/max_reached")
+            }
+          } else if (pageOpt.isEmpty && status != 599) {
+            // corpus-miss 404: a real response that reaches the spider with
+            // no body — the HttpError gate applies (7d); 599 local
+            // exceptions have no response
+            if (!cfg.httperrorAllowed(status, row.handleHttpstatus))
+              httperrorIgnore(status)
+            else if (cfg.depthStatsVerbose && row.depth == 0)
+              inc("request_depth_count/0") // _init_depth (7e)
           } else pageOpt.foreach { page =>
             // AutoThrottle adjust event: every fetch with a real response
             // (contract step 1a), replayed at epoch end in seq order —
@@ -367,10 +401,10 @@ object Oracle {
             // neither do local-scheme responses (6e)
             if (cfg.autothrottle && !hit && !isLocalRow)
               delayEvents += ((seq, slotOf(host), page.latencyMs.toLong, status))
-            if (cfg.cookiesEnabled)
+            if (cfg.cookiesEnabled && !row.dontMergeCookies)
               for (c <- Cookies.parseSetCookies(page.setCookie, host,
                   Cookies.reqPathOf(row.url), t))
-                epochSetCookies += ((seq, c))
+                epochSetCookies += ((seq, row.cookieJar, c))
             // decompression stage (contract step 6b) — must mirror
             // CrawlEngine's expansion flatMap exactly: nothing decodable →
             // no counters (reference `if not to_decode: return response`);
@@ -395,34 +429,43 @@ object Oracle {
                   inc("httpcompression/decode_error"); body = null
               }
             }
-            if (CrawlConfig.RedirectStatuses.contains(status) && page.location != null) {
+            // a redirect request inherits the full meta (request.replace) —
+            // copy() keeps it, the Referer is re-patched per step 7b
+            def redirectCand(target: String, patched: String): FrontierRow =
+              row.copy(url = target, fp = UrlKit.fingerprint(target),
+                host = UrlKit.hostOf(target), priority = row.priority + 2,
+                isStart = false, dEpoch = epoch, dParent = seq, dLink = -1,
+                redirectTimes = row.redirectTimes + 1, referer = patched)
+            if (CrawlConfig.RedirectStatuses.contains(status) &&
+                page.location != null && !row.dontRedirect) {
               if (row.redirectTimes < cfg.maxRedirectTimes) {
                 val target = UrlKit.safeUrlString(UrlKit.urljoin(row.url, page.location))
                 val patched =
                   if (row.referer == null) null
                   else defaultRefererPolicy.referrer(
                     UrlKit.safeUrlString(row.referer), target).orNull
-                candidates += FrontierRow(target, UrlKit.fingerprint(target),
-                  UrlKit.hostOf(target), row.priority + 2, row.depth,
-                  isStart = false, dEpoch = epoch, dParent = seq, dLink = -1,
-                  row.retryTimes, row.redirectTimes + 1, row.dontFilter,
-                  referer = patched, dontObeyRobots = row.dontObeyRobots,
-                  ruleIdx = row.ruleIdx)
+                candidates += redirectCand(target, patched)
               } else inc("redirect/max_reached")
-            } else if (CrawlConfig.RetryStatuses.contains(status)) {
-              if (row.retryTimes < cfg.retryTimes) {
+            } else if (CrawlConfig.RetryStatuses.contains(status) &&
+                !row.dontRetry) {
+              if (row.retryTimes < effMaxRetry) {
                 inc("retry/count")
-                candidates += FrontierRow(row.url, row.fp, row.host,
-                  row.priority - 1, row.depth, isStart = false,
-                  dEpoch = epoch, dParent = seq, dLink = -2,
-                  row.retryTimes + 1, row.redirectTimes, dontFilter = true,
-                  referer = row.referer, dontObeyRobots = row.dontObeyRobots,
-                  ruleIdx = row.ruleIdx)
-              } else inc("retry/max_reached")
-            } else if (status >= 200 && status < 300 && body != null) {
-              // meta-refresh intercept (contract step 7a) — mirrors CrawlEngine
-              val mrTarget = graft.extract.MetaRefresh
-                .findInBytes(body)
+                candidates += retryCand()
+              } else {
+                inc("retry/max_reached")
+                // the exhausted RESPONSE reaches the spider (7d)
+                if (!cfg.httperrorAllowed(status, row.handleHttpstatus))
+                  httperrorIgnore(status)
+                else if (cfg.depthStatsVerbose && row.depth == 0)
+                  inc("request_depth_count/0") // _init_depth (7e)
+              }
+            } else if (status != 599 &&
+                cfg.httperrorAllowed(status, row.handleHttpstatus) &&
+                body != null) {
+              // meta-refresh intercept (contract step 7a) — mirrors
+              // CrawlEngine; meta["dont_redirect"] skips it (7d)
+              val mrTarget = (if (row.dontRedirect) None
+                else graft.extract.MetaRefresh.findInBytes(body))
                 .filter(_._1 < cfg.metarefreshMaxDelay)
                 .map { case (_, u) => UrlKit.safeUrlString(UrlKit.urljoin(row.url, u)) }
                 .filter { tgt =>
@@ -436,14 +479,14 @@ object Oracle {
                     if (row.referer == null) null
                     else defaultRefererPolicy.referrer(
                       UrlKit.safeUrlString(row.referer), target).orNull
-                  candidates += FrontierRow(target, UrlKit.fingerprint(target),
-                    UrlKit.hostOf(target), row.priority + 2, row.depth,
-                    isStart = false, dEpoch = epoch, dParent = seq, dLink = -1,
-                    row.retryTimes, row.redirectTimes + 1, row.dontFilter,
-                    referer = patched, dontObeyRobots = row.dontObeyRobots,
-                    ruleIdx = row.ruleIdx)
+                  candidates += redirectCand(target, patched)
                 } else inc("redirect/max_reached")
-              } else if (cfg.crawlRules.nonEmpty) {
+              } else {
+              // depth-0 init (7e): only when the response actually reaches
+              // the spider (a qualifying meta-refresh was consumed first)
+              if (cfg.depthStatsVerbose && row.depth == 0)
+                inc("request_depth_count/0")
+              if (cfg.crawlRules.nonEmpty) {
                 // CrawlSpider rule walk (contract 7c) — mirrors CrawlEngine
                 val childDepth = row.depth + 1
                 val policy = graft.urlkit.Referer.policyFor(
@@ -482,9 +525,27 @@ object Oracle {
                 }
               } else inc("depth/filtered", links.size.toLong)
               }
+              } // end spider-input (non-metarefresh) expansion
+            } else if (status != 599 &&
+                !cfg.httperrorAllowed(status, row.handleHttpstatus)) {
+              // response reached the spider with a disallowed status —
+              // dropped by HttpErrorMiddleware (7d); mirrors CrawlEngine
+              httperrorIgnore(status)
+            } else if (status != 599 && cfg.depthStatsVerbose &&
+                row.depth == 0) {
+              // ALLOWED spider-input without a body: _init_depth fires (7e)
+              inc("request_depth_count/0")
             }
           }
         }
+      }
+
+      // depth stats over link/rule candidates (contract 7e) — counted
+      // pre-dupefilter like the reference's get_processed_request
+      for (c <- candidates if c.dLink >= 0) {
+        if (cfg.depthStatsVerbose) inc(s"request_depth_count/${c.depth}")
+        counters("request_depth_max") =
+          math.max(counters("request_depth_max"), c.depth.toLong)
       }
 
       // dupefilter in discovery order (contract step 8)
@@ -506,8 +567,8 @@ object Oracle {
       // apply Set-Cookie in seq order (last writer wins per jar key); an
       // expired entry stays stored — it shadows the live one and is never
       // sent (the deletion, mirroring the engine's chain tombstone)
-      for ((_, c) <- epochSetCookies.sortBy(_._1))
-        cookieJar((c.domain, c.path, c.name)) = c
+      for ((_, jar, c) <- epochSetCookies.sortBy(_._1))
+        cookieJar((jar, c.domain, c.path, c.name)) = c
 
       // replay AutoThrottle adjustments per slot in global seq order (step
       // 1a) — the updated delay takes effect next epoch, like cookies

@@ -196,6 +196,66 @@ class ConformanceSpec extends AnyFunSuite {
       CrawlConfig(maxEpochs = 6, cookiesEnabled = false), "nocookies")
   }
 
+  test("cookiejar meta variant conforms (per-jar isolation + dont_merge)") {
+    // meta["cookiejar"] seeds read/write their OWN jar (reference
+    // `cookies.py:52-66`: jars are fully isolated) and
+    // meta["dont_merge_cookies"] seeds bypass the middleware per request
+    // (`cookies.py:79-81,96-98`) — over the attribute-rich tier-2 corpus so
+    // named jars accumulate real Domain/Path/Max-Age entries
+    val (m, _) = compare(
+      Corpus.Small.copy(cookieTraps = true, cookieJarSeeds = true),
+      CrawlConfig(maxEpochs = 8), "cookiejar")
+    // non-vacuity: the persisted chain must hold entries from ≥2 distinct
+    // jars (default "" + a named one) — otherwise the variant never
+    // exercised jar routing
+    val jars = CrawlDriver.readCookieJar(spark, m.cookieJarDirs)
+      .select("jar").distinct().as[String](spark.implicits.newStringEncoder)
+      .collect().toSet
+    assert(jars.size >= 2 && jars.exists(_.nonEmpty),
+      s"[cookiejar] expected multi-jar chain, got $jars")
+  }
+
+  test("request-meta controls variant conforms (dont_redirect/dont_retry/" +
+      "max_retry_times/handle_httpstatus + httperror counters)") {
+    // contract step 7d: seeds targeting known 3xx/503/404 pages carry each
+    // meta key; HttpErrorMiddleware drop counters join the byte compare
+    val (_, o) = compare(Corpus.Small.copy(metaControlSeeds = true),
+      CrawlConfig(maxEpochs = 8), "metacontrols")
+    // non-vacuity: drops actually happened (404s + dont_redirect'd 3xx)
+    assert(o.counters.getOrElse("httperror/response_ignored_count", 0L) > 0,
+      s"[metacontrols] no httperror drops: ${o.counters.keys.toSeq.sorted}")
+  }
+
+  test("HTTPERROR_ALLOWED_CODES spider-level variant conforms") {
+    // settings-level allow list (`httperror.py:29-37`): 404s reach the
+    // spider everywhere; per-request meta still overrides
+    compare(Corpus.Tiny, CrawlConfig(maxEpochs = 12,
+      httperrorAllowedCodes = Seq(404)), "httperror-allowed")
+  }
+
+  test("dont_cache meta variant conforms (cache on, dc seeds never hit)") {
+    // meta["dont_cache"] (`httpcache.py:64-65,99-100`, contract 7d): with
+    // the cache ON over the meta-seed corpus, the control 503 seed's
+    // retries HIT the stored response while the dont_cache seed's retries
+    // re-download every time — `cached` flags + httpcache counters pin it
+    val (_, o) = compare(Corpus.Small.copy(metaControlSeeds = true),
+      CrawlConfig(maxEpochs = 8, httpcacheEnabled = true), "metacache")
+    assert(o.counters.getOrElse("httpcache/hit", 0L) > 0,
+      "[metacache] expected cache hits from retry replays")
+  }
+
+  test("DEPTH_STATS_VERBOSE variant conforms (per-depth counts + max)") {
+    // contract 7e: request_depth_count/<n> per surviving candidate,
+    // request_depth_count/0 per spider-reaching depth-0 response,
+    // request_depth_max MAX-merged across epochs
+    val (m, o) = compare(Corpus.Tiny,
+      CrawlConfig(maxEpochs = 10, depthStatsVerbose = true), "depthstats")
+    assert(o.counters.getOrElse("request_depth_count/0", 0L) > 0 &&
+      o.counters.getOrElse("request_depth_max", 0L) > 0,
+      s"[depthstats] depth counters missing: ${o.counters.keys.toSeq.sorted}")
+    assert(m.counters("request_depth_max") === o.counters("request_depth_max"))
+  }
+
   test("per-slot concurrency variant conforms (8 transfers per delay tick)") {
     // CONCURRENT_REQUESTS_PER_DOMAIN analogue (contract step 4): with
     // conc=8 and delay>0, charged departures leave in batches of 8 sharing
