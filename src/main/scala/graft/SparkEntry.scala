@@ -223,6 +223,31 @@ object SparkEntry {
         .select("query_id", "rank", "neighbor_id")
     }),
 
+    // ---- training-data: per-domain quota capping (corpus curation — keep
+    // the k best docs per source by an integer quality proxy, deterministic
+    // tie-break; shuffles once on the quota key, scales like topk_per_key) --
+    "q_domain_quota" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select("source", "rnk", "doc_id")
+    }),
+
+    // ---- training-data: deterministic stratified sample (k per length
+    // bucket, md5-hash order — reproducible sampling with no RNG state,
+    // re-runs and backfills pick identical rows) ---------------------------
+    "q_stratified_sample" -> ((s, dir) => {
+      val w = Window.partitionBy("bucket")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("bucket", floor(col("n_chars") / 100).cast("long"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select("bucket", "rn", "doc_id")
+    }),
+
     // ======= rows-only queries (no SQL oracle: hash/UDF semantics) =========
 
     // fingerprint partitioner: url_seen bucket histogram (SURVEY §2.2)
@@ -344,6 +369,10 @@ object SparkEntry {
     "q_item_completed_gather" ->
       "SELECT o_orderkey, count(*) AS n_items, array_to_string(list(l_partkey ORDER BY l_linenumber, l_partkey, l_suppkey), ',') AS parts FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey",
     "q_state_chain_merge" ->
-      "SELECT user_id, arg_max(event_type, event_id) AS latest_type, max(event_id) AS latest_id, count(*) AS n_entries FROM events GROUP BY user_id"
+      "SELECT user_id, arg_max(event_type, event_id) AS latest_type, max(event_id) AS latest_id, count(*) AS n_entries FROM events GROUP BY user_id",
+    "q_domain_quota" ->
+      "SELECT source, rnk, doc_id FROM (SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk FROM documents) WHERE rnk <= 10",
+    "q_stratified_sample" ->
+      "SELECT bucket, rn, doc_id FROM (SELECT n_chars // 100 AS bucket, doc_id, row_number() OVER (PARTITION BY n_chars // 100 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) WHERE rn <= 5"
   )
 }

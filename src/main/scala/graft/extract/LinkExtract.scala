@@ -77,8 +77,10 @@ object LinkExtract {
 
   /** w3lib `html.get_base_url` regex (first match wins, searched over the
     * first 4096 chars like `scrapy/utils/response.py:31-38`). */
+  // w3lib `_baseurl_re` verbatim: quotes required, whitespace allowed
+  // INSIDE them (`w3lib/html.py`), so href=" http://b.com/" resolves
   private val BaseRe =
-    Pattern.compile("""<base\s[^>]*href\s*=\s*["']?([^"'\s]+)""",
+    Pattern.compile("""<base\s[^>]*href\s*=\s*["']\s*([^"'\s]+)\s*["']""",
       Pattern.CASE_INSENSITIVE)
 
   private val RelRe =
@@ -92,6 +94,49 @@ object LinkExtract {
   /** Void elements (no content model) — their text is always "". */
   private val VoidTags = Set("area", "base", "br", "col", "embed", "hr",
     "img", "input", "link", "meta", "source", "track", "wbr")
+
+  /** HTML named character references lxml resolves while parsing (the
+    * common HTML4 set — attribute values and text reach scrapy already
+    * decoded; `w3lib.html.replace_entities` semantics: unknown names pass
+    * through untouched). */
+  private val NamedEntities: Map[String, String] = Map(
+    "quot" -> "\"", "amp" -> "&", "lt" -> "<", "gt" -> ">", "apos" -> "'",
+    "nbsp" -> " ", "iexcl" -> "¡", "cent" -> "¢",
+    "pound" -> "£", "curren" -> "¤", "yen" -> "¥",
+    "sect" -> "§", "copy" -> "©", "laquo" -> "«",
+    "reg" -> "®", "deg" -> "°", "plusmn" -> "±",
+    "middot" -> "·", "raquo" -> "»", "frac12" -> "½",
+    "iquest" -> "¿", "times" -> "×", "divide" -> "÷",
+    "ndash" -> "–", "mdash" -> "—", "lsquo" -> "‘",
+    "rsquo" -> "’", "ldquo" -> "“", "rdquo" -> "”",
+    "bull" -> "•", "hellip" -> "…", "euro" -> "€",
+    "trade" -> "™", "larr" -> "←", "rarr" -> "→",
+    "spades" -> "♠", "clubs" -> "♣", "hearts" -> "♥",
+    "diams" -> "♦")
+
+  private val EntityRe =
+    """&(#[xX]?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]{1,31});""".r
+
+  /** Decode numeric + common named character references; malformed or
+    * unknown references stay literal (lxml attribute-value semantics). */
+  private[graft] def replaceHtmlEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    EntityRe.replaceAllIn(s, m => {
+      val e = m.group(1)
+      val repl: Option[String] =
+        if (e.startsWith("#x") || e.startsWith("#X"))
+          try Some(new String(Character.toChars(Integer.parseInt(e.drop(2), 16))))
+          catch { case _: Exception => None }
+        else if (e.startsWith("#")) {
+          val d = e.drop(1)
+          if (d.forall(_.isDigit))
+            try Some(new String(Character.toChars(d.toInt)))
+            catch { case _: Exception => None }
+          else None
+        } else NamedEntities.get(e)
+      scala.util.matching.Regex.quoteReplacement(repl.getOrElse(m.matched))
+    })
+  }
 
   /** Base URL of a page (`w3lib.html.get_base_url` via
     * `scrapy/utils/response.py get_base_url`): the first `<base href>`
@@ -154,9 +199,14 @@ object LinkExtract {
   /** The reference's per-link URL pipeline (`lxmlhtml.py:113-135`):
     * urljoin(base) → process_value → safe_url_string → urljoin(pageUrl)
     * (the last join only matters after process_value returns a relative
-    * URL); None = skipped (bogus URL or process_value rejection). */
+    * URL); None = skipped (bogus URL or process_value rejection).
+    * `encoding` is the response encoding the reference passes to
+    * `safe_url_string` (query/fragment bytes; path stays UTF-8) — a
+    * character the page encoding can't represent raises UnicodeEncodeError
+    * (a ValueError) there, i.e. the link is skipped. */
   private def resolveHref(base: String, pageUrl: String, href: String,
-      processValue: Option[String => Option[String]]): Option[String] = {
+      processValue: Option[String => Option[String]],
+      encoding: java.nio.charset.Charset): Option[String] = {
     if (isBogusUrl(href)) return None // urljoin's urlsplit raises
     val joined = UrlKit.urljoin(base, href)
     val processed = processValue match {
@@ -167,9 +217,11 @@ object LinkExtract {
       case None => joined
     }
     if (isBogusUrl(processed)) None // safe_url_string raises
-    else {
-      val safe = UrlKit.safeUrlString(processed)
+    else try {
+      val safe = UrlKit.safeUrlString(processed, encoding)
       Some(if (processValue.isDefined) UrlKit.urljoin(pageUrl, safe) else safe)
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => None
     }
   }
 
@@ -189,7 +241,7 @@ object LinkExtract {
       else { depth -= 1; if (depth == 0) end = m.start }
     }
     if (end < 0) ""
-    else AjaxCrawl.replaceBasicEntities(
+    else replaceHtmlEntities(
       html.substring(from, end).replaceAll("(?s)<[^>]*>", ""))
   }
 
@@ -201,7 +253,21 @@ object LinkExtract {
   def extractTagged(html: String, pageUrl: String,
       tags: Seq[String], attrs: Seq[String],
       processValue: Option[String => Option[String]] = None,
-      needText: Boolean = true): Seq[Link] = {
+      needText: Boolean = true): Seq[Link] =
+    extractTaggedOffsets(html, pageUrl, tags, attrs, processValue, needText)
+      .map(_._2)
+
+  /** Like [[extractTagged]] but each link carries the source offset of its
+    * element's `<` — the membership key for `restrict_xpaths`/`restrict_css`
+    * subtree filtering. `encoding` = response encoding for
+    * `safe_url_string`'s query/fragment bytes (reference `lxmlhtml.py:130`:
+    * `safe_url_string(url, encoding=response_encoding)`). */
+  def extractTaggedOffsets(html: String, pageUrl: String,
+      tags: Seq[String], attrs: Seq[String],
+      processValue: Option[String => Option[String]] = None,
+      needText: Boolean = true,
+      encoding: java.nio.charset.Charset = java.nio.charset.StandardCharsets.UTF_8)
+      : Seq[(Int, Link)] = {
     if (tags.isEmpty || attrs.isEmpty) return Nil
     val wantAttr = attrs.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val base = baseUrl(html, pageUrl)
@@ -209,7 +275,7 @@ object LinkExtract {
       "<(" + tags.map(Pattern.quote).mkString("|") + ")\\b([^>]*)>",
       Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
     val m = tagRe.matcher(html)
-    val out = Vector.newBuilder[Link]
+    val out = Vector.newBuilder[(Int, Link)]
     while (m.find()) {
       val tag = m.group(1).toLowerCase(java.util.Locale.ROOT)
       val attrsStr = m.group(2)
@@ -220,9 +286,11 @@ object LinkExtract {
         if (wantAttr.contains(name)) {
           val rawV = Option(am.group(3)).orElse(Option(am.group(4)))
             .orElse(Option(am.group(5))).getOrElse("")
-          val href = stripHtml5Whitespace(rawV)
+          // lxml hands scrapy the attribute value with character references
+          // already resolved; strip_html5_whitespace runs on the decoded form
+          val href = stripHtml5Whitespace(replaceHtmlEntities(rawV))
           if (href.nonEmpty) {
-            resolveHref(base, pageUrl, href, processValue).foreach { abs =>
+            resolveHref(base, pageUrl, href, processValue, encoding).foreach { abs =>
               if (text == null) {
                 text =
                   if (!needText || VoidTags.contains(tag) ||
@@ -235,7 +303,7 @@ object LinkExtract {
                   .toLowerCase(java.util.Locale.ROOT)
                   .split("\\s+").contains("nofollow")
               }
-              out += Link(abs, nofollow, text)
+              out += ((m.start, Link(abs, nofollow, text)))
             }
           }
         }
@@ -319,9 +387,13 @@ object LinkExtract {
 }
 
 /** User-facing link extractor — the reference `LxmlLinkExtractor` surface
-  * (`scrapy/linkextractors/lxmlhtml.py:166-284`) minus the selector-based
-  * `restrict_xpaths`/`restrict_css` (no XPath engine on this stack;
-  * `restrict_text` covers the text-targeting use case). Pipeline per
+  * (`scrapy/linkextractors/lxmlhtml.py:166-284`) including the
+  * selector-based `restrict_xpaths`/`restrict_css` knobs: each selector
+  * picks subdocuments (element subtrees, [[HtmlDom]]'s documented XPath/CSS
+  * subset), links are extracted per subdocument in selector order
+  * (`lxmlhtml.py:270-277`: xpaths first, then css translated and appended),
+  * and the unique/canonicalize aggregation runs across all of them
+  * (reference `test_link_extractor_aggregation`). Pipeline per
   * `extract_links`: scan tags/attrs → parser-level unique dedup →
   * `_link_allowed` filter chain → optional canonicalize → final dedup.
   * Pinned by the reference-derived golden battery in LinkExtractorSpec. */
@@ -336,7 +408,9 @@ final class LinkExtractor(
     attrs: Seq[String] = Seq("href"),
     canonicalize: Boolean = false,
     unique: Boolean = true,
-    processValue: Option[String => Option[String]] = None)
+    processValue: Option[String => Option[String]] = None,
+    restrictXpaths: Seq[String] = Nil,
+    restrictCss: Seq[String] = Nil)
   extends Serializable {
 
   import LinkExtract._
@@ -345,6 +419,11 @@ final class LinkExtractor(
     LinkFilter(allow, deny, allowDomains, denyDomains, restrictText)
   private val denyExt: Set[String] =
     denyExtensions.map(_.toSet).getOrElse(graft.CrawlConfig.IgnoredExtensions)
+
+  // parsed eagerly so an unsupported selector fails at construction, like
+  // the reference's __init__-time css_to_xpath translation
+  private val selectors: Seq[HtmlDom.Selector] =
+    restrictXpaths.map(HtmlDom.parseXPath) ++ restrictCss.map(HtmlDom.parseCss)
 
   /** Dedup key (`lxmlhtml.py:56-58,71-76`): the raw URL by default
     * (`canonicalized = not canonicalize`), the keep-fragments canonical
@@ -370,10 +449,28 @@ final class LinkExtractor(
     !(denyExt.nonEmpty && hasAnyExtension(l.url, denyExt))
   }
 
-  /** `extract_links(response)` over an HTML string. */
-  def extractLinks(html: String, pageUrl: String): Seq[Link] = {
-    val raw = extractTagged(html, pageUrl, tags, attrs, processValue,
-      needText = true)
+  /** `extract_links(response)` over an HTML string. `charset` = the
+    * response encoding (drives `safe_url_string`'s query/fragment bytes). */
+  def extractLinks(html: String, pageUrl: String,
+      charset: java.nio.charset.Charset =
+        java.nio.charset.StandardCharsets.UTF_8): Seq[Link] = {
+    val rawOff = extractTaggedOffsets(html, pageUrl, tags, attrs,
+      processValue, needText = true, charset)
+    val raw: Seq[Link] =
+      if (selectors.isEmpty) rawOff.map(_._2)
+      else {
+        // subdocument membership by source span: grouped per selected
+        // subtree in selector order, document order within each — nested
+        // matches duplicate their links exactly like the reference's
+        // per-subdoc extraction (unique=False keeps the duplicates)
+        val doc = HtmlDom.parse(html)
+        for {
+          sel <- selectors
+          el <- sel.select(doc)
+          (off, l) <- rawOff
+          if off >= el.start && off < el.end
+        } yield l
+      }
     val filtered = dedup(raw).filter(linkAllowed)
     val canon =
       if (canonicalize) filtered.map(l => l.copy(url = UrlKit.canonicalizeUrl(l.url)))
@@ -383,6 +480,14 @@ final class LinkExtractor(
 
   def extractLinks(html: Array[Byte], pageUrl: String): Seq[Link] =
     extractLinks(Encoding.decode(html, None), pageUrl)
+
+  /** Bytes + declared response encoding (reference
+    * `HtmlResponse(..., encoding=...)`). */
+  def extractLinks(html: Array[Byte], pageUrl: String,
+      encoding: String): Seq[Link] = {
+    val cs = java.nio.charset.Charset.forName(encoding)
+    extractLinks(new String(html, cs), pageUrl, cs)
+  }
 
   /** `matches(url)` (`lxmlhtml.py:242-255`): would this extractor's
     * URL-side rules accept the URL? */

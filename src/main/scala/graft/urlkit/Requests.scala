@@ -1,6 +1,9 @@
 package graft.urlkit
 
+import java.nio.charset.Charset
 import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.extract.{HtmlDom, LinkExtract}
 
 /** Request construction helpers — reference FormRequest
   * (`scrapy/http/request/form.py:39-266`) and JsonRequest
@@ -8,13 +11,18 @@ import java.nio.charset.StandardCharsets.UTF_8
   * ([[UrlKit.fingerprint]]) already hashes (method, body); these builders
   * produce the (url, method, body, headers) tuples that feed it.
   *
-  * `fromResponse` is a regex subset of the lxml-backed reference parser
-  * (no lxml on the JVM): form selection by name/id/number, inputs in
-  * document order with the reference's type filter (submit/image/reset
-  * excluded, checkbox/radio only when checked), textarea, single select
-  * (selected option else first), first-clickable submit appended unless
-  * dont_click, user formdata overriding form values — the semantics the
-  * reference's test battery exercises on plain markup.
+  * `fromResponse` parses the response with [[HtmlDom]] (since r5 — the
+  * earlier regex subset could not see nested structure) and mirrors the
+  * reference's lxml-backed pipeline: form selection by name/id/xpath/css/
+  * number (`form.py:114-154` `_get_form`), form controls in document order
+  * with the reference's type filter — submit/image/reset excluded,
+  * checkbox/radio only when checked, checked checkables default to "on",
+  * single select takes the first selected option else the first option,
+  * `multiple` selects emit every selected option and nothing when none —
+  * (`form.py:157-214`), first-clickable submit appended unless `dont_click`
+  * with `clickdata` name/attr/nr targeting (`form.py:217-266`), user
+  * formdata overriding form values (null value = drop the key), and the
+  * page-encoding-driven urlencode (`form.py:105-111` `_urlencode`).
   */
 object Requests {
 
@@ -26,27 +34,34 @@ object Requests {
     def fingerprint: Array[Byte] = UrlKit.fingerprint(url, method, body)
   }
 
-  /** Python `urlencode(values, doseq=True)` over UTF-8: quote_plus each
-    * key/value, pairs joined with '&' in order. */
-  def urlencodeForm(pairs: Seq[(String, String)]): String =
+  /** Python `urlencode(values, doseq=True)` over the response encoding:
+    * quote_plus each strictly-encoded key/value, pairs joined with '&' in
+    * order (`form.py:105-111`: `to_bytes(k, enc)` is a strict encode — an
+    * unmappable character raises). */
+  def urlencodeForm(pairs: Seq[(String, String)],
+      cs: Charset = UTF_8): String =
     pairs.map { case (k, v) =>
-      PyUrl.quotePlusBytes(k.getBytes(UTF_8)) + "=" + PyUrl.quotePlusBytes(v.getBytes(UTF_8))
+      PyUrl.quotePlusBytes(UrlKit.encodeStrict(k, cs)) + "=" +
+        PyUrl.quotePlusBytes(UrlKit.encodeStrict(v, cs))
     }.mkString("&")
 
   /** FormRequest(url, formdata): POST (default when formdata present) puts
     * the urlencoded pairs in the body with the form Content-Type; GET
-    * replaces the URL's query string (`form.py:42-61`). */
+    * replaces the URL's query string, keeping the fragment
+    * (`form.py:42-61`). */
   def formRequest(url: String, formdata: Seq[(String, String)],
-      method: String = "POST"): BuiltRequest = {
-    val qs = urlencodeForm(formdata)
+      method: String = "POST", encoding: Charset = UTF_8): BuiltRequest = {
+    val qs = urlencodeForm(formdata, encoding)
     if (method.toUpperCase(java.util.Locale.ROOT) == "POST")
-      BuiltRequest(UrlKit.safeUrlString(url), "POST", qs.getBytes(UTF_8),
+      BuiltRequest(UrlKit.safeUrlString(url, encoding), "POST",
+        qs.getBytes(UTF_8),
         Map("Content-Type" -> "application/x-www-form-urlencoded"))
     else {
       val p = PyUrl.urlsplit(url)
       BuiltRequest(
         UrlKit.safeUrlString(
-          PyUrl.urlunsplit(p.scheme, p.netloc, p.path, qs, p.fragment)),
+          PyUrl.urlunsplit(p.scheme, p.netloc, p.path, qs, p.fragment),
+          encoding),
         "GET", Array.emptyByteArray, Map.empty)
     }
   }
@@ -58,83 +73,150 @@ object Requests {
       Map("Content-Type" -> "application/json",
         "Accept" -> "application/json, text/javascript, */*; q=0.01"))
 
-  // ---- from_response (form.py:64-266 subset) ------------------------------
+  // ---- from_response (form.py:64-266) --------------------------------------
 
-  private val FormRe = """(?is)<form\b([^>]*)>(.*?)</form\s*>""".r
-  private val InputRe = """(?is)<(input|button)\b([^>]*?)/?>|<(textarea|select)\b([^>]*)>(.*?)</\3\s*>""".r
-  private val OptionRe = """(?is)<option\b([^>]*?)/?>([^<]*)""".r
-  private val AttrRe = """(?is)([a-zA-Z-]+)\s*(?:=\s*("([^"]*)"|'([^']*)'|([^\s>]+)))?""".r
+  private val Checkable = Set("checkbox", "radio")
+  private val NonValueTypes = Set("submit", "image", "reset")
 
-  private def attrs(s: String): Map[String, String] =
-    AttrRe.findAllMatchIn(s).map { m =>
-      val v = Option(m.group(3)).orElse(Option(m.group(4))).orElse(Option(m.group(5))).getOrElse("")
-      m.group(1).toLowerCase(java.util.Locale.ROOT) -> v
-    }.toMap
-
-  /** Build a request from the formnumber-th (or name/id-matched) form in an
-    * HTML body. Throws when no form matches (reference raises too). */
-  def fromResponse(html: String, baseUrl: String,
+  /** Build a request from a form in an HTML body, reference
+    * `FormRequest.from_response`. `formdata` pairs override form values and
+    * are appended last; a pair with a null value DROPS the key (reference
+    * `formdata={"k": None}`). `clickdata` holds attribute matchers — the
+    * special key "nr" indexes the form's input/select/textarea controls.
+    * Throws when no form matches (the reference raises too). */
+  def fromResponse(html: String, pageUrl: String,
       formdata: Seq[(String, String)] = Nil,
       formname: String = null, formid: String = null, formnumber: Int = 0,
-      dontClick: Boolean = false): BuiltRequest = {
-    val forms = FormRe.findAllMatchIn(html).map(m => (attrs(m.group(1)), m.group(2))).toVector
-    if (forms.isEmpty) throw new IllegalArgumentException(s"No <form> element found")
-    val form = Option(formname).flatMap(n => forms.find(_._1.get("name").contains(n)))
-      .orElse(Option(formid).flatMap(i => forms.find(_._1.get("id").contains(i))))
-      .getOrElse {
-        if (formnumber >= forms.size)
-          throw new IndexOutOfBoundsException(s"Form number $formnumber not found")
-        forms(formnumber)
-      }
-    val (fAttrs, fBody) = form
+      dontClick: Boolean = false,
+      clickdata: Seq[(String, String)] = null,
+      formxpath: String = null, formcss: String = null,
+      url: String = null, method: String = null,
+      encoding: Charset = UTF_8): BuiltRequest = {
+    val doc = HtmlDom.parse(html)
+    val forms = doc.filter(_.tag == "form")
+    if (forms.isEmpty)
+      throw new IllegalArgumentException("No <form> element found")
 
-    val overridden = formdata.map(_._1).toSet
-    val values = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var clickable: Option[(String, String)] = None
-    for (m <- InputRe.findAllMatchIn(fBody)) {
-      if (m.group(1) != null) { // <input> or <button>
-        val tag = m.group(1).toLowerCase(java.util.Locale.ROOT)
-        val a = attrs(m.group(2))
-        val typ = a.getOrElse("type", if (tag == "button") "submit" else "text")
-          .toLowerCase(java.util.Locale.ROOT)
-        val name = a.get("name")
-        val isClick = (tag == "input" && (typ == "submit" || typ == "image")) ||
-          (tag == "button" && typ == "submit")
-        if (isClick) {
-          if (clickable.isEmpty && name.isDefined)
-            clickable = Some((name.get, a.getOrElse("value", "")))
-        } else if (tag == "input" && name.isDefined && typ != "reset" &&
-            (!Set("checkbox", "radio").contains(typ) || a.contains("checked"))) {
-          values += ((name.get, a.getOrElse("value", "")))
-        }
-      } else { // textarea | select
-        val tag = m.group(3).toLowerCase(java.util.Locale.ROOT)
-        val a = attrs(m.group(4))
-        for (name <- a.get("name")) {
-          if (tag == "textarea") values += ((name, m.group(5)))
-          else { // select: selected option else first (form.py:210-223)
-            val opts = OptionRe.findAllMatchIn(m.group(5)).map { o =>
-              val oa = attrs(o.group(1))
-              (oa.getOrElse("value", o.group(2).trim), oa.contains("selected"))
-            }.toVector
-            opts.find(_._2).orElse(opts.headOption).foreach(o => values += ((name, o._1)))
+    // _get_form (form.py:114-154): name, then id, then xpath/css (first
+    // matching node, walk up to the enclosing form), then formnumber.
+    val formEl: HtmlDom.El =
+      Option(formname).flatMap(n => forms.find(_.attrs.get("name").contains(n)))
+        .orElse(Option(formid).flatMap(i => forms.find(_.attrs.get("id").contains(i))))
+        .getOrElse {
+          val sel =
+            if (formxpath != null) Some((formxpath, HtmlDom.parseXPath(formxpath)))
+            else if (formcss != null) Some((formcss, HtmlDom.parseCss(formcss)))
+            else None
+          sel match {
+            case Some((expr, s)) =>
+              s.select(doc).headOption.flatMap { n =>
+                var e = n
+                while (e != null && e.tag != "form") e = e.parent
+                Option(e)
+              }.getOrElse(throw new IllegalArgumentException(
+                s"No <form> element found with $expr"))
+            case None =>
+              if (formnumber < 0 || formnumber >= forms.size)
+                throw new IndexOutOfBoundsException(
+                  s"Form number $formnumber not found")
+              forms(formnumber)
           }
         }
-      }
-    }
-    val base = values.filter(kv => !overridden.contains(kv._1))
-    val clicked =
-      if (dontClick) Nil
-      else clickable.filter(c => !overridden.contains(c._1)).toList
-    val pairs = (base ++ clicked ++ formdata).toSeq
 
-    val action = fAttrs.get("action")
-      .map(a => PyUrl.urljoin(baseUrl, graft.extract.LinkExtract.stripHtml5Whitespace(a)))
-      .getOrElse(baseUrl)
-    val method = fAttrs.getOrElse("method", "GET").toUpperCase(java.util.Locale.ROOT) match {
-      case m @ ("GET" | "POST") => m
-      case _ => "GET" // invalid form methods fall back to GET (form.py:86-91)
+    val within = doc.filter(e => e.start > formEl.start && e.start < formEl.end)
+    // textarea is rawtext (markup-looking content is literal text — lxml
+    // serializes any children back into the value); option text strips tags
+    def text(el: HtmlDom.El, stripTags: Boolean): String =
+      if (el.openEnd < 0 || el.end < el.openEnd) ""
+      else {
+        val raw = html.substring(el.openEnd, el.end)
+        LinkExtract.replaceHtmlEntities(
+          if (stripTags) raw.replaceAll("(?s)<[^>]*>", "") else raw)
+      }
+
+    val overridden = formdata.map(_._1).toSet
+    // form controls in document order with the reference's type filter
+    // (_get_inputs xpath, form.py:170-177) and lxml value semantics
+    val controls = within.filter(e =>
+      e.tag == "input" || e.tag == "select" || e.tag == "textarea")
+    val values = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (e <- controls) e.tag match {
+      case "input" =>
+        val typ = e.attrs.getOrElse("type", "").toLowerCase(java.util.Locale.ROOT)
+        val checkable = Checkable.contains(typ)
+        if (!NonValueTypes.contains(typ) && (!checkable || e.attrs.contains("checked")))
+          for (n <- e.attrs.get("name") if n.nonEmpty && !overridden(n))
+            // lxml InputElement.value: checked checkable without @value → "on"
+            values += ((n, e.attrs.getOrElse("value", if (checkable) "on" else "")))
+      case "textarea" =>
+        for (n <- e.attrs.get("name") if n.nonEmpty && !overridden(n))
+          values += ((n, text(e, stripTags = false)))
+      case "select" =>
+        // lxml SelectElement: option value = @value else stripped text;
+        // single → first selected else first option (browser behavior,
+        // form.py:205-214); multiple → all selected, nothing when none
+        val opts = within.filter(o =>
+          o.tag == "option" && o.start > e.start && o.start < e.end)
+        def optVal(o: HtmlDom.El): String =
+          o.attrs.get("value").getOrElse(text(o, stripTags = true)).trim
+        for (n <- e.attrs.get("name") if n.nonEmpty && !overridden(n)) {
+          if (e.attrs.contains("multiple"))
+            opts.filter(_.attrs.contains("selected"))
+              .foreach(o => values += ((n, optVal(o))))
+          else
+            opts.find(_.attrs.contains("selected")).orElse(opts.headOption)
+              .foreach(o => values += ((n, optVal(o))))
+        }
     }
-    formRequest(action, pairs, method)
+
+    // _get_clickable (form.py:217-266): input[@type submit|image] or
+    // button[no type | submit]; clickdata nr indexes form.inputs (ALL
+    // controls, clickable or not); otherwise ALL clickdata pairs must match
+    // an element's attributes exactly — 1 match required.
+    def clickable: Option[(String, String)] = {
+      val clickables = within.filter { e =>
+        val typ = e.attrs.get("type").map(_.toLowerCase(java.util.Locale.ROOT))
+        (e.tag == "input" && (typ.contains("submit") || typ.contains("image"))) ||
+          (e.tag == "button" && (typ.isEmpty || typ.contains("submit")))
+      }
+      if (clickables.isEmpty) return None
+      def pair(el: HtmlDom.El) =
+        (el.attrs.getOrElse("name", null), el.attrs.getOrElse("value", ""))
+      if (clickdata == null) return Some(pair(clickables.head))
+      val nr = clickdata.collectFirst { case ("nr", v) => v.toInt }
+      nr.filter(i => i >= 0 && i < controls.size).map(i => pair(controls(i)))
+        .orElse {
+          val matches = within.filter(e =>
+            clickdata.forall { case (k, v) => e.attrs.get(k).contains(v) })
+          if (matches.size == 1) Some(pair(matches.head))
+          else if (matches.size > 1) throw new IllegalArgumentException(
+            s"Multiple elements found (${matches.map(_.tag).mkString(", ")}) " +
+              s"matching the criteria in clickdata: $clickdata")
+          else throw new IllegalArgumentException(
+            s"No clickable element matching clickdata: $clickdata")
+        }
+    }
+    val clicked: Seq[(String, String)] =
+      if (dontClick) Nil
+      else clickable.filter(c => c._1 != null && !overridden(c._1)).toList
+
+    val pairs = values.toSeq ++ clicked ++ formdata.filter(_._2 != null)
+
+    // _get_form_url: action joins against the DOCUMENT base (<base href>
+    // else page URL), html5-whitespace-stripped; explicit url= wins
+    val base = LinkExtract.baseUrl(html, pageUrl)
+    val action =
+      if (url != null) PyUrl.urljoin(base, url)
+      else formEl.attrs.get("action") match {
+        case Some(a) => PyUrl.urljoin(base, LinkExtract.stripHtml5Whitespace(a))
+        case None => base
+      }
+    // invalid form methods fall back to GET (form.py:86-91)
+    val m = Option(method).getOrElse(formEl.attrs.getOrElse("method", "GET"))
+      .toUpperCase(java.util.Locale.ROOT) match {
+      case ok @ ("GET" | "POST") => ok
+      case _ => "GET"
+    }
+    formRequest(action, pairs, m, encoding)
   }
 }

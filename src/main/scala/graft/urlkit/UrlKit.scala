@@ -43,7 +43,15 @@ object UrlKit {
     * percent-encode path/query/fragment with w3lib's safe sets, rebuild
     * userinfo. (Used by the reference's `Request.__init__`:
     * `scrapy/http/request/__init__.py:232`.) */
-  def safeUrlString(url: String): String = {
+  def safeUrlString(url: String): String = safeUrlString(url, UTF_8)
+
+  /** w3lib signature `safe_url_string(url, encoding)`: the page encoding
+    * drives the QUERY and FRAGMENT byte encoding (path stays UTF-8 —
+    * w3lib's separate `path_encoding` default). A character the encoding
+    * can't represent raises UnicodeEncodeError in Python (a ValueError);
+    * here the strict encoder throws CharacterCodingException — callers
+    * that mirror the reference's link-skip catch it. */
+  def safeUrlString(url: String, encoding: java.nio.charset.Charset): String = {
     val stripped = PyUrl.removeTabNewline(PyUrl.stripC0(url))
     val parts = PyUrl.urlsplit(stripped)
     val (username, password) = PyUrl.userinfo(parts.netloc)
@@ -63,9 +71,24 @@ object UrlKit {
     }
     portOpt.foreach { p => netloc.append(':').append(p.toString) }
     val path = PyUrl.quoteBytes(parts.path.getBytes(UTF_8), PATH_SAFE_CHARS)
-    val query = PyUrl.quoteBytes(parts.query.getBytes(UTF_8), SAFE_CHARS)
-    val fragment = PyUrl.quoteBytes(parts.fragment.getBytes(UTF_8), SAFE_CHARS)
+    val query = PyUrl.quoteBytes(encodeStrict(parts.query, encoding), SAFE_CHARS)
+    val fragment =
+      PyUrl.quoteBytes(encodeStrict(parts.fragment, encoding), SAFE_CHARS)
     PyUrl.urlunsplit(parts.scheme, netloc.toString, path, query, fragment)
+  }
+
+  /** Python `str.encode(encoding)` — strict, raises on unmappable (the
+    * UTF-8 fast path can never fail on valid UTF-16 input). */
+  private[urlkit] def encodeStrict(s: String,
+      cs: java.nio.charset.Charset): Array[Byte] = {
+    if (cs == UTF_8 || s.isEmpty) return s.getBytes(UTF_8)
+    val enc = cs.newEncoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    val bb = enc.encode(java.nio.CharBuffer.wrap(s)) // throws on unmappable
+    val arr = new Array[Byte](bb.remaining())
+    bb.get(arr)
+    arr
   }
 
   /** w3lib `_unquotepath`: protect %2F/%3F (encoded '/' '?') as literal

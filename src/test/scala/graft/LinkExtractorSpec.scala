@@ -325,4 +325,135 @@ class LinkExtractorSpec extends AnyFunSuite {
       "http://example.org/somepage/index.html") === Seq(
       Link("http://example.org/other/page.html", false, "Text")))
   }
+
+  // ------------------------------------------------ restrict_xpaths / css
+
+  test("test_restrict_xpaths") {
+    assert(links(new LinkExtractor(
+      restrictXpaths = Seq("""//div[@id="subwrapper"]"""))) === Seq(
+      Link("http://example.com/sample1.html", false, ""),
+      Link("http://example.com/sample2.html", false, "sample 2")))
+  }
+
+  test("test_restrict_xpaths_encoding (windows-1252)") {
+    val html = ("""<html><head><title>Page title</title></head>
+      |<body><p><a href="item/12.html">Item 12</a></p>
+      |<div class='links'>
+      |<p><a href="/about.html">About us£</a></p>
+      |</div>
+      |<div>
+      |<p><a href="/nofollow.html">This shouldn't be followed</a></p>
+      |</div>
+      |</body></html>""").stripMargin
+    val body = html.getBytes("windows-1252")
+    val lx = new LinkExtractor(restrictXpaths = Seq("//div[@class='links']"))
+    assert(lx.extractLinks(body, "http://example.org/somepage/index.html",
+      "windows-1252") === Seq(
+      Link("http://example.org/about.html", false, "About us£")))
+  }
+
+  test("test_restrict_xpaths_with_html_entities (iso8859-15 query encoding)") {
+    // &hearts; decodes to U+2665 (UTF-8 percent-encoded in the path);
+    // &euro; decodes to U+20AC, percent-encoded with the PAGE encoding in
+    // the query (iso8859-15 byte 0xA4) — w3lib safe_url_string(url, enc)
+    val body =
+      "<html><body><p><a href=\"/&hearts;/you?c=&euro;\">text</a></p></body></html>"
+        .getBytes("ISO-8859-15")
+    val lx = new LinkExtractor(restrictXpaths = Seq("//p"))
+    assert(lx.extractLinks(body, "http://example.org/somepage/index.html",
+      "ISO-8859-15") === Seq(
+      Link("http://example.org/%E2%99%A5/you?c=%A4", false, "text")))
+  }
+
+  test("test_restrict_xpaths_concat_in_handle_data (gb18030, unclosed div)") {
+    val body = "<html><body><div><a href=\"/foo\">&gt;京&lt;东</a></body></html>"
+      .getBytes("GB18030")
+    val lx = new LinkExtractor(restrictXpaths = Seq("//div"))
+    assert(lx.extractLinks(body, "http://example.org", "GB18030") === Seq(
+      Link("http://example.org/foo", false, ">京<东")))
+  }
+
+  test("test_restrict_css") {
+    // the area link is NOT an <a>, so '#subwrapper a' excludes it
+    assert(links(new LinkExtractor(restrictCss = Seq("#subwrapper a"))) === Seq(
+      Link("http://example.com/sample2.html", false, "sample 2")))
+  }
+
+  test("test_restrict_css_and_restrict_xpaths_together") {
+    // subdocs in selector order: xpath's div (sample1+sample2), then the
+    // css adjacent-sibling match (the sample3 <a> itself)
+    assert(links(new LinkExtractor(
+      restrictXpaths = Seq("""//div[@id="subwrapper"]"""),
+      restrictCss = Seq("#subwrapper + a"))) === Seq(
+      Link("http://example.com/sample1.html", false, ""),
+      Link("http://example.com/sample2.html", false, "sample 2"),
+      Link("http://example.com/sample3.html", false, "sample 3 text")))
+  }
+
+  test("test_link_extractor_aggregation (unique x canonicalize)") {
+    val html =
+      """
+        |<div>
+        |    <a href="/a">a1</a>
+        |    <a href="/b?a=1&b=2">b1</a>
+        |</div>
+        |<div>
+        |    <a href="/a">a2</a>
+        |    <a href="/b?b=2&a=1">b2</a>
+        |</div>
+      """.stripMargin
+    val url = "https://example.com"
+    // unique=True (default), canonicalize=False (default)
+    assert(new LinkExtractor(restrictCss = Seq("div"))
+      .extractLinks(html, url) === Seq(
+      Link("https://example.com/a", false, "a1"),
+      Link("https://example.com/b?a=1&b=2", false, "b1"),
+      Link("https://example.com/b?b=2&a=1", false, "b2")))
+    // unique=True, canonicalize=True
+    assert(new LinkExtractor(restrictCss = Seq("div"), canonicalize = true)
+      .extractLinks(html, url) === Seq(
+      Link("https://example.com/a", false, "a1"),
+      Link("https://example.com/b?a=1&b=2", false, "b1")))
+    // unique=False, canonicalize=False
+    assert(new LinkExtractor(restrictCss = Seq("div"), unique = false)
+      .extractLinks(html, url) === Seq(
+      Link("https://example.com/a", false, "a1"),
+      Link("https://example.com/b?a=1&b=2", false, "b1"),
+      Link("https://example.com/a", false, "a2"),
+      Link("https://example.com/b?b=2&a=1", false, "b2")))
+    // unique=False, canonicalize=True
+    assert(new LinkExtractor(restrictCss = Seq("div"), unique = false,
+      canonicalize = true).extractLinks(html, url) === Seq(
+      Link("https://example.com/a", false, "a1"),
+      Link("https://example.com/b?a=1&b=2", false, "b1"),
+      Link("https://example.com/a", false, "a2"),
+      Link("https://example.com/b?a=1&b=2", false, "b2")))
+  }
+
+  test("nested restrict matches duplicate like per-subdoc extraction") {
+    // //div matches both wrapper and subwrapper: subwrapper's links are
+    // extracted twice (once per subdoc); unique=True collapses them,
+    // preserving first-occurrence order
+    val html =
+      """<div id="outer"><div id="inner"><a href="/x">x</a></div>
+        |<a href="/y">y</a></div>""".stripMargin
+    assert(new LinkExtractor(restrictXpaths = Seq("//div"), unique = false)
+      .extractLinks(html, "http://e.com") === Seq(
+      Link("http://e.com/x", false, "x"),
+      Link("http://e.com/y", false, "y"),
+      Link("http://e.com/x", false, "x")))
+    assert(new LinkExtractor(restrictXpaths = Seq("//div"))
+      .extractLinks(html, "http://e.com") === Seq(
+      Link("http://e.com/x", false, "x"),
+      Link("http://e.com/y", false, "y")))
+  }
+
+  test("unsupported selector fails at construction") {
+    intercept[IllegalArgumentException] {
+      new LinkExtractor(restrictXpaths = Seq("//div[position()=1]"))
+    }
+    intercept[IllegalArgumentException] {
+      new LinkExtractor(restrictCss = Seq("div:first-child"))
+    }
+  }
 }
