@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, BinaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot scalar functions (SURVEY §2.11:
@@ -24,6 +25,15 @@ object GraftExprs {
 
   def phashHamming(a: Long, b: Long): Long =
     java.lang.Long.bitCount(a ^ b).toLong
+
+  private def toArrayData(vals: Seq[String]): ArrayData =
+    new GenericArrayData(vals.map(UTF8String.fromString).toArray[Any])
+
+  def cssSelect(html: UTF8String, query: UTF8String): ArrayData =
+    toArrayData(graft.extract.Sel.cssSelectAll(html.toString, query.toString))
+
+  def xpathSelect(html: UTF8String, query: UTF8String): ArrayData =
+    toArrayData(graft.extract.Sel.xpathSelectAll(html.toString, query.toString))
 }
 
 /** canonicalize_url as a codegen-friendly unary expression. */
@@ -69,6 +79,41 @@ case class PhashHammingExpr(left: Expression, right: Expression)
   override def prettyName: String = "graft_phash_hamming"
 }
 
+/** parsel-subset css extraction (`Sel.cssSelectAll`, parsed-query cached):
+  * `graft_css_select(html, 'a::attr(href)')` → array<string>. Stays inside
+  * whole-stage codegen as a static call — the Spark-side form of the
+  * reference's `response.css(q).getall()` for DataFrame pipelines
+  * (`df.select(explode(graft_css_select(...)))`). */
+case class CssSelectExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftExprs.cssSelect(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.GraftExprs.cssSelect($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CssSelectExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_css_select"
+}
+
+/** parsel-subset xpath extraction: `graft_xpath_select(html, '//a/@href')`
+  * → array<string> (`Sel.xpathSelectAll`). */
+case class XPathSelectExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftExprs.xpathSelect(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.GraftExprs.xpathSelect($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): XPathSelectExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_xpath_select"
+}
+
 /** Session extensions: register the expressions as SQL functions —
   * `spark.sql("SELECT graft_canonicalize(url) ...")` — via
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or config
@@ -87,5 +132,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_phash_hamming"),
       new ExpressionInfo(classOf[PhashHammingExpr].getName, "graft_phash_hamming"),
       (children: Seq[Expression]) => PhashHammingExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_css_select"),
+      new ExpressionInfo(classOf[CssSelectExpr].getName, "graft_css_select"),
+      (children: Seq[Expression]) => CssSelectExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_xpath_select"),
+      new ExpressionInfo(classOf[XPathSelectExpr].getName, "graft_xpath_select"),
+      (children: Seq[Expression]) => XPathSelectExpr(children.head, children(1))))
   }
 }

@@ -66,6 +66,30 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(rows.exists(r => !r.isNullAt(0) && r.getString(0) == "http://h.test/a"))
   }
 
+  test("css_select / xpath_select expressions (codegen + SQL + explode)") {
+    import spark.implicits._
+    val html =
+      "<div id='x'><a href='/a?q=1&amp;r=2'>One</a><a href='/b'>Two</a></div>"
+    val sqlHtml = html.replace("'", "''") // SQL string-literal escaping
+    val r = spark.sql(
+      s"SELECT graft_css_select('$sqlHtml', 'a::attr(href)') AS hrefs, " +
+      s"graft_xpath_select('$sqlHtml', '//div[@id=\"x\"]/a/text()') AS texts")
+      .collect().head
+    assert(r.getSeq[String](0) === Seq("/a?q=1&r=2", "/b"))
+    assert(r.getSeq[String](1) === Seq("One", "Two"))
+    // non-foldable html column through a codegen'd projection + explode
+    val pages = (0 until 20).map(i =>
+      s"<ul><li><a href='/p$i'>p$i</a></li><li><a href='/q$i'>q$i</a></li></ul>")
+    val links = pages.toDF("body")
+      .selectExpr("explode(graft_css_select(body, 'li a::attr(href)')) AS href")
+      .as[String].collect()
+    assert(links.length === 40)
+    assert(links.take(2) === Array("/p0", "/q0"))
+    // value parity with the library facade on every row
+    val viaLib = pages.flatMap(p => graft.extract.Sel.cssSelectAll(p, "li a::attr(href)"))
+    assert(links.toSeq === viaLib)
+  }
+
   test("phash hamming expression on real corpus hashes") {
     import spark.implicits._
     val hashes = (0 until 8).map(i =>
