@@ -91,6 +91,18 @@ package graft
   *     1 configurations). lastT_s := t of the slot's last charged
   *     departure; delay_s from step 1a. A pending robots fetch takes its
   *     host's first position in the slot's sequence.
+  *  4a. Randomized ticks (`randomizeDelay` / per-slot `randomize` override —
+  *     RANDOMIZE_DOWNLOAD_DELAY, which the reference DEFAULTS to True:
+  *     `Slot.download_delay` returns `random.uniform(0.5·delay, 1.5·delay)`
+  *     per wait, `scrapy/core/downloader/__init__.py`): step 4's uniform
+  *     tick grid generalizes to
+  *       t_i = max(lastT_s + L(s,e,0), epochStart) + Σ_{k=1..floor(i/conc)} L(s,e,k)
+  *     where L(s,e,k) = `tickLen(slot, epoch, k, delay_s)` — a deterministic
+  *     integral uniform over [delay_s/2, 3·delay_s/2] hashed from
+  *     (slot, epoch, tick), the jitter analogue with no RNG state: the same
+  *     timeline on every executor, across resumes, and in the oracle. The
+  *     step-1a budget formula keeps the NOMINAL delay_s (tick lengths
+  *     average to delay_s). randomize off ⇒ L ≡ delay_s ⇒ exactly step 4.
   *  5. Global fetch-log order within the epoch: (virtualT ASC, host ASC,
   *     per-host index ASC); `seq` continues across epochs.
   *  6. Fetch = corpus lookup by sanitized URL (unknown → 404). Status counts
@@ -298,6 +310,12 @@ final case class CrawlConfig(
     // transfers per slot per delay tick (CONCURRENT_REQUESTS_PER_DOMAIN
     // analogue, contract step 4); 1 = the reference's delay>0 serialization
     concurrency: Int = 1,
+    // RANDOMIZE_DOWNLOAD_DELAY analogue (contract step 4a): tick lengths
+    // drawn deterministically per (slot, epoch, tick) in [delay/2, 3·delay/2].
+    // The reference DEFAULTS this to True (`default_settings.py`); the graft
+    // ships false so the plain politeness timeline stays inspectable —
+    // flip it to model the reference's default jitter.
+    randomizeDelay: Boolean = false,
     depthLimit: Int = 0, // DEPTH_LIMIT, 0 = off
     depthPriority: Int = 0, // DEPTH_PRIORITY (1 → BFO)
     queueOrder: String = "lifo", // "lifo" (DFO, default) | "fifo" (BFO)
@@ -432,6 +450,30 @@ final case class CrawlConfig(
   def slotBudgetOf(slot: String, storedDelayMs: Long): Int =
     budgetFor(resolveSlotDelay(slot, storedDelayMs), slotCapOf(slot))
 
+  /** Whether the slot's delay ticks are randomized (contract step 4a):
+    * DOWNLOAD_SLOTS `randomize_delay` override, else the global setting. */
+  def slotRandomize(slot: String): Boolean =
+    slotOverrides.get(slot).flatMap(_.randomize).getOrElse(randomizeDelay)
+
+  /** Contract step 4a — length of delay tick `k` of `slot` in `epoch` at
+    * resolved delay `delay`: the SINGLE authority the oracle and the engine
+    * both call, so the randomized timeline can never diverge. Plain ticks
+    * (randomize off) have length `delay`. Randomized ticks model the
+    * reference's `random.uniform(0.5·delay, 1.5·delay)` per wait
+    * (`scrapy/core/downloader/__init__.py` `Slot.download_delay`,
+    * RANDOMIZE_DOWNLOAD_DELAY) as a deterministic integral uniform over
+    * [delay/2, delay/2 + delay], drawn by hashing (slot, epoch, k) — no RNG
+    * state, identical on every executor and across resumes. Tick 0 is the
+    * wait after the slot's previous departure (the `lastT + delay` term);
+    * ticks 1.. separate the epoch's departure batches. */
+  def tickLen(slot: String, epoch: Int, k: Long, delay: Long): Long =
+    if (delay <= 0 || !slotRandomize(slot)) delay
+    else {
+      val h = scala.util.hashing.MurmurHash3.stringHash(
+        s"$slot\u0000$epoch\u0000$k")
+      delay / 2 + java.lang.Integer.toUnsignedLong(h) % (delay + 1)
+    }
+
   /** Upper bound on any slot's budget under this config — the fair-share
     * histogram/binary-search ceiling (budget_s ≤ cap_s always). */
   def maxSlotBudget: Int =
@@ -471,7 +513,10 @@ final case class CrawlConfig(
   * perIpSlots). */
 final case class SlotOverride(
     delayMs: Option[Long] = None,
-    maxPerEpoch: Option[Int] = None)
+    maxPerEpoch: Option[Int] = None,
+    // DOWNLOAD_SLOTS `randomize_delay` per-slot override (`downloader/
+    // __init__.py` Slot; None = the global randomizeDelay setting)
+    randomize: Option[Boolean] = None)
 
 object CrawlConfig {
   /** Retryable HTTP codes, `default_settings.py:456-463`. */

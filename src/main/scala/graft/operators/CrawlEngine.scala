@@ -480,12 +480,24 @@ object CrawlEngine {
             val deq = new Array[Enriched](st.pq.size)
             var n = deq.length - 1
             while (n >= 0) { deq(n) = st.pq.poll(); n -= 1 } // worst→best, back→front
-            // charged-departure schedule (contract step 4): departure i
-            // leaves at tBase + floor(i/conc)·delay — `conc` transfers per
-            // delay tick; cache hits and forbidden rows are not departures
-            val tBase = math.max(st.lastT + st.delay, epochStart)
+            // charged-departure schedule (contract steps 4 + 4a): departure
+            // i leaves at tBase + Σ ticks — `conc` transfers per delay tick;
+            // cache hits and forbidden rows are not departures; tick lengths
+            // from the shared cfg.tickLen authority (randomize-aware, ≡
+            // st.delay when randomize is off)
+            val tBase = math.max(
+              st.lastT + cfg.tickLen(slot, epoch, 0L, st.delay), epochStart)
             var transfers = 0
-            def curT: Long = tBase + (transfers / conc).toLong * st.delay
+            var tickSum = 0L
+            var ticksAdded = 0L
+            def curT: Long = {
+              val tc = (transfers / conc).toLong
+              while (ticksAdded < tc) {
+                ticksAdded += 1
+                tickSum += cfg.tickLen(slot, epoch, ticksAdded, st.delay)
+              }
+              tBase + tickSum
+            }
             var budgetLeft = st.budget
             var stopped = false
             val robotsDone = scala.collection.mutable.HashSet.empty[String]

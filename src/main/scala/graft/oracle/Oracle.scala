@@ -178,11 +178,22 @@ object Oracle {
 
       for ((slot, rows) <- bySlot.toSeq.sortBy(_._1)) {
         val sorted = rows.sortWith(dequeueLt)
-        // charged-departure schedule (contract step 4): `concurrency`
-        // transfers per delay tick; hits/forbidden are not departures
-        val tBase = math.max(slotLastT(slot) + dlyOf(slot), epochStart)
+        // charged-departure schedule (contract steps 4 + 4a): `concurrency`
+        // transfers per delay tick; hits/forbidden are not departures; tick
+        // lengths from the shared cfg.tickLen authority (randomize-aware)
+        val tBase = math.max(
+          slotLastT(slot) + cfg.tickLen(slot, epoch, 0L, dlyOf(slot)), epochStart)
         var transfers = 0
-        def curT: Long = tBase + (transfers / cfg.concurrency).toLong * dlyOf(slot)
+        var tickSum = 0L
+        var ticksAdded = 0L
+        def curT: Long = {
+          val tc = (transfers / cfg.concurrency).toLong
+          while (ticksAdded < tc) {
+            ticksAdded += 1
+            tickSum += cfg.tickLen(slot, epoch, ticksAdded, dlyOf(slot))
+          }
+          tBase + tickSum
+        }
         var budgetLeft = budgetOf(slot)
         var stopped = false
         val hostIdx = mutable.Map.empty[String, Int].withDefaultValue(0)

@@ -265,6 +265,26 @@ class ConformanceSpec extends AnyFunSuite {
       CrawlConfig(maxEpochs = 8, concurrency = 8), "concurrency")
   }
 
+  test("randomized-delay variant conforms (deterministic jitter ticks)") {
+    // RANDOMIZE_DOWNLOAD_DELAY analogue (contract step 4a): every wait is a
+    // hash-drawn integral uniform in [delay/2, 3·delay/2] keyed by
+    // (slot, epoch, tick) — the jittered timeline, budgets, and global
+    // (t, host, idx) interleaving must still match the oracle byte-for-byte
+    val (_, o) = compare(Corpus.Small,
+      CrawlConfig(maxEpochs = 8, randomizeDelay = true), "randomdelay")
+    // the jitter must actually engage: on the uniform grid every virtual
+    // time is a multiple of delayMs (epochMs and epoch starts are too)
+    assert(o.fetchLog.exists(f => f.virtualTMs % 100 != 0),
+      "[randomdelay] expected off-grid virtual times under jitter")
+  }
+
+  test("randomized-delay + concurrency variant conforms (jitter tick batches)") {
+    // steps 4 + 4a combined: conc=4 departures share each jittered tick
+    compare(Corpus.Small,
+      CrawlConfig(maxEpochs = 8, randomizeDelay = true, concurrency = 4),
+      "randomdelay-conc")
+  }
+
   test("httpcache conforms: cold crawl stores, cache-primed second crawl hits skip the slot") {
     import spark.implicits._
     val cfg = CrawlConfig(maxEpochs = 8, httpcacheEnabled = true)
