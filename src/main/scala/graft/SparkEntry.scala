@@ -248,6 +248,48 @@ object SparkEntry {
         .select("bucket", "rn", "doc_id")
     }),
 
+    // ---- image axis: phash near-dup via hamming LSH bands (the 100 TB
+    // image-dedup shape — band-bucketed equi-join over 15-bit phash bands,
+    // NEVER an all-pairs cross join; candidates per row ≈ band collisions).
+    // phash synthesized deterministically from SQL primitives so DuckDB
+    // verifies the whole pipeline: same-source docs get near hashes
+    // (≤2 flipped bits each), cross-source hashes are ~random ------------
+    "q_phash_band_neardup" -> ((s, dir) => {
+      val h = t(s, dir, "documents").selectExpr(
+        "doc_id",
+        "cast(conv(substr(md5(source), 1, 15), 16, 10) as bigint) " +
+          "^ shiftleft(cast(1 as bigint), cast((doc_id * 7) % 60 as int)) " +
+          "^ (case when doc_id % 3 = 0 then shiftleft(cast(1 as bigint), " +
+          "cast((doc_id * 13) % 60 as int)) else cast(0 as bigint) end) " +
+          "as phash")
+      val bands = h.select(col("doc_id"), col("phash"),
+          posexplode(array((0 until 4).map(b =>
+            shiftrightunsigned(col("phash"), b * 15).bitwiseAND(lit(32767L))): _*))
+            .as(Seq("band", "bandval")))
+      val x = bands.select(col("band"), col("bandval"),
+        col("doc_id").as("doc_a"), col("phash").as("ph_a"))
+      val y = bands.select(col("band"), col("bandval"),
+        col("doc_id").as("doc_b"), col("phash").as("ph_b"))
+      x.join(y, Seq("band", "bandval"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+        .filter(col("hamming") <= 4)
+        .select("doc_a", "doc_b", "hamming").distinct()
+    }),
+
+    // ---- training-data: per-doc token repetition stats (quality signal —
+    // high top_count/n_distinct ratios flag boilerplate; explode + two-level
+    // agg keeps it map-side partial, no window) ----------------------------
+    "q_word_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count("*").as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("n_words"),
+          count("*").as("n_distinct_words"),
+          max("c").as("top_count"))
+    }),
+
     // ======= rows-only queries (no SQL oracle: hash/UDF semantics) =========
 
     // fingerprint partitioner: url_seen bucket histogram (SURVEY §2.2)
@@ -373,6 +415,22 @@ object SparkEntry {
     "q_domain_quota" ->
       "SELECT source, rnk, doc_id FROM (SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk FROM documents) WHERE rnk <= 10",
     "q_stratified_sample" ->
-      "SELECT bucket, rn, doc_id FROM (SELECT n_chars // 100 AS bucket, doc_id, row_number() OVER (PARTITION BY n_chars // 100 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) WHERE rn <= 5"
+      "SELECT bucket, rn, doc_id FROM (SELECT n_chars // 100 AS bucket, doc_id, row_number() OVER (PARTITION BY n_chars // 100 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) WHERE rn <= 5",
+    "q_phash_band_neardup" ->
+      ("WITH h AS (SELECT doc_id, xor(xor(('0x' || substr(md5(source), 1, 15))::BIGINT, " +
+        "(1::BIGINT << ((doc_id * 7) % 60))), " +
+        "CASE WHEN doc_id % 3 = 0 THEN (1::BIGINT << ((doc_id * 13) % 60)) ELSE 0::BIGINT END) AS phash " +
+        "FROM documents), " +
+        "b AS (SELECT doc_id, phash, u.band AS band, (phash >> (u.band * 15)) & 32767 AS bandval " +
+        "FROM h, (SELECT unnest([0, 1, 2, 3]) AS band) u) " +
+        "SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming " +
+        "FROM b x JOIN b y ON x.band = y.band AND x.bandval = y.bandval AND x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.phash, y.phash)) <= 4"),
+    "q_word_repetition" ->
+      ("SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_distinct_words, max(c) AS top_count " +
+        "FROM (SELECT doc_id, w, count(*) AS c FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY doc_id, w) " +
+        "GROUP BY doc_id")
   )
 }
