@@ -316,4 +316,40 @@ final class Sel private[extract] (
 
   /** parsel `.re_first()`. */
   def reFirst(pattern: String): Option[String] = re(pattern).headOption
+
+  // ------------------------------------------------------- response.follow
+
+  /** `response.follow(selector)`'s URL extraction (`_url_from_selector`,
+    * reference `http/response/text.py:298-311`): an attribute/text value
+    * node yields itself html5-whitespace-stripped; an `<a>`/`<link>`
+    * element yields its raw `href`. Left = the reference's
+    * `_InvalidSelector` message (follow raises it, follow_all suppresses). */
+  private def urlOfNode(n: Node): Either[String, String] = n match {
+    case ValNode(v) => Right(LinkExtract.stripHtml5Whitespace(v))
+    case ElNode(el) if el.parent == null =>
+      Left("Unsupported selector: document root")
+    case ElNode(el) if el.tag != "a" && el.tag != "link" =>
+      Left(s"Only <a> and <link> elements are supported; got <${el.tag}>")
+    case ElNode(el) => el.attrs.get("href")
+      .toRight(s"<${el.tag}> element has no href attribute")
+  }
+
+  /** `response.follow(sel)` on the FIRST node: the absolute URL the built
+    * Request would carry (`urljoin(base, url)`). Throws
+    * IllegalArgumentException for unsupported selectors, like the
+    * reference's `_InvalidSelector` / empty-list `ValueError`. */
+  def follow(base: String): String = nodes.headOption match {
+    case None => throw new IllegalArgumentException("no selector to follow")
+    case Some(n) => urlOfNode(n) match {
+      case Right(u) => graft.urlkit.PyUrl.urljoin(base, u)
+      case Left(msg) => throw new IllegalArgumentException(msg)
+    }
+  }
+
+  /** `response.follow_all(css=...|xpath=...|urls)`: absolute URLs of every
+    * followable node — selectors without an obtainable link (anchor with no
+    * href, non-link element) are silently skipped, per the reference doc. */
+  def followAll(base: String): Seq[String] =
+    nodes.flatMap(n => urlOfNode(n).toOption)
+      .map(u => graft.urlkit.PyUrl.urljoin(base, u))
 }

@@ -198,4 +198,32 @@ class SelectorSpec extends AnyFunSuite {
     assert(sel.xpath("//div/text()").getall == Seq("a", "b"))
     assert(sel.xpath("//script/text()").get == Some("var x = '<p>';"))
   }
+
+  // ---- response.follow / follow_all (reference test_http_response.py) ------
+
+  test("follow: a element, link element, and ::attr value selectors") {
+    val base = "http://example.com/page/index.html"
+    val html = "<html><head><link rel='next' href='/feed.xml'/></head><body>" +
+      "<a href='sub/a.html'>A</a><a href=' spaced.html\t'>S</a>" +
+      "<span>not a link</span><a name='anchor-only'>no href</a></body></html>"
+    val s = Sel(html)
+    assert(s.css("a").follow(base) == "http://example.com/page/sub/a.html")
+    assert(s.css("link").follow(base) == "http://example.com/feed.xml")
+    // attribute value: html5-whitespace stripped before the join
+    assert(s.css("a::attr(href)").items(1).follow(base) ==
+      "http://example.com/page/spaced.html")
+    intercept[IllegalArgumentException](s.css("span").follow(base))
+    intercept[IllegalArgumentException](s.css("a[name]").follow(base))
+    intercept[IllegalArgumentException](s.css("div.absent").follow(base))
+  }
+
+  test("follow_all skips selectors without an obtainable link") {
+    val base = "http://example.com/"
+    val html = "<body><a href='/1'>x</a><a name='n'>no-href</a>" +
+      "<a href='/2'>y</a></body>"
+    assert(Sel(html).css("a").followAll(base) ==
+      Seq("http://example.com/1", "http://example.com/2"))
+    assert(Sel(html).css("a::attr(href)").followAll(base) ==
+      Seq("http://example.com/1", "http://example.com/2"))
+  }
 }
