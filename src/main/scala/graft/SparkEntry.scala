@@ -252,12 +252,15 @@ object SparkEntry {
     // image-dedup shape — band-bucketed equi-join over 15-bit phash bands,
     // NEVER an all-pairs cross join; candidates per row ≈ band collisions).
     // phash synthesized deterministically from SQL primitives so DuckDB
-    // verifies the whole pipeline: same-source docs get near hashes
-    // (≤2 flipped bits each), cross-source hashes are ~random ------------
+    // verifies the whole pipeline: docs in the same FIXED-SIZE cluster of
+    // 16 consecutive ids (an ingest batch — real phash clusters are small)
+    // get near hashes (≤2 flipped bits each), cross-cluster hashes are
+    // ~random, so the pair count stays LINEAR in corpus size at any SF ----
     "q_phash_band_neardup" -> ((s, dir) => {
       val h = t(s, dir, "documents").selectExpr(
         "doc_id",
-        "cast(conv(substr(md5(source), 1, 15), 16, 10) as bigint) " +
+        "cast(conv(substr(md5(concat('c', " +
+          "cast(doc_id div 16 as string))), 1, 15), 16, 10) as bigint) " +
           "^ shiftleft(cast(1 as bigint), cast((doc_id * 7) % 60 as int)) " +
           "^ (case when doc_id % 3 = 0 then shiftleft(cast(1 as bigint), " +
           "cast((doc_id * 13) % 60 as int)) else cast(0 as bigint) end) " +
@@ -417,7 +420,7 @@ object SparkEntry {
     "q_stratified_sample" ->
       "SELECT bucket, rn, doc_id FROM (SELECT n_chars // 100 AS bucket, doc_id, row_number() OVER (PARTITION BY n_chars // 100 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) WHERE rn <= 5",
     "q_phash_band_neardup" ->
-      ("WITH h AS (SELECT doc_id, xor(xor(('0x' || substr(md5(source), 1, 15))::BIGINT, " +
+      ("WITH h AS (SELECT doc_id, xor(xor(('0x' || substr(md5('c' || CAST(doc_id // 16 AS VARCHAR)), 1, 15))::BIGINT, " +
         "(1::BIGINT << ((doc_id * 7) % 60))), " +
         "CASE WHEN doc_id % 3 = 0 THEN (1::BIGINT << ((doc_id * 13) % 60)) ELSE 0::BIGINT END) AS phash " +
         "FROM documents), " +
