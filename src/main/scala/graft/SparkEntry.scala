@@ -37,6 +37,8 @@ object SparkEntry {
     })
   private val rollingFpUdf = udf((text: String) =>
     f"${TextFunctions.rollingFingerprint(text)}%016x")
+  private val cssSelectUdf = udf((html: String, q: String) =>
+    graft.extract.Sel.cssSelectAll(html, q))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dupefilter: LEFT ANTI join vs the seen set (SURVEY §2.2) --------
@@ -293,6 +295,25 @@ object SparkEntry {
           max("c").as("top_count"))
     }),
 
+    // ---- selector engine end-to-end verified: HTML is synthesized from
+    // table columns, the css query runs through the real DOM parse +
+    // selector evaluation + explode, and DuckDB reconstructs the expected
+    // values directly (the codegen'd Expression form of the same call is
+    // pinned by ExpressionsSpec parity) ----------------------------------
+    "q_css_extract" -> ((s, dir) => {
+      val html = concat(lit("<div><a href='/doc/"), col("doc_id"),
+        lit("'>"), col("source"), lit(" "), col("lang"),
+        lit("</a><a href='/alt/"), col("doc_id"), lit("'>x</a></div>"))
+      t(s, dir, "documents")
+        .withColumn("html", html)
+        .select(col("doc_id"),
+          explode(cssSelectUdf(col("html"), lit("a::attr(href)"))).as("href"))
+        .groupBy("doc_id")
+        .agg(count("*").as("n_links"),
+          min("href").as("first_href"),
+          max("href").as("last_href"))
+    }),
+
     // ======= rows-only queries (no SQL oracle: hash/UDF semantics) =========
 
     // fingerprint partitioner: url_seen bucket histogram (SURVEY §2.2)
@@ -434,6 +455,12 @@ object SparkEntry {
       ("SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_distinct_words, max(c) AS top_count " +
         "FROM (SELECT doc_id, w, count(*) AS c FROM " +
         "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY doc_id, w) " +
-        "GROUP BY doc_id")
+        "GROUP BY doc_id"),
+    // the selector engine extracts exactly the two planted hrefs per doc;
+    // DuckDB reconstructs them without parsing ('/alt/..' < '/doc/..')
+    "q_css_extract" ->
+      ("SELECT doc_id, 2::BIGINT AS n_links, " +
+        "'/alt/' || CAST(doc_id AS VARCHAR) AS first_href, " +
+        "'/doc/' || CAST(doc_id AS VARCHAR) AS last_href FROM documents")
   )
 }
