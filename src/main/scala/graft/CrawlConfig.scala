@@ -104,7 +104,10 @@ package graft
   *     step-1a budget formula keeps the NOMINAL delay_s (tick lengths
   *     average to delay_s). randomize off ⇒ L ≡ delay_s ⇒ exactly step 4.
   *  5. Global fetch-log order within the epoch: (virtualT ASC, host ASC,
-  *     per-host index ASC); `seq` continues across epochs.
+  *     slot ASC, per-host-in-slot index ASC); `seq` continues across
+  *     epochs. The slot tiebreak is inert except under download_slot meta
+  *     (7f) — the only case where one host's fetches can span two slots in
+  *     an epoch and (t, host, idx) alone would collide.
   *  6. Fetch = corpus lookup by sanitized URL (unknown → 404). Status counts
   *     recorded as `downloader/response_status_count/<n>`.
   *  6a. Request headers recorded per fetch (part of the byte compare):
@@ -290,6 +293,20 @@ package graft
   *     of a depth-0 request (the reference's _init_depth on responses
   *     whose meta lacks "depth" — start requests and their
   *     retries/redirects).
+  *  7f. download_slot meta (`core/downloader/__init__.py` get_slot_key +
+  *     the meta write-back in _enqueue_request): a request carrying
+  *     meta["download_slot"] is charged to THAT politeness slot, overriding
+  *     host/IP keying — requests on different hosts can share one slot's
+  *     delay/budget/virtual-time sequence. The downloader writes the
+  *     computed key back into meta, and request.replace copies meta, so
+  *     redirects (incl. meta-refresh) and retries of a DOWNLOADED response
+  *     inherit the slot their source was fetched under — a cross-host
+  *     redirect stays charged to the ORIGINAL slot. Cache-hit responses
+  *     never reach the downloader: no write-back (derived requests keep the
+  *     source's own meta value, usually unset). Extracted links are fresh
+  *     requests and never inherit. Robots fetches stay charged inside the
+  *     walked slot (step 2's existing rule). AutoThrottle replay and lastT
+  *     advance key by the same slot.
   *  8. Dupefilter (`scrapy/dupefilters.py:94-105` via scheduler `:343-345`):
   *     candidates processed in discovery order; dontFilter rows bypass (no
   *     seen-check, no insert); otherwise first-wins on fp against

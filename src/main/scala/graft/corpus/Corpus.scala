@@ -55,7 +55,15 @@ final case class CorpusSpec(
     // target known 3xx/503/404 pages with dont_redirect / dont_retry /
     // max_retry_times / handle_httpstatus metas, so every meta observably
     // changes the fetch log or the httperror counters
-    metaControlSeeds: Boolean = false) {
+    metaControlSeeds: Boolean = false,
+    // download_slot meta seeds (contract step 7f): appends seeds on
+    // DIFFERENT hosts sharing an explicit meta["download_slot"] pool (their
+    // fetches serialize on one politeness sequence) plus plain seeds
+    // targeting cross-host redirect pages (slot write-back inheritance:
+    // the redirected fetch stays charged to the ORIGINAL host's slot).
+    // Also flips every 3rd 302 page's Location to the NEXT host — flag-off
+    // specs stay byte-identical.
+    slotMetaSeeds: Boolean = false) {
 
   /** Pages on host k: host 0 is the hot host; the rest share uniformly. */
   def pagesOnHost(k: Int): Int = {
@@ -146,10 +154,18 @@ object Corpus {
     if (roll < 0.04 && j > 0) { // 404
       PageRow(url, 404, null, Array.emptyByteArray, null, 10 + r.nextInt(100),
         cacheControl = cc)
-    } else if (roll < 0.07 && nK > 1) { // 302 → another page same host
+    } else if (roll < 0.07 && nK > 1) { // 302 → another page same host —
+      // or, under slotMetaSeeds, every 3rd one targets the NEXT host
+      // (cross-host redirect: exercises slot write-back, contract 7f)
       val tgt = r.nextInt(nK)
-      PageRow(url, 302, s"/p/$tgt", Array.emptyByteArray, null, 10 + r.nextInt(100),
-        cacheControl = cc)
+      if (spec.slotMetaSeeds && j % 3 == 0 && spec.nHosts > 1) {
+        val k2 = (k + 1) % spec.nHosts
+        PageRow(url, 302,
+          s"${spec.scheme}://${spec.hostName(k2)}/p/${tgt % spec.pagesOnHost(k2)}",
+          Array.emptyByteArray, null, 10 + r.nextInt(100), cacheControl = cc)
+      } else
+        PageRow(url, 302, s"/p/$tgt", Array.emptyByteArray, null, 10 + r.nextInt(100),
+          cacheControl = cc)
     } else if (roll < 0.08 && nK > 1) { // 301
       val tgt = r.nextInt(nK)
       PageRow(url, 301, s"${spec.scheme}://${spec.hostName(k)}/p/$tgt", Array.emptyByteArray, null, 10 + r.nextInt(100),
@@ -456,7 +472,7 @@ object Corpus {
           }
         SeedRow(s, url, prio, cookieJar = jar, dontMergeCookies = dmc)
       }
-    } ++ localSeeds(spec) ++ metaSeeds(spec)
+    } ++ localSeeds(spec) ++ metaSeeds(spec) ++ slotSeeds(spec)
   }
 
   /** Meta-control seeds (contract step 7d; appended when
@@ -504,6 +520,37 @@ object Corpus {
         case (kj, _) => SeedRow(0, u(kj), 0)
       }
     val base = spec.seedCount.toLong + localSeeds(spec).size
+    metas.zipWithIndex.map { case (s, i) => s.copy(seq = base + i) }
+  }
+
+  /** download_slot meta seeds (`slotMetaSeeds`, contract step 7f): seeds on
+    * THREE distinct hosts pooled under one explicit `meta["download_slot"]`
+    * (their fetches must serialize on the pool slot's single virtual-time
+    * sequence) plus plain seeds targeting the planted cross-host 302 pages
+    * (the redirected request inherits the written-back slot — charged to
+    * the ORIGINAL host, reference `_enqueue_request` meta write-back). */
+  def slotSeeds(spec: CorpusSpec): Seq[SeedRow] = {
+    if (!spec.slotMetaSeeds) return Nil
+    def find(n: Int)(pred: PageRow => Boolean): Seq[(Int, Int)] = {
+      val out = Seq.newBuilder[(Int, Int)]
+      var cnt = 0
+      val it = (0 until spec.nHosts).iterator.flatMap(k =>
+        (0 until spec.pagesOnHost(k)).iterator.map(j => (k, j)))
+      while (cnt < n && it.hasNext) {
+        val (k, j) = it.next()
+        if (pred(page(spec, k, j))) { out += ((k, j)); cnt += 1 }
+      }
+      out.result()
+    }
+    val pooled = (1 to 3).map(k =>
+      SeedRow(0, pageUrl(spec, k % spec.nHosts, 0), 0,
+        downloadSlot = "pool-a"))
+    val crossRedirects = find(2)(p => p.status == 302 &&
+      p.location != null && p.location.contains("://"))
+      .map { case (k, j) => SeedRow(0, pageUrl(spec, k, j), 0) }
+    val metas = pooled ++ crossRedirects
+    val base = spec.seedCount.toLong + localSeeds(spec).size +
+      metaSeeds(spec).size
     metas.zipWithIndex.map { case (s, i) => s.copy(seq = base + i) }
   }
 

@@ -78,7 +78,18 @@ final case class FrontierRow(
     // the HTTP cache entirely — no lookup, no store, and NO httpcache
     // counters fire for it. Inherited by retries/redirects (meta copy),
     // never by links.
-    dontCache: Boolean = false)
+    dontCache: Boolean = false,
+    // meta["download_slot"] (`core/downloader/__init__.py` get_slot_key +
+    // the write-back in _enqueue_request, contract step 7f): "" = unset
+    // (slot = host, or IP under perIpSlots); non-empty = the politeness
+    // slot this request is charged to, OVERRIDING host/IP keying. The
+    // downloader writes the computed key back into meta, so requests
+    // derived from a DOWNLOADED response (redirects incl. meta-refresh,
+    // retries — request.replace keeps meta) inherit the slot their source
+    // was fetched under — a cross-host redirect stays charged to the
+    // ORIGINAL slot. Cache-hit responses never enter the downloader, so
+    // no write-back happens for them. Extracted links never inherit.
+    downloadSlot: String = "")
 
 /** One fetch in the ordered crawl log — the byte-for-byte conformance object
   * (SURVEY.md §7.4, FIXTURES.md §6). `seq` is the global fetch index. */
@@ -142,7 +153,9 @@ final case class SeedRow(seq: Long, url: String, priority: Int,
     // see [[FrontierRow]]
     dontRedirect: Boolean = false, dontRetry: Boolean = false,
     maxRetryTimes: Int = -1, handleHttpstatus: String = "",
-    dontCache: Boolean = false)
+    dontCache: Boolean = false,
+    // meta["download_slot"] on the start request — see [[FrontierRow]]
+    downloadSlot: String = "")
 
 /** Per-slot politeness state carried across epochs (reference: downloader
   * Slot.lastseen + Slot.delay, `scrapy/core/downloader/__init__.py:148-177`).

@@ -170,7 +170,7 @@ object CrawlDriver {
       $"dontObeyRobots", lit(-1).as("ruleIdx"),
       $"cookieJar", $"dontMergeCookies",
       $"dontRedirect", $"dontRetry", $"maxRetryTimes",
-      $"handleHttpstatus", $"dontCache").as[FrontierRow]
+      $"handleHttpstatus", $"dontCache", $"downloadSlot").as[FrontierRow]
 
     val fDir = dataDir(root, 0, "frontier")
     frontier0.write.mode(SaveMode.Overwrite).parquet(fDir)
@@ -244,7 +244,8 @@ object CrawlDriver {
             "dontRetry" -> org.apache.spark.sql.functions.lit(false),
             "maxRetryTimes" -> org.apache.spark.sql.functions.lit(-1),
             "handleHttpstatus" -> org.apache.spark.sql.functions.lit(""),
-            "dontCache" -> org.apache.spark.sql.functions.lit(false)))
+            "dontCache" -> org.apache.spark.sql.functions.lit(false),
+            "downloadSlot" -> org.apache.spark.sql.functions.lit("")))
           .as[SeedRow], root)
       if (cachePrimeDirs.isEmpty && mediaPrimeDirs.isEmpty) m0
       else {
@@ -334,7 +335,8 @@ object CrawlDriver {
           "dontRetry" -> lit(false),
           "maxRetryTimes" -> lit(-1),
           "handleHttpstatus" -> lit(""),
-          "dontCache" -> lit(false))).as[FrontierRow]
+          "dontCache" -> lit(false),
+          "downloadSlot" -> lit(""))).as[FrontierRow]
       val urlSeen = readSeen(spark, m.seenDirs)
       // the merged host-state view feeds three joins inside the epoch (slot
       // state, delay updates, the next delta) — materialize the chain merge

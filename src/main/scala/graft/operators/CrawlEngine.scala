@@ -278,14 +278,18 @@ object CrawlEngine {
       "dEpoch", "dParent", "dLink", "retryTimes", "redirectTimes", "dontFilter",
       "referer", "dontObeyRobots", "ruleIdx", "cookieJar", "dontMergeCookies",
       "dontRedirect", "dontRetry", "maxRetryTimes", "handleHttpstatus",
-      "dontCache")
+      "dontCache", "downloadSlot")
+    // meta["download_slot"] wins outright over host/IP keying (contract 7f,
+    // reference get_slot_key)
+    val metaSlot = when($"downloadSlot" =!= "", $"downloadSlot")
     val withSlot =
       if (cfg.perIpSlots && dns != null)
         frontier.toDF()
           .join(dns.select($"host", $"ip"), Seq("host"), "left")
-          .withColumn("slot", coalesce($"ip", $"host")) // dnscache.get(host, host)
+          .withColumn("slot", // dnscache.get(host, host)
+            coalesce(metaSlot, $"ip", $"host"))
           .drop("ip")
-      else frontier.toDF().withColumn("slot", $"host")
+      else frontier.toDF().withColumn("slot", coalesce(metaSlot, $"host"))
 
     // HTTP-cache membership (contract 6d): per-row hit flags resolved at
     // epoch start — the row's own fp, and the fp of the robots URL the row
@@ -600,7 +604,10 @@ object CrawlEngine {
     // Large batches (frontier hint above cfg.seqCollectMax — e.g. 10^7 hosts
     // × budget): distributed range-sort + zipWithIndex, nothing through the
     // driver. Both paths assign the same contract order (t ASC, host ASC,
-    // idx ASC); the conformance suite pins them byte-identical. Host order
+    // slot ASC, idx ASC — the slot tiebreak only matters under
+    // download_slot meta, the one case where a host's fetches can span two
+    // slots in an epoch; everywhere else it is inert); the conformance
+    // suite pins them byte-identical. Host order
     // is JAVA STRING order on both paths: the driver path sorts with
     // Ordering[String] (UTF-16 code units), so the distributed sort keys on
     // the UTF-16BE encoding (byte-lex UTF-16BE == String.compareTo) instead
@@ -610,18 +617,20 @@ object CrawlEngine {
     val useDistributedSeq =
       cfg.seqCollectMax <= 0 || frontierCountHint > cfg.seqCollectMax
     var seqBc: org.apache.spark.broadcast.Broadcast[
-      java.util.HashMap[(Long, String, Int), Long]] = null
+      java.util.HashMap[(Long, String, String, Int), Long]] = null
     val fetches: Dataset[FetchRow] =
       (if (useDistributedSeq) {
         spark.createDataset(
-          toFetch.orderBy($"t", encode($"fr.host", "UTF-16BE"), $"hostIdx")
+          toFetch.orderBy($"t", encode($"fr.host", "UTF-16BE"),
+              encode($"slot", "UTF-16BE"), $"hostIdx")
             .rdd.zipWithIndex()
             .map { case (d, i) =>
               FetchRow(d.fr, d.t, d.hostIdx, d.kind, baseSeq + i, d.slot, d.cached) })
       } else {
-        val fetchKeys = toFetch.map(d => (d.t, d.fr.host, d.hostIdx)).collect()
-        java.util.Arrays.sort(fetchKeys, Ordering[(Long, String, Int)])
-        val seqMap = new java.util.HashMap[(Long, String, Int), Long](fetchKeys.length * 2)
+        val fetchKeys = toFetch.map(d => (d.t, d.fr.host, d.slot, d.hostIdx)).collect()
+        java.util.Arrays.sort(fetchKeys, Ordering[(Long, String, String, Int)])
+        val seqMap =
+          new java.util.HashMap[(Long, String, String, Int), Long](fetchKeys.length * 2)
         var si = 0
         while (si < fetchKeys.length) {
           seqMap.put(fetchKeys(si), baseSeq + si)
@@ -631,7 +640,7 @@ object CrawlEngine {
         val bc = seqBc
         toFetch.map(d =>
           FetchRow(d.fr, d.t, d.hostIdx, d.kind,
-            bc.value.get((d.t, d.fr.host, d.hostIdx)), d.slot, d.cached))
+            bc.value.get((d.t, d.fr.host, d.slot, d.hostIdx)), d.slot, d.cached))
       }).persist()
     lap("dequeue+seqAssign")
 
@@ -767,9 +776,9 @@ object CrawlEngine {
     val defaultRefererPolicy = graft.urlkit.Referer.named(cfg.refererPolicy)
     val toExpand = fetched
       .select($"fr", $"seq", $"status", $"timedOut", $"location", $"body",
-        $"contentEncoding", $"refererPolicy")
+        $"contentEncoding", $"refererPolicy", $"slot", $"cached")
       .as[(FrontierRow, Long, Int, Boolean, Option[String], Option[Array[Byte]],
-        Option[String], Option[String])]
+        Option[String], Option[String], String, Boolean)]
 
     // candidate kind: 0 candidate, 1 retry/max_reached, 2 depth/filtered,
     // 3 offsite/filtered, 4 redirect/max_reached, 5 decompressed-response
@@ -779,16 +788,21 @@ object CrawlEngine {
     val obsCand = org.apache.spark.sql.Observation()
     val candsRaw0: Dataset[(Int, FrontierRow, Long)] = toExpand.flatMap {
       case (row, seq, status, timedOut, location, rawBody, contentEncoding,
-          refPolicyHeader) =>
+          refPolicyHeader, fetchSlot, wasCached) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[(Int, FrontierRow, Long)]
         // meta["max_retry_times"] overrides RETRY_TIMES (`retry.py:68`)
         val effMaxRetry =
           if (row.maxRetryTimes >= 0) row.maxRetryTimes else cfg.retryTimes
+        // slot write-back (contract 7f): a DOWNLOADED response's request
+        // carries the slot it ran under; derived requests inherit it.
+        // Cache hits never enter the downloader — no write-back.
+        val inheritedSlot = if (wasCached) row.downloadSlot else fetchSlot
         // a retry is the SAME request re-enqueued (`request.replace` keeps
         // all meta) — copy() inherits every meta column by construction
         def retryCand(): FrontierRow = row.copy(priority = row.priority - 1,
           isStart = false, dEpoch = epoch, dParent = seq, dLink = -2,
-          retryTimes = row.retryTimes + 1, dontFilter = true)
+          retryTimes = row.retryTimes + 1, dontFilter = true,
+          downloadSlot = inheritedSlot)
         // download timeout (contract step 6c): no response at all — retried
         // as an exception (same rewrite as a retryable status) unless
         // meta["dont_retry"] lets the failure drop silently (7d)
@@ -828,7 +842,8 @@ object CrawlEngine {
           row.copy(url = target, fp = UrlKit.fingerprint(target),
             host = UrlKit.hostOf(target), priority = row.priority + 2,
             isStart = false, dEpoch = epoch, dParent = seq, dLink = -1,
-            redirectTimes = row.redirectTimes + 1, referer = patched)
+            redirectTimes = row.redirectTimes + 1, referer = patched,
+            downloadSlot = inheritedSlot)
         if (redirectStatuses.contains(status) && location.exists(_ != null) &&
             !row.dontRedirect) { // meta["dont_redirect"]: pass through (7d)
           if (row.redirectTimes < cfg.maxRedirectTimes) {
@@ -974,13 +989,14 @@ object CrawlEngine {
         $"priority", $"depth", $"isStart", $"retryTimes", $"redirectTimes",
         $"dontFilter", $"referer", $"dontObeyRobots", $"ruleIdx",
         $"cookieJar", $"dontMergeCookies", $"dontRedirect", $"dontRetry",
-        $"maxRetryTimes", $"handleHttpstatus", $"dontCache")).as("r"))
+        $"maxRetryTimes", $"handleHttpstatus", $"dontCache",
+        $"downloadSlot")).as("r"))
       .select($"fpHex", $"r.url", $"r.fp", $"r.host", $"r.priority", $"r.depth",
         $"r.isStart", $"r.dEpoch", $"r.dParent", $"r.dLink", $"r.retryTimes",
         $"r.redirectTimes", $"r.dontFilter", $"r.referer", $"r.dontObeyRobots",
         $"r.ruleIdx", $"r.cookieJar", $"r.dontMergeCookies", $"r.dontRedirect",
         $"r.dontRetry", $"r.maxRetryTimes", $"r.handleHttpstatus",
-        $"r.dontCache")
+        $"r.dontCache", $"r.downloadSlot")
 
     // Bloom prescreen (north rule: bloom/cuckoo URL-seen): a fingerprint the
     // filter has never seen is DEFINITELY new — only likely-dups pay the

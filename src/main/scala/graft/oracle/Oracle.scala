@@ -49,6 +49,10 @@ object Oracle {
     // under perIpSlots — hosts missing from dns fall back to host)
     def slotOf(host: String): String =
       if (cfg.perIpSlots) dns.getOrElse(host, host) else host
+    // meta["download_slot"] wins outright over host/IP keying (contract 7f,
+    // reference get_slot_key)
+    def slotFor(r: FrontierRow): String =
+      if (r.downloadSlot.nonEmpty) r.downloadSlot else slotOf(r.host)
     val slotLastT = mutable.Map.empty[String, Long].withDefaultValue(Long.MinValue)
     // stored adaptive AutoThrottle delay per slot (contract step 1a); absent
     // = unset (-1 on the engine side)
@@ -112,7 +116,8 @@ object Oracle {
           dontMergeCookies = s.dontMergeCookies,
           dontRedirect = s.dontRedirect, dontRetry = s.dontRetry,
           maxRetryTimes = s.maxRetryTimes,
-          handleHttpstatus = s.handleHttpstatus, dontCache = s.dontCache)
+          handleHttpstatus = s.handleHttpstatus, dontCache = s.dontCache,
+          downloadSlot = s.downloadSlot)
       }
     }
 
@@ -136,9 +141,10 @@ object Oracle {
     while (frontier.nonEmpty && epoch < cfg.maxEpochs && !stop) {
       // virtual clock origin (contract 6f): default 0 = historical timeline
       val epochStart = cfg.virtualClockStartMs + epoch.toLong * cfg.epochMs
-      val bySlot = frontier.groupBy(r => slotOf(r.host))
-      val epochFetches = mutable.ArrayBuffer.empty[(Long, String, Int, FrontierRow, Boolean, Boolean)]
-      // (virtualT, host, perHostIdx, row-or-robots, isRobots, cacheHit)
+      val bySlot = frontier.groupBy(slotFor)
+      val epochFetches = mutable.ArrayBuffer.empty[(Long, String, Int, FrontierRow, Boolean, Boolean, String)]
+      // (virtualT, host, perHostIdx, row-or-robots, isRobots, cacheHit,
+      //  walked slot — the step-5 tiebreak under download_slot meta, 7f)
       var remaining = Vector.newBuilder[FrontierRow]
       // per-response delay-adjust events replayed at epoch end (step 1a):
       // (seq, slot, latencyMs, status)
@@ -233,7 +239,7 @@ object Oracle {
                 epochFetches += ((curT, host,
                   -1, FrontierRow(robotsUrl, fp, host, 1000, 0, isStart = false,
                     dEpoch = epoch, dParent = -1, dLink = -1, 0, 0, dontFilter = true),
-                  true, robotsHit))
+                  true, robotsHit, slot))
                 inc(s"downloader/response_status_count/$status")
                 if (!robotsHit) {
                   slotLastT(slot) = curT
@@ -261,7 +267,8 @@ object Oracle {
                 inc("robotstxt/forbidden")
                 if (!rowHit) budgetLeft -= 1 // charged, but not a departure
               } else {
-                epochFetches += ((curT, host, hostIdx(host), row, false, rowHit))
+                epochFetches += ((curT, host, hostIdx(host), row, false, rowHit,
+                  slot))
                 hostIdx(host) += 1
                 if (!rowHit) {
                   slotLastT(slot) = curT
@@ -278,13 +285,16 @@ object Oracle {
       }
 
       // global order: (t, host, perHostIdx)
-      val ordered = epochFetches.sortBy { case (t, host, i, _, _, _) => (t, host, i) }
+      // step 5 order (t, host, slot, idx): slot only breaks ties when one
+      // host spans two slots in an epoch (download_slot meta, contract 7f)
+      val ordered = epochFetches.sortBy {
+        case (t, host, i, _, _, _, slot) => (t, host, slot, i) }
       val candidates = mutable.ArrayBuffer.empty[FrontierRow]
       val epochSetCookies =
         mutable.ArrayBuffer.empty[(Long, String, Cookies.ParsedCookie)]
       // cache stores, visible (and latest-wins-replacing) at epoch end
       val epochStores = mutable.ArrayBuffer.empty[(String, CacheEntry)]
-      for ((t, host, _, row, isRobots, hit) <- ordered) {
+      for ((t, host, _, row, isRobots, hit, _) <- ordered) {
         val seq = fetchSeq
         fetchSeq += 1
         if (isRobots) {
@@ -382,9 +392,14 @@ object Oracle {
           // reference's request.replace
           val effMaxRetry =
             if (row.maxRetryTimes >= 0) row.maxRetryTimes else cfg.retryTimes
+          // slot write-back (contract 7f): a DOWNLOADED response's request
+          // carries the slot it ran under; derived requests inherit it.
+          // Cache hits never enter the downloader — no write-back.
+          val inheritedSlot = if (hit) row.downloadSlot else slotFor(row)
           def retryCand(): FrontierRow = row.copy(priority = row.priority - 1,
             isStart = false, dEpoch = epoch, dParent = seq, dLink = -2,
-            retryTimes = row.retryTimes + 1, dontFilter = true)
+            retryTimes = row.retryTimes + 1, dontFilter = true,
+            downloadSlot = inheritedSlot)
           def httperrorIgnore(st: Int): Unit = { // HttpError drop (7d)
             inc("httperror/response_ignored_count")
             inc(s"httperror/response_ignored_status_count/$st")
@@ -411,7 +426,7 @@ object Oracle {
             // cached responses have no download latency (contract 6d), and
             // neither do local-scheme responses (6e)
             if (cfg.autothrottle && !hit && !isLocalRow)
-              delayEvents += ((seq, slotOf(host), page.latencyMs.toLong, status))
+              delayEvents += ((seq, slotFor(row), page.latencyMs.toLong, status))
             if (cfg.cookiesEnabled && !row.dontMergeCookies)
               for (c <- Cookies.parseSetCookies(page.setCookie, host,
                   Cookies.reqPathOf(row.url), t))
@@ -446,7 +461,8 @@ object Oracle {
               row.copy(url = target, fp = UrlKit.fingerprint(target),
                 host = UrlKit.hostOf(target), priority = row.priority + 2,
                 isStart = false, dEpoch = epoch, dParent = seq, dLink = -1,
-                redirectTimes = row.redirectTimes + 1, referer = patched)
+                redirectTimes = row.redirectTimes + 1, referer = patched,
+                downloadSlot = inheritedSlot)
             if (CrawlConfig.RedirectStatuses.contains(status) &&
                 page.location != null && !row.dontRedirect) {
               if (row.redirectTimes < cfg.maxRedirectTimes) {

@@ -265,6 +265,19 @@ class ConformanceSpec extends AnyFunSuite {
       CrawlConfig(maxEpochs = 8, concurrency = 8), "concurrency")
   }
 
+  test("download_slot meta variant conforms (pooled slots + write-back inheritance)") {
+    // contract 7f: seeds on three hosts share meta["download_slot"]="pool-a"
+    // (one politeness sequence), corpus plants cross-host 302s whose
+    // redirects inherit the written-back ORIGINAL slot
+    val (_, o) = compare(Corpus.Small.copy(slotMetaSeeds = true),
+      CrawlConfig(maxEpochs = 8), "downloadslot")
+    // the pool must actually engage: ≥2 distinct hosts appear in the log
+    // ordered within one slot — check ≥3 pool-host fetches exist at all
+    val poolHosts = Set(1, 2, 3).map(k => Corpus.Small.copy(slotMetaSeeds = true).hostName(k))
+    assert(o.fetchLog.count(f => !f.isRobots && poolHosts.contains(f.host)) >= 3,
+      "[downloadslot] pooled seeds did not fetch")
+  }
+
   test("randomized-delay variant conforms (deterministic jitter ticks)") {
     // RANDOMIZE_DOWNLOAD_DELAY analogue (contract step 4a): every wait is a
     // hash-drawn integral uniform in [delay/2, 3·delay/2] keyed by
