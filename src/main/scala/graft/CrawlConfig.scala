@@ -10,6 +10,15 @@ package graft
   *
   * Virtual time, never wall clock. Epoch k spans [k*epochMs, (k+1)*epochMs).
   *
+  *  0. Start requests (the ordered seed list) carry dont_filter=True
+  *     (`Spider.start()` yields `Request(url, dont_filter=True)`,
+  *     `spiders/__init__.py:102-109`), and the scheduler never consults the
+  *     dupefilter for dont_filter requests (`core/scheduler.py:343`):
+  *     duplicate seed URLs each enqueue AND fetch, and seed fingerprints
+  *     are NOT recorded in url_seen — a later organic link to a seeded URL
+  *     is a dupefilter MISS and fetches again (recording the fp then).
+  *     Retries and redirects inherit dont_filter via request copy, so a
+  *     redirected seed also bypasses the dupefilter.
   *  1. Politeness SLOT = the request's host, or its resolved IP when
   *     `perIpSlots` is on (reference `CONCURRENT_REQUESTS_PER_IP` slot
   *     keying + DNS cache, `scrapy/core/downloader/__init__.py:137-177`,
@@ -139,7 +148,41 @@ package graft
   *     `httpcompression/max_size_exceeded`; a corrupt body that yields no
   *     output drops the response and counts `httpcompression/decode_error`
   *     (the last two counter names are this engine's — the reference only
-  *     logs these events).
+  *     logs these events). The decompression limit honours
+  *     meta["download_maxsize"] (`httpcompression.py:119`) — see 6g.
+  *  6g. Download max size (`handlers/http11_aiohttp.py:189-211,287-299`,
+  *     setting DOWNLOAD_MAXSIZE, per-request meta["download_maxsize"]
+  *     override, 0 = unlimited): a fetch whose RAW corpus body exceeds the
+  *     effective limit is cancelled by the download handler — NO response,
+  *     fetch-log status 599, counters `downloader/exception_count` +
+  *     `downloader/exception_type_count/asyncio.exceptions.CancelledError`,
+  *     no Set-Cookie/body/cache-store/delay-adjust effects. Unlike a
+  *     timeout, the request is NOT retried (CancelledError is not in
+  *     RETRY_EXCEPTIONS, `default_settings.py:455-469`) — it drops with no
+  *     spider input (no HttpError counters: exceptions have no response).
+  *     Ordering: a timeout (6c) is checked first (the deadline elapses
+  *     before the body completes); cached rows (6d) never reach the handler
+  *     and bypass the check, as do data:/file: rows (6e — those handlers
+  *     enforce no size limit in the reference). Robots bodies in the
+  *     synthetic corpus are always under any configured limit (corpus
+  *     invariant — a real oversize robots.txt would error → allow-all).
+  *  6h. DownloaderStats middleware counters (`downloadermiddlewares/
+  *     stats.py`, priority 850 — see [[graft.operators.DownloaderStats]]):
+  *     every request that reaches the downloader — page fetches, robots
+  *     fetches (full middleware chain) and cache HITS (stats wraps the
+  *     cache middleware at 900) — counts `downloader/request_count`,
+  *     `downloader/request_method_count/GET` and `downloader/request_bytes`
+  *     (= `len(request_httprepr(request))`, `utils/request.py:126-140`,
+  *     over the per-fetch rendered headers the byte compare pins plus the
+  *     constant Accept / Accept-Language / Accept-Encoding defaults); every
+  *     response on the way back counts `downloader/response_count` and
+  *     `downloader/response_bytes` (RAW body — stats sees the response
+  *     before HttpCompression decodes — + the reference's header-size
+  *     formula, faithfully -2 for a header-less response, + status-phrase
+  *     size + 4). Exceptions (599: timeout 6c, local handler errors 6e,
+  *     cancel 6g — and the robots-error 599) count request bytes but no
+  *     response bytes; robots-forbidden rows never reach the downloader
+  *     (rejected at priority 100) and count nothing.
   *  6d. HTTP cache in the fetch chain (`downloadermiddlewares/httpcache.py:
   *     24-144`, DummyPolicy, enabled by `httpcacheEnabled`): the cache is
   *     keyed by request fingerprint and persists across epochs AND crawls
@@ -355,7 +398,7 @@ final case class CrawlConfig(
     // reference defaults to 90, but within one crawl url_seen already makes
     // each media unique, so the table only pays for cache-primed re-crawls
     filesExpiresDays: Int = -1,
-    downloadMaxSize: Long = 1073741824L, // DOWNLOAD_MAXSIZE (decompression guard)
+    downloadMaxSize: Long = 1073741824L, // DOWNLOAD_MAXSIZE (fetch cancel 6g + decompression guard 6b; 0 = unlimited)
     refererPolicy: String = "scrapy-default", // REFERRER_POLICY default policy
     metarefreshMaxDelay: Double = 100.0, // METAREFRESH_MAXDELAY (seconds)
     perIpSlots: Boolean = false, // CONCURRENT_REQUESTS_PER_IP analogue (step 1)

@@ -152,6 +152,41 @@ object SparkEntry {
           max(col("event_id")).as("latest_id"),
           count(lit(1)).as("n_entries"))),
 
+    // ---- redirect-chain resolution at scale (SURVEY §2.9): follow every
+    // chain to its terminal (≤ 8 hops, the REDIRECT_MAX_TIMES analogue) via
+    // pointer DOUBLING — 3 self-joins instead of 8 sequential ones
+    // (O(log maxHops) shuffles; resolving 10^10 persisted redirect edges one
+    // hop at a time would pay maxHops full shuffles). The redirect map is a
+    // deterministic synthetic function of the events node space: 30% of
+    // nodes redirect, destination = md5-scrambled id mod the id span (so
+    // membership of the destination is uncorrelated → geometric chain
+    // lengths; cycles possible — the hop cap absorbs them exactly like
+    // redirect loops). DuckDB verifies with a WITH RECURSIVE chase bounded
+    // to the same cap.
+    "q_redirect_chain" -> ((s, dir) => {
+      // single-row bounded collect: the id span (documented driver action)
+      val k = t(s, dir, "events").agg(max(col("event_id"))).head().getLong(0) + 1L
+      val edges = t(s, dir, "events")
+        .filter(col("event_id") % 10 < 3)
+        .select(col("event_id").as("src"),
+          (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % k).as("cur"),
+          lit(1L).as("hops"))
+      // f_i maps src -> (node after min(2^i, chainLen) hops, hops taken);
+      // f_{i+1} = f_i ∘ f_i — a terminal intermediate (no row in f_i)
+      // keeps the left side via coalesce
+      var f = edges
+      for (_ <- 1 to 3) {
+        val g = f.select(col("src").as("g_src"), col("cur").as("g_cur"),
+          col("hops").as("g_hops"))
+        f = f.join(g, col("cur") === col("g_src"), "left")
+          .select(col("src"),
+            coalesce(col("g_cur"), col("cur")).as("cur"),
+            (col("hops") + coalesce(col("g_hops"), lit(0L))).as("hops"))
+      }
+      f.select(col("src"), col("cur").as("resolved"), col("hops"))
+    }),
+
     // ---- item_completed gather: media results back onto items (SURVEY §2.4,
     // reference MediaPipeline.item_completed) — groupBy+collect_list+join,
     // rendered to strings so DuckDB can verify the gathered order exactly
@@ -436,6 +471,12 @@ object SparkEntry {
       "SELECT o_orderkey, count(*) AS n_items, array_to_string(list(l_partkey ORDER BY l_linenumber, l_partkey, l_suppkey), ',') AS parts FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey",
     "q_state_chain_merge" ->
       "SELECT user_id, arg_max(event_type, event_id) AS latest_type, max(event_id) AS latest_id, count(*) AS n_entries FROM events GROUP BY user_id",
+    "q_redirect_chain" ->
+      ("WITH RECURSIVE e AS (SELECT event_id AS src, ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % (SELECT max(event_id)+1 FROM events) AS cur " +
+        "FROM events WHERE event_id % 10 < 3), " +
+        "chase AS (SELECT src, cur, CAST(1 AS BIGINT) AS hops FROM e " +
+        "UNION ALL SELECT c.src, e.cur, c.hops + 1 FROM chase c JOIN e ON c.cur = e.src WHERE c.hops < 8) " +
+        "SELECT src, arg_max(cur, hops) AS resolved, max(hops) AS hops FROM chase GROUP BY src"),
     "q_domain_quota" ->
       "SELECT source, rnk, doc_id FROM (SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk FROM documents) WHERE rnk <= 10",
     "q_stratified_sample" ->

@@ -63,7 +63,19 @@ final case class CorpusSpec(
     // the redirected fetch stays charged to the ORIGINAL host's slot).
     // Also flips every 3rd 302 page's Location to the NEXT host — flag-off
     // specs stay byte-identical.
-    slotMetaSeeds: Boolean = false) {
+    slotMetaSeeds: Boolean = false,
+    // download_maxsize meta seeds (contract step 6g; pairs with a crawl
+    // config of downloadMaxSize = 300 — Small corpus bodies span 93..516 B,
+    // so both sides of the limit are populated): appends seeds overriding
+    // the limit per request — up (1 GiB on a page oversize under 300), off
+    // (0 on another oversize page), and down (64 B on a page that is fine
+    // under 300) — so each override observably flips cancel vs fetch.
+    sizeMetaSeeds: Boolean = false,
+    // duplicate-seed seeds (contract step 0: start requests are
+    // dont_filter=True, so duplicate seed URLs each fetch and seed
+    // fingerprints never enter url_seen): re-appends the first 3 base
+    // seeds at the tail of the list.
+    dupSeeds: Boolean = false) {
 
   /** Pages on host k: host 0 is the hot host; the rest share uniformly. */
   def pagesOnHost(k: Int): Int = {
@@ -434,10 +446,11 @@ object Corpus {
   // ---- seeds --------------------------------------------------------------
 
   /** Ordered seed list: sample of pages (raw trap forms), with duplicates.
-    * Priorities mostly 0, some ±2. */
+    * Priorities mostly 0, some ±2. Start requests are dont_filter=True
+    * (contract step 0), so duplicate URLs here each fetch. */
   def seeds(spec: CorpusSpec): Seq[SeedRow] = {
     val r = rng(spec, 5000000029L)
-    (0L until spec.seedCount.toLong).map { s =>
+    val base = (0L until spec.seedCount.toLong).map { s =>
       val k = if (r.nextDouble() < 0.3) 0 else r.nextInt(spec.nHosts)
       val j = r.nextInt(spec.pagesOnHost(k))
       val url =
@@ -472,7 +485,18 @@ object Corpus {
           }
         SeedRow(s, url, prio, cookieJar = jar, dontMergeCookies = dmc)
       }
-    } ++ localSeeds(spec) ++ metaSeeds(spec) ++ slotSeeds(spec)
+    }
+    val extras = localSeeds(spec) ++ metaSeeds(spec) ++ slotSeeds(spec) ++
+      sizeSeeds(spec)
+    // explicit duplicate seeds (contract step 0: dont_filter start requests
+    // — each copy fetches; appended last so flag-off lists and the extras'
+    // seq bases stay byte-identical)
+    val dups =
+      if (!spec.dupSeeds) Nil
+      else base.take(3).zipWithIndex.map { case (s, i) =>
+        s.copy(seq = base.size.toLong + extras.size + i)
+      }
+    base ++ extras ++ dups
   }
 
   /** Meta-control seeds (contract step 7d; appended when
@@ -551,6 +575,42 @@ object Corpus {
     val metas = pooled ++ crossRedirects
     val base = spec.seedCount.toLong + localSeeds(spec).size +
       metaSeeds(spec).size
+    metas.zipWithIndex.map { case (s, i) => s.copy(seq = base + i) }
+  }
+
+  /** download_maxsize meta seeds (`sizeMetaSeeds`, contract step 6g; the
+    * paired crawl config sets downloadMaxSize = 300): per-request overrides
+    * of the size limit in each direction — a 1 GiB override and a 0
+    * (= unlimited) override on pages whose raw body exceeds 300 B (fetched
+    * fine despite the setting), and a 64 B override on a page under 300 B
+    * (cancelled despite the setting). A third oversize page is seeded with
+    * NO override so the setting's own cancel fires deterministically even
+    * if the organic walk reaches no oversize page. The corpus pages
+    * themselves are untouched — flag-off specs stay byte-identical. */
+  def sizeSeeds(spec: CorpusSpec): Seq[SeedRow] = {
+    if (!spec.sizeMetaSeeds) return Nil
+    def find(n: Int)(pred: PageRow => Boolean): Seq[(Int, Int)] = {
+      val out = Seq.newBuilder[(Int, Int)]
+      var cnt = 0
+      val it = (0 until spec.nHosts).iterator.flatMap(k =>
+        (0 until spec.pagesOnHost(k)).iterator.map(j => (k, j)))
+      while (cnt < n && it.hasNext) {
+        val (k, j) = it.next()
+        if (pred(page(spec, k, j))) { out += ((k, j)); cnt += 1 }
+      }
+      out.result()
+    }
+    val big = find(3)(p => p.status == 200 && p.body != null &&
+      p.body.length > 300)
+    val small = find(1)(p => p.status == 200 && p.body != null &&
+      p.body.length > 64 && p.body.length <= 300)
+    val metas =
+      big.zip(Seq(1073741824L, 0L, -1L)).map { case ((k, j), mx) =>
+        SeedRow(0, pageUrl(spec, k, j), 0, downloadMaxSize = mx) } ++
+      small.map { case (k, j) =>
+        SeedRow(0, pageUrl(spec, k, j), 0, downloadMaxSize = 64L) }
+    val base = spec.seedCount.toLong + localSeeds(spec).size +
+      metaSeeds(spec).size + slotSeeds(spec).size
     metas.zipWithIndex.map { case (s, i) => s.copy(seq = base + i) }
   }
 

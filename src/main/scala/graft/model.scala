@@ -89,7 +89,15 @@ final case class FrontierRow(
     // was fetched under — a cross-host redirect stays charged to the
     // ORIGINAL slot. Cache-hit responses never enter the downloader, so
     // no write-back happens for them. Extracted links never inherit.
-    downloadSlot: String = "")
+    downloadSlot: String = "",
+    // meta["download_maxsize"] (contract step 6g): -1 = unset (the
+    // DOWNLOAD_MAXSIZE setting applies); >= 0 overrides it for this request
+    // — 0 disables the limit (the reference's `if maxsize and ...` check is
+    // falsy at 0). Applies to the RAW response body at the download handler
+    // AND to the decompressed size in the httpcompression middleware
+    // (`httpcompression.py:119`). Inherited by retries/redirects (meta
+    // copy), never by links.
+    downloadMaxSize: Long = -1L)
 
 /** One fetch in the ordered crawl log — the byte-for-byte conformance object
   * (SURVEY.md §7.4, FIXTURES.md §6). `seq` is the global fetch index. */
@@ -155,7 +163,9 @@ final case class SeedRow(seq: Long, url: String, priority: Int,
     maxRetryTimes: Int = -1, handleHttpstatus: String = "",
     dontCache: Boolean = false,
     // meta["download_slot"] on the start request — see [[FrontierRow]]
-    downloadSlot: String = "")
+    downloadSlot: String = "",
+    // meta["download_maxsize"] on the start request — see [[FrontierRow]]
+    downloadMaxSize: Long = -1L)
 
 /** Per-slot politeness state carried across epochs (reference: downloader
   * Slot.lastseen + Slot.delay, `scrapy/core/downloader/__init__.py:148-177`).

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft._
 import graft.plans.{Manifest, Snapshot}
@@ -143,54 +142,52 @@ object CrawlDriver {
       .select($"fpHex", $"r.storedTMs", $"r.status", $"r.cacheControl")
   }
 
-  /** Initialize snapshot v0 from the ordered seed list (dupefilter in seed
-    * order — reference `Spider.start()` + scheduler gate). */
+  /** Initialize snapshot v0 from the ordered seed list. Start requests are
+    * dont_filter=True (contract step 0: reference `Spider.start()` yields
+    * `Request(url, dont_filter=True)`, `spiders/__init__.py:102-109`, and
+    * the scheduler never consults the dupefilter for such requests,
+    * `core/scheduler.py:343`) — so duplicate seed URLs each enqueue AND
+    * fetch, and seed fingerprints are NOT recorded in url_seen: a later
+    * organic link to a seeded URL is a dupefilter MISS and fetches again.
+    * The v0 seen table is therefore EMPTY. */
   def init(spark: SparkSession, cfg: CrawlConfig, seeds: Dataset[SeedRow],
       root: String): Manifest = {
     import spark.implicits._
     val fpUdf = udf((u: String) => UrlKit.fingerprint(u))
     val hostUdf = udf((u: String) => UrlKit.hostOf(u))
-    val withFp = seeds
+    val frontier0 = seeds
       .withColumn("url", udf((u: String) => UrlKit.safeUrlString(u)).apply($"url"))
       .withColumn("fp", fpUdf($"url"))
-      .withColumn("fpHex", hex($"fp"))
       .withColumn("host", hostUdf($"url"))
-    val w = Window.partitionBy($"fpHex").orderBy($"seq")
-    val deduped = withFp.withColumn("rn", row_number().over(w)).persist()
-    val kept = deduped.filter($"rn" === 1)
-    val nSeeds = deduped.count()
-    val nKept = kept.count()
-    val frontier0 = kept.select(
-      $"url", $"fp", $"host", $"priority",
-      lit(0).as("depth"), lit(true).as("isStart"),
-      lit(-1).as("dEpoch"), $"seq".as("dParent"), lit(0).as("dLink"),
-      lit(0).as("retryTimes"), lit(0).as("redirectTimes"),
-      lit(false).as("dontFilter"),
-      lit(null).cast("string").as("referer"),
-      $"dontObeyRobots", lit(-1).as("ruleIdx"),
-      $"cookieJar", $"dontMergeCookies",
-      $"dontRedirect", $"dontRetry", $"maxRetryTimes",
-      $"handleHttpstatus", $"dontCache", $"downloadSlot").as[FrontierRow]
+      .select(
+        $"url", $"fp", $"host", $"priority",
+        lit(0).as("depth"), lit(true).as("isStart"),
+        lit(-1).as("dEpoch"), $"seq".as("dParent"), lit(0).as("dLink"),
+        lit(0).as("retryTimes"), lit(0).as("redirectTimes"),
+        lit(true).as("dontFilter"),
+        lit(null).cast("string").as("referer"),
+        $"dontObeyRobots", lit(-1).as("ruleIdx"),
+        $"cookieJar", $"dontMergeCookies",
+        $"dontRedirect", $"dontRetry", $"maxRetryTimes",
+        $"handleHttpstatus", $"dontCache", $"downloadSlot",
+        $"downloadMaxSize").as[FrontierRow]
 
     val fDir = dataDir(root, 0, "frontier")
     frontier0.write.mode(SaveMode.Overwrite).parquet(fDir)
+    val nSeeds = spark.read.parquet(fDir).count()
     val seenDir = dataDir(root, 0, "seen")
-    val bucketUdf = udf((fp: Array[Byte]) => Model.bucketOf(fp))
-    kept.select($"fpHex", bucketUdf($"fp").as("bucket"))
-      .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(seenDir)
+    spark.emptyDataset[(String, Int)].toDF("fpHex", "bucket")
+      .write.mode(SaveMode.Overwrite).parquet(seenDir)
     val hsDir = dataDir(root, 0, "host_state")
     spark.emptyDataset[HostState].write.mode(SaveMode.Overwrite).parquet(hsDir)
     val rcDir = dataDir(root, 0, "robots_cache")
     spark.emptyDataset[CrawlEngine.RobotsCacheRow].write.mode(SaveMode.Overwrite).parquet(rcDir)
     val cjDir = dataDir(root, 0, "cookie_jar")
     spark.emptyDataset[CookieRow].write.mode(SaveMode.Overwrite).parquet(cjDir)
-    deduped.unpersist()
 
     val m = Manifest(0, -1, fDir, Seq(seenDir), Seq(hsDir), Seq(rcDir), Nil, Nil,
-      nextFetchSeq = 0L, frontierCount = nKept, pageFetches = 0L,
-      counters = Map(
-        "scheduler/enqueued" -> nKept,
-        "dupefilter/filtered" -> (nSeeds - nKept)).filter(_._2 != 0),
+      nextFetchSeq = 0L, frontierCount = nSeeds, pageFetches = 0L,
+      counters = Map("scheduler/enqueued" -> nSeeds).filter(_._2 != 0),
       cookieJarDirs = Seq(cjDir))
     Snapshot.write(root, m)
     m
@@ -245,7 +242,8 @@ object CrawlDriver {
             "maxRetryTimes" -> org.apache.spark.sql.functions.lit(-1),
             "handleHttpstatus" -> org.apache.spark.sql.functions.lit(""),
             "dontCache" -> org.apache.spark.sql.functions.lit(false),
-            "downloadSlot" -> org.apache.spark.sql.functions.lit("")))
+            "downloadSlot" -> org.apache.spark.sql.functions.lit(""),
+            "downloadMaxSize" -> org.apache.spark.sql.functions.lit(-1L)))
           .as[SeedRow], root)
       if (cachePrimeDirs.isEmpty && mediaPrimeDirs.isEmpty) m0
       else {
@@ -336,7 +334,8 @@ object CrawlDriver {
           "maxRetryTimes" -> lit(-1),
           "handleHttpstatus" -> lit(""),
           "dontCache" -> lit(false),
-          "downloadSlot" -> lit(""))).as[FrontierRow]
+          "downloadSlot" -> lit(""),
+          "downloadMaxSize" -> lit(-1L))).as[FrontierRow]
       val urlSeen = readSeen(spark, m.seenDirs)
       // the merged host-state view feeds three joins inside the epoch (slot
       // state, delay updates, the next delta) — materialize the chain merge

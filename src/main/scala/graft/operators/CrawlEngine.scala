@@ -83,7 +83,9 @@ object CrawlEngine {
       timedOut: Boolean,
       // Python exception class of a failed (599) fetch — the
       // `downloader/exception_type_count/<cls>` counter key (ADVICE r4)
-      excClass: Option[String])
+      excClass: Option[String],
+      // handler body length incl. non-HTML bodies (stats bytes, contract 6h)
+      respBodyLen: Long)
 
   /** Candidate row through the bucket-local prescreen. */
   final case class FwIn(fpHex: String, bucket: Int, fr: FrontierRow)
@@ -278,7 +280,7 @@ object CrawlEngine {
       "dEpoch", "dParent", "dLink", "retryTimes", "redirectTimes", "dontFilter",
       "referer", "dontObeyRobots", "ruleIdx", "cookieJar", "dontMergeCookies",
       "dontRedirect", "dontRetry", "maxRetryTimes", "handleHttpstatus",
-      "dontCache", "downloadSlot")
+      "dontCache", "downloadSlot", "downloadMaxSize")
     // meta["download_slot"] wins outright over host/IP keying (contract 7f,
     // reference get_slot_key)
     val metaSlot = when($"downloadSlot" =!= "", $"downloadSlot")
@@ -658,16 +660,44 @@ object CrawlEngine {
     // DOWNLOAD_TIMEOUT produces no response — status 599, retried as an
     // exception. Unknown URLs (no corpus page) have no latency: plain 404.
     val timeoutMs = cfg.downloadTimeoutMs
+    // download max size (contract 6g): a raw body past the effective limit
+    // (meta["download_maxsize"] override, else DOWNLOAD_MAXSIZE; 0 = off)
+    // is cancelled by the handler — an exception with NO response. Timeout
+    // wins the tie (checked first); cached rows never reach the handler.
+    val effMaxSizeCol = when($"fr.downloadMaxSize" >= 0, $"fr.downloadMaxSize")
+      .otherwise(lit(cfg.downloadMaxSize))
     val httpFetched = httpFetchRows
       .join(pages, Seq("canonical"), "left")
+      // RAW server body length, before any 6g nulling — the stats middleware
+      // (contract 6h) sees the response before decompression decodes it
+      .withColumn("respBodyLen", coalesce(length($"body"), lit(0)).cast("long"))
       .withColumn("timedOut",
         !$"cached" && lit(timeoutMs > 0) &&
           coalesce($"latencyMs" >= lit(timeoutMs), lit(false)))
+      .withColumn("oversize",
+        !$"cached" && !$"timedOut" && effMaxSizeCol > 0 &&
+          coalesce(length($"body") > effMaxSizeCol, lit(false)))
       .withColumn("status",
-        when($"timedOut", lit(599)).otherwise(coalesce($"status", lit(404))))
+        when($"timedOut" || $"oversize", lit(599))
+          .otherwise(coalesce($"status", lit(404))))
       .withColumn("excClass",
         when($"timedOut", lit("twisted.internet.error.TimeoutError"))
+          .when($"oversize", lit("asyncio.exceptions.CancelledError"))
           .otherwise(lit(null).cast("string")))
+      // the cancelled download has no response object: nothing downstream
+      // may see its body/headers (no links, no cookies, no cache store, no
+      // AutoThrottle latency, no redirect Location)
+      .withColumn("body",
+        when($"oversize", lit(null).cast("binary")).otherwise($"body"))
+      .withColumn("location",
+        when($"oversize", lit(null).cast("string")).otherwise($"location"))
+      .withColumn("setCookie",
+        when($"oversize", lit(null).cast("string")).otherwise($"setCookie"))
+      .withColumn("cacheControl",
+        when($"oversize", lit(null).cast("string")).otherwise($"cacheControl"))
+      .withColumn("latencyMs",
+        when($"oversize", lit(null).cast("int")).otherwise($"latencyMs"))
+      .drop("oversize")
     // local-scheme dispatch (contract 6e): data:/file: rows never touch the
     // corpus join — the handler runs as a pure per-row map over the
     // (politeness-bounded) fetch batch. No response headers, no latency; a
@@ -684,14 +714,18 @@ object CrawlEngine {
             r.cached, lr.status, None,
             Option(lr.body).filter(_ => lr.isHtml), None, None, None, None,
             None, None, timedOut = lr.status == 599 && lr.retryExc,
-            excClass = Option(lr.excClass))
+            excClass = Option(lr.excClass),
+            // full handler body length (contract 6h): the body column above
+            // keeps HTML only, but stats counts every response's bytes
+            respBodyLen = Option(lr.body).map(_.length.toLong).getOrElse(0L))
         }.toDF()
       httpFetched.unionByName(localFetched)
     }).persist()
 
     val robotsFetchLog = fetches.filter(_.kind == KRobots).toDF()
       .withColumn("host", $"fr.host")
-      .join(robotsCorpus.select($"host", lit(true).as("hasBody")), Seq("host"), "left")
+      .join(robotsCorpus.select($"host", lit(true).as("hasBody"),
+        length($"body").cast("long").as("respBodyLen")), Seq("host"), "left")
       .withColumn("status",
         when(coalesce($"hasBody", lit(false)), lit(200)).otherwise(lit(599)))
 
@@ -750,24 +784,41 @@ object CrawlEngine {
       else udf((url: String, host: String) =>
         cfg.proxyFor(graft.urlkit.PyUrl.urlparse(url).scheme, host))
         .apply($"url", $"host")
+    // DownloaderStats response size (contract 6h, `stats.py:69-77`): raw
+    // body + the reference's header-size formula (empty set = -2) + status
+    // size + 4; headers = the page row's non-null header fields; robots and
+    // local responses carry none (6e). 599 rows are exceptions (no response
+    // object) — the aggregation below zeroes them.
+    val respBytesU = udf((status: Int, bodyLen: Long, location: String,
+        ce: String, rp: String, sc: String, cc: String) =>
+      DownloaderStats.responseBytes(status, bodyLen,
+        DownloaderStats.responseHeaders(location, ce, rp, sc, cc)))
     val preLog = fetched
       .select($"fr.*", $"t", $"seq", $"status", lit(false).as("isRobots"),
-        $"cached")
+        $"cached",
+        respBytesU($"status", $"respBodyLen", $"location", $"contentEncoding",
+          $"refererPolicy", $"setCookie", $"cacheControl").as("respBytes"))
       .unionByName(robotsFetchLog
         .select($"fr.url".as("url"), $"fr.fp".as("fp"), $"host",
-          $"t", $"seq", $"status", lit(true).as("isRobots"), $"cached"),
+          $"t", $"seq", $"status", lit(true).as("isRobots"), $"cached",
+          respBytesU($"status", coalesce($"respBodyLen", lit(0L)), nullStr,
+            nullStr, nullStr, nullStr, nullStr).as("respBytes")),
         allowMissingColumns = true)
     // COOKIES_ENABLED=false (reference: CookiesMiddleware not installed):
-    // constant-null column, no jar join at all
-    val fetchLog = (if (!cfg.cookiesEnabled)
+    // constant-null column, no jar join at all. The enriched (pre-schema-
+    // projection) log is what gets cached: the stats byte aggregation (6h)
+    // reads respBytes + the rendered header columns from it, the written
+    // fetch log is the projection below.
+    val logEnriched = (if (!cfg.cookiesEnabled)
         preLog.withColumn("cookies", nullStr)
       else preLog.join(cookieHeaders(preLog), Seq("seq"), "left"))
+      .persist()
+    val fetchLog = logEnriched
       .select(lit(epoch).as("epoch"), $"seq", $"host", $"url", $"fp",
         $"t".as("virtualTMs"), $"status", $"isRobots", $"referer", $"cookies",
         lit(cfg.userAgent).as("userAgent"),
         authCol.as("authorization"),
         proxyCol.as("proxy"), $"cached")
-      .persist()
 
     // ---- expansion: decompression / redirect / retry / links ---------------
     val retryStatuses = CrawlConfig.RetryStatuses
@@ -825,8 +876,12 @@ object CrawlEngine {
           if (toDecode.isEmpty) {
             if (keptPre.nonEmpty) body = None // unknown coding → opaque
           } else try {
+            // the decompression limit honours meta["download_maxsize"] too
+            // (`httpcompression.py:119`, contract 6b/6g)
+            val effMax =
+              if (row.downloadMaxSize >= 0) row.downloadMaxSize else maxBodySize
             val (decoded, kept) = graft.extract.HttpCompression.decode(
-              body.get, encOpt.get, maxBodySize)
+              body.get, encOpt.get, effMax)
             out += ((5, row, decoded.length.toLong))
             body = if (kept.isEmpty) Some(decoded) else None
           } catch {
@@ -990,13 +1045,13 @@ object CrawlEngine {
         $"dontFilter", $"referer", $"dontObeyRobots", $"ruleIdx",
         $"cookieJar", $"dontMergeCookies", $"dontRedirect", $"dontRetry",
         $"maxRetryTimes", $"handleHttpstatus", $"dontCache",
-        $"downloadSlot")).as("r"))
+        $"downloadSlot", $"downloadMaxSize")).as("r"))
       .select($"fpHex", $"r.url", $"r.fp", $"r.host", $"r.priority", $"r.depth",
         $"r.isStart", $"r.dEpoch", $"r.dParent", $"r.dLink", $"r.retryTimes",
         $"r.redirectTimes", $"r.dontFilter", $"r.referer", $"r.dontObeyRobots",
         $"r.ruleIdx", $"r.cookieJar", $"r.dontMergeCookies", $"r.dontRedirect",
         $"r.dontRetry", $"r.maxRetryTimes", $"r.handleHttpstatus",
-        $"r.dontCache", $"r.downloadSlot")
+        $"r.dontCache", $"r.downloadSlot", $"r.downloadMaxSize")
 
     // Bloom prescreen (north rule: bloom/cuckoo URL-seen): a fingerprint the
     // filter has never seen is DEFINITELY new — only likely-dups pay the
@@ -1117,6 +1172,23 @@ object CrawlEngine {
         .as[(Int, Boolean, Boolean, String, Option[String], Boolean, Boolean,
           Long)].collect()
     }
+    // DownloaderStats byte counters (contract 6h): one tiny aggregation over
+    // the persisted, politeness-bounded fetch log. Request size reads the
+    // SAME rendered header columns the conformance byte-compare pins
+    // (Referer/Cookie/UA/Authorization + the constant defaults inside the
+    // helper); response size was computed per-row on the way in (respBytes).
+    // 599 rows are exceptions: request counted, no response.
+    val reqBytesU = udf((url: String, referer: String, cookies: String,
+        ua: String, auth: String) =>
+      DownloaderStats.requestBytes(url, referer, cookies, ua, auth))
+    val statsBytesF = Future {
+      logEnriched.agg(
+        sum(reqBytesU($"url", $"referer", $"cookies", lit(cfg.userAgent),
+          authCol)).as("rq"),
+        sum(when($"status" === 599, lit(0L)).otherwise($"respBytes")).as("rs"),
+        count(when($"status" =!= 599, lit(1))).as("rc"))
+        .as[(Option[Long], Option[Long], Long)].head()
+    }
     // survivors.count() materializes the expansion chain, firing obsCand
     val nSurvivors = survivors.count()
     val statusCounts = Await.result(statusCountsF, Duration.Inf)
@@ -1170,7 +1242,19 @@ object CrawlEngine {
       pageFetchCount + kindCounts.getOrElse(KForbidden, 0L)
     counters("robotstxt/forbidden") = kindCounts.getOrElse(KForbidden, 0L)
     counters("robotstxt/request_count") = robotsFetchCount
-    counters("downloader/request_count") = pageFetchCount
+    // DownloaderStats middleware (contract 6h, `stats.py`): robots fetches
+    // traverse the full downloader middleware chain, so they count here too
+    // (robotstxt.py downloads via crawler.engine.download); cache hits count
+    // both sides of stats (priority 850 wraps the cache middleware at 900);
+    // robots-forbidden rows never reach the downloader (rejected at 100)
+    counters("downloader/request_count") = pageFetchCount + robotsFetchCount
+    counters("downloader/request_method_count/GET") =
+      pageFetchCount + robotsFetchCount
+    val (reqBytesSum, respBytesSum, respCount) =
+      Await.result(statsBytesF, Duration.Inf)
+    counters("downloader/request_bytes") = reqBytesSum.getOrElse(0L)
+    counters("downloader/response_count") = respCount
+    counters("downloader/response_bytes") = respBytesSum.getOrElse(0L)
     // contract 6c/6e: a non-robots 599 is a download exception, not a
     // response (robots 599 = robots fetch error, a response status) — the
     // class depends on the scheme: HTTP timeout, bad data: URI, missing file
@@ -1429,7 +1513,7 @@ object CrawlEngine {
       deqOut.unpersist(false)
       fetches.unpersist(false)
       fetched.unpersist(false)
-      fetchLog.unpersist(false)
+      logEnriched.unpersist(false)
       candsRaw.unpersist(false)
       cands.unpersist(false)
       if (flaggedHandle != null) flaggedHandle.unpersist(false)

@@ -100,25 +100,26 @@ object Oracle {
         graft.operators.Rfc2616Policy.freshAt(e.status, e.cacheControl,
           e.storedTMs, nowMs))
 
-    // ---- seed enqueue (dupefilter in seq order; FIXTURES.md §4) ----------
+    // ---- seed enqueue (contract step 0: start requests carry
+    // dont_filter=True — `Spider.start()` yields
+    // `Request(url, dont_filter=True)`, `spiders/__init__.py:102-109`, and
+    // the scheduler never consults the dupefilter for such requests,
+    // `core/scheduler.py:343` — so duplicate seed URLs each enqueue AND
+    // fetch, and seed fingerprints are NOT recorded in url_seen: a later
+    // organic link to a seeded URL is a dupefilter MISS) -------------------
     for (s <- seeds.sortBy(_.seq)) {
       val url = UrlKit.safeUrlString(s.url)
       val fp = UrlKit.fingerprint(url)
-      val hex = UrlKit.toHex(fp)
-      if (urlSeen.contains(hex)) inc("dupefilter/filtered")
-      else {
-        urlSeen += hex
-        inc("scheduler/enqueued")
-        frontier = frontier :+ FrontierRow(url, fp, UrlKit.hostOf(url), s.priority,
-          0, isStart = true, dEpoch = -1, dParent = s.seq, dLink = 0,
-          retryTimes = 0, redirectTimes = 0, dontFilter = false,
-          dontObeyRobots = s.dontObeyRobots, cookieJar = s.cookieJar,
-          dontMergeCookies = s.dontMergeCookies,
-          dontRedirect = s.dontRedirect, dontRetry = s.dontRetry,
-          maxRetryTimes = s.maxRetryTimes,
-          handleHttpstatus = s.handleHttpstatus, dontCache = s.dontCache,
-          downloadSlot = s.downloadSlot)
-      }
+      inc("scheduler/enqueued")
+      frontier = frontier :+ FrontierRow(url, fp, UrlKit.hostOf(url), s.priority,
+        0, isStart = true, dEpoch = -1, dParent = s.seq, dLink = 0,
+        retryTimes = 0, redirectTimes = 0, dontFilter = true,
+        dontObeyRobots = s.dontObeyRobots, cookieJar = s.cookieJar,
+        dontMergeCookies = s.dontMergeCookies,
+        dontRedirect = s.dontRedirect, dontRetry = s.dontRetry,
+        maxRetryTimes = s.maxRetryTimes,
+        handleHttpstatus = s.handleHttpstatus, dontCache = s.dontCache,
+        downloadSlot = s.downloadSlot, downloadMaxSize = s.downloadMaxSize)
     }
 
     // discovery-order comparator: (dEpoch, dParent, dLink) lexicographic
@@ -318,8 +319,25 @@ object Oracle {
           }
           // a robots request is a FRESH Request (`robotstxt.py:82-99`) —
           // default jar, no dont_merge meta
+          val rCookies = cookieHeader("", host, row.url, t)
+          // DownloaderStats (contract 6h): robots fetches traverse the full
+          // downloader middleware chain (`robotstxt.py` downloads via
+          // crawler.engine.download), so the stats middleware counts them;
+          // a 599 robots error is an exception — request counted, no
+          // response bytes
+          inc("downloader/request_count")
+          inc("downloader/request_method_count/GET")
+          inc("downloader/request_bytes", graft.operators.DownloaderStats
+            .requestBytes(row.url, null, rCookies, cfg.userAgent, authOf(host)))
+          if (status != 599) {
+            inc("downloader/response_count")
+            inc("downloader/response_bytes",
+              graft.operators.DownloaderStats.responseBytes(status,
+                robots.get(host).flatten.map(_.length.toLong).getOrElse(0L),
+                Nil))
+          }
           fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status,
-            isRobots = true, cookies = cookieHeader("", host, row.url, t),
+            isRobots = true, cookies = rCookies,
             userAgent = cfg.userAgent, authorization = authOf(host),
             proxy = proxyOf(row.url), cached = hit)
         } else {
@@ -350,16 +368,55 @@ object Oracle {
               pageOpt.exists(_.latencyMs >= cfg.downloadTimeoutMs)
           val localNoRetryExc =
             isLocalRow && localResp.exists(lr => lr.status == 599 && !lr.retryExc)
+          // download max size (contract 6g): the handler cancels a download
+          // whose RAW body exceeds the effective limit — an exception with
+          // no response, NOT retried (CancelledError isn't in
+          // RETRY_EXCEPTIONS). Timeout wins the tie; cached and local-scheme
+          // rows never reach the HTTP handler's check.
+          val effMaxSize =
+            if (row.downloadMaxSize >= 0) row.downloadMaxSize
+            else cfg.downloadMaxSize
+          val oversize = !hit && !timedOut && !isLocalRow && effMaxSize > 0 &&
+            pageOpt.exists(p => p.body != null && p.body.length > effMaxSize)
           val status =
-            if (timedOut || localNoRetryExc) 599
+            if (timedOut || localNoRetryExc || oversize) 599
             else pageOpt.map(_.status).getOrElse(404)
           inc("downloader/request_count")
-          if (timedOut || localNoRetryExc) {
+          // DownloaderStats byte/method counters (contract 6h): request
+          // bytes from the SAME rendered headers the fetch log records;
+          // response bytes for every non-exception response (incl. cache
+          // hits — stats at 850 wraps the cache middleware at 900), RAW
+          // body + the reference's header-size formula
+          val pCookies = if (row.dontMergeCookies) null // cookies.py:79-81
+            else cookieHeader(row.cookieJar, host, row.url, t)
+          inc("downloader/request_method_count/GET")
+          inc("downloader/request_bytes", graft.operators.DownloaderStats
+            .requestBytes(row.url, row.referer, pCookies, cfg.userAgent,
+              authOf(host)))
+          if (timedOut || localNoRetryExc || oversize) {
             inc("downloader/exception_count")
             inc("downloader/exception_type_count/" +
-              (if (isLocalRow) localResp.get.excClass // handler's class (6e)
+              (if (oversize) "asyncio.exceptions.CancelledError"
+               else if (isLocalRow) localResp.get.excClass // handler's class (6e)
                else "twisted.internet.error.TimeoutError"))
-          } else inc(s"downloader/response_status_count/$status")
+          } else {
+            inc(s"downloader/response_status_count/$status")
+            inc("downloader/response_count")
+            val respBodyLen =
+              if (isLocalRow)
+                localResp.flatMap(lr => Option(lr.body)).map(_.length.toLong)
+                  .getOrElse(0L)
+              else pageOpt.flatMap(p => Option(p.body)).map(_.length.toLong)
+                .getOrElse(0L)
+            val respHdrs =
+              if (isLocalRow) Nil // contract 6e: handler responses, no headers
+              else pageOpt.map(p => graft.operators.DownloaderStats
+                .responseHeaders(p.location, p.contentEncoding,
+                  p.refererPolicy, p.setCookie, p.cacheControl))
+                .getOrElse(Nil)
+            inc("downloader/response_bytes", graft.operators.DownloaderStats
+              .responseBytes(status, respBodyLen, respHdrs))
+          }
           if (cfg.httpcacheEnabled && !row.url.startsWith("file:") &&
               !row.dontCache) { // dont_cache: NO httpcache counters (7d)
             if (hit) inc("httpcache/hit")
@@ -382,9 +439,7 @@ object Oracle {
             }
           }
           fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status,
-            isRobots = false, referer = row.referer,
-            cookies = if (row.dontMergeCookies) null // cookies.py:79-81
-              else cookieHeader(row.cookieJar, host, row.url, t),
+            isRobots = false, referer = row.referer, cookies = pCookies,
             userAgent = cfg.userAgent, authorization = authOf(host),
             proxy = proxyOf(row.url), cached = hit)
           // meta["max_retry_times"] overrides RETRY_TIMES (7d); a retry is
@@ -412,6 +467,9 @@ object Oracle {
                 candidates += retryCand()
               } else inc("retry/max_reached")
             }
+          } else if (oversize) {
+            // cancelled download (6g): no response, no retry — the request
+            // drops with no spider input and no HttpError counters
           } else if (pageOpt.isEmpty && status != 599) {
             // corpus-miss 404: a real response that reaches the spider with
             // no body — the HttpError gate applies (7d); 599 local
@@ -443,8 +501,9 @@ object Oracle {
               if (toDecode.isEmpty) {
                 if (keptPre.nonEmpty) body = null
               } else try {
+                // decompression honours meta["download_maxsize"] (6b/6g)
                 val (decoded, kept) = graft.extract.HttpCompression.decode(
-                  body, enc.get, cfg.downloadMaxSize)
+                  body, enc.get, effMaxSize)
                 inc("httpcompression/response_count")
                 inc("httpcompression/response_bytes", decoded.length.toLong)
                 body = if (kept.isEmpty) decoded else null

@@ -66,7 +66,14 @@ class ConformanceSpec extends AnyFunSuite {
   }
 
   test("small corpus: byte-for-byte fetch log, url_seen, counters") {
-    compare(Corpus.Small, CrawlConfig(maxEpochs = 12), "small")
+    val (_, o) = compare(Corpus.Small, CrawlConfig(maxEpochs = 12), "small")
+    // the DownloaderStats byte counters (contract 6h) must actually fire —
+    // equality alone would stay green if both sides silently dropped them
+    for (k <- Seq("downloader/request_bytes", "downloader/response_bytes",
+        "downloader/response_count", "downloader/request_method_count/GET"))
+      assert(o.counters.getOrElse(k, 0L) > 0, s"[small] $k missing/zero")
+    assert(o.counters("downloader/request_method_count/GET") ===
+      o.counters("downloader/request_count"), "[small] GET-only crawl")
   }
 
   test("fifo/BFO variant conforms too") {
@@ -276,6 +283,40 @@ class ConformanceSpec extends AnyFunSuite {
     val poolHosts = Set(1, 2, 3).map(k => Corpus.Small.copy(slotMetaSeeds = true).hostName(k))
     assert(o.fetchLog.count(f => !f.isRobots && poolHosts.contains(f.host)) >= 3,
       "[downloadslot] pooled seeds did not fetch")
+  }
+
+  test("download maxsize variant conforms (handler cancel + meta override)") {
+    // contract 6g: raw bodies over DOWNLOAD_MAXSIZE are cancelled by the
+    // handler (CancelledError exception, NOT retried); sizeMetaSeeds add
+    // per-request meta overrides in both directions (1 GiB / 0 = unlimited
+    // on oversize pages, 64 B on an in-limit page) plus one oversize seed
+    // with no override. Small-corpus bodies span 93..516 B, so limit 300
+    // populates both sides.
+    val (_, o) = compare(Corpus.Small.copy(sizeMetaSeeds = true),
+      CrawlConfig(maxEpochs = 8, downloadMaxSize = 300), "maxsize")
+    val cancels = o.counters.getOrElse(
+      "downloader/exception_type_count/asyncio.exceptions.CancelledError", 0L)
+    assert(cancels >= 2, s"[maxsize] expected oversize cancels, got $cancels")
+    assert(o.counters.getOrElse("downloader/response_status_count/200", 0L) > 0,
+      "[maxsize] no in-limit fetches at all — threshold too low to test both sides")
+  }
+
+  test("duplicate-seed variant conforms (start requests bypass the dupefilter)") {
+    // contract step 0: start requests are dont_filter=True — duplicate seed
+    // URLs each fetch and seed fingerprints never enter url_seen, so a
+    // seeded URL rediscovered organically fetches AGAIN (scheduler.py:343)
+    val (_, o) = compare(Corpus.Small.copy(dupSeeds = true),
+      CrawlConfig(maxEpochs = 8), "dupseeds")
+    val pageFetchCounts = o.fetchLog.filterNot(_.isRobots)
+      .groupBy(_.url).map(_._2.size)
+    assert(pageFetchCounts.exists(_ >= 2),
+      "[dupseeds] no URL fetched twice — dont_filter seeds not exercised")
+    // seed fps are not recorded: url_seen only holds organically-discovered
+    // fingerprints, so it must be smaller than the distinct fetched set
+    val distinctFetched = o.fetchLog.filterNot(_.isRobots)
+      .map(f => UrlKit.toHex(f.fp)).toSet
+    assert(!distinctFetched.subsetOf(o.urlSeen),
+      "[dupseeds] every fetched fp is in url_seen — seed fps were recorded")
   }
 
   test("randomized-delay variant conforms (deterministic jitter ticks)") {
