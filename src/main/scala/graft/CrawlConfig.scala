@@ -350,6 +350,22 @@ package graft
   *     requests and never inherit. Robots fetches stay charged inside the
   *     walked slot (step 2's existing rule). AutoThrottle replay and lastT
   *     advance key by the same slot.
+  *  7g. Form submission (`http/request/form.py` FormRequest + the redirect
+  *     middleware's method rules): under submitForms, every spider-reaching
+  *     200 HTML response with a <form> yields, AFTER its links (dLink =
+  *     FormDLink), `FormRequest.from_response(response)` with the reference
+  *     defaults — first form, controls in document order, first clickable
+  *     appended. A POST carries the urlencoded body
+  *     (application/x-www-form-urlencoded); a GET form rewrites the action
+  *     URL's query string. The request fingerprint hashes (method, body)
+  *     (`utils/request.py:87-94`) so POST≠GET in the dupefilter; the fetch
+  *     log records the method; DownloaderStats (6h) counts
+  *     request_method_count per method and the Content-Type + body bytes in
+  *     request_bytes. Redirects: 302/303 convert the redirected request to
+  *     GET with an empty body and no Content-Type
+  *     (`redirect.py:177-181`), meta-refresh always converts, 301/307/308
+  *     and retries keep method+body. Depth/offsite/urllength and the
+  *     Referer policy apply to the form candidate exactly like a link.
   *  8. Dupefilter (`scrapy/dupefilters.py:94-105` via scheduler `:343-345`):
   *     candidates processed in discovery order; dontFilter rows bypass (no
   *     seen-check, no insert); otherwise first-wins on fp against
@@ -435,6 +451,17 @@ final case class CrawlConfig(
     httpcachePolicy: String = "dummy", // "dummy" | "rfc2616" (step 6f)
     virtualClockStartMs: Long = 0, // virtual-clock origin of epoch 0 (step 6f)
     localSchemes: Boolean = false, // data:/file: download handlers (step 6e)
+    // Form submission in the crawl loop (contract step 7g): the declarative
+    // analogue of a spider callback yielding
+    // `FormRequest.from_response(response)` after its links — every
+    // spider-reaching 200 HTML page containing a <form> additionally emits
+    // the first form's submission request (`http/request/form.py:64-92`
+    // from_response defaults: formnumber=0, click the first clickable).
+    // The candidate goes through depth/offsite/urllength like a link; its
+    // fingerprint hashes (method, body) so a POST is a distinct dupefilter
+    // entry from the GET of the same action URL. Only the plain-link
+    // pipeline runs it (CrawlSpider rules never call from_response).
+    submitForms: Boolean = false,
     // CrawlSpider rules (step 7c); empty = the fixed link pipeline of step 7
     crawlRules: Seq[graft.extract.CrawlRules.CrawlRule] = Nil,
     maxEpochs: Int = 1000,
@@ -581,6 +608,21 @@ final case class SlotOverride(
 object CrawlConfig {
   /** Retryable HTTP codes, `default_settings.py:456-463`. */
   val RetryStatuses: Set[Int] = Set(500, 502, 503, 504, 522, 524, 408, 429)
+
+  /** Redirect method conversion (contract step 7g, `redirect.py:177-181`):
+    * 301/307/308 preserve method+body; 302/303 redirect with GET and an
+    * empty body, dropping Content-Type/Content-Length
+    * (`_redirect_request_using_get`). Meta-refresh ALWAYS converts to GET
+    * (`redirect.py:207`). The single authority both the oracle and the
+    * engine call. (HEAD is never produced by this engine.) */
+  def redirectToGet(status: Int): Boolean = status == 302 || status == 303
+
+  /** dLink of a form-submission candidate (contract step 7g): sorts after
+    * every possible raw anchor index of its parent page, so the FormRequest
+    * is discovered after all of the page's links — the spider-callback
+    * `yield`-order this engine's declarative form pipeline models. */
+  val FormDLink: Int = Int.MaxValue
+
   /** Redirect codes handled by RedirectMiddleware. */
   val RedirectStatuses: Set[Int] = Set(301, 302, 303, 307, 308)
   /** Schemes requests may use (reference `scrapy/linkextractors/lxmlhtml.py:123`

@@ -36,6 +36,8 @@ object CrawlMain {
     // small corpus + tier-2 cookie traps + cookiejar-meta seeds
     case "smalljar" :: Nil =>
       Corpus.Small.copy(cookieTraps = true, cookieJarSeeds = true)
+    // small corpus + form pages (contract 7g; pair with GRAFT_SUBMIT_FORMS=1)
+    case "smallform" :: Nil => Corpus.Small.copy(formPages = true)
     case "bench" :: Nil => Corpus.bench()
     case "bench" :: n :: Nil => Corpus.bench(n.toInt)
     case "bench" :: n :: "notraps" :: Nil => // round-1-shaped A/B baseline
@@ -73,6 +75,7 @@ object CrawlMain {
         maxPerHostPerEpoch = sys.env.getOrElse("GRAFT_PER_HOST", "16").toInt,
         maxFetchesPerEpoch = sys.env.getOrElse("GRAFT_MAX_FETCHES_PER_EPOCH", "0").toLong,
         autothrottle = sys.env.get("GRAFT_AUTOTHROTTLE").contains("1"),
+        submitForms = sys.env.get("GRAFT_SUBMIT_FORMS").contains("1"),
         localSchemes = sys.env.get("GRAFT_LOCAL_SCHEMES").contains("1"),
         httpcacheEnabled = sys.env.get("GRAFT_HTTPCACHE").contains("1"),
         httpcachePolicy = sys.env.getOrElse("GRAFT_HTTPCACHE_POLICY", "dummy"),

@@ -27,10 +27,13 @@ object UrlTool {
         case "smalljar" => // cookiejar-meta seeds over tier-2 cookie traps
           graft.corpus.Corpus.Small.copy(cookieTraps = true,
             cookieJarSeeds = true)
+        case "smallform" => // form-submission corpus (contract 7g)
+          graft.corpus.Corpus.Small.copy(formPages = true)
         case _ => graft.corpus.Corpus.Tiny
       }
       val pages = graft.corpus.Corpus.allPages(spec).map(p => p.url -> p).toMap
-      val res = graft.oracle.Oracle.run(graft.CrawlConfig(maxEpochs = 50),
+      val res = graft.oracle.Oracle.run(
+        graft.CrawlConfig(maxEpochs = 50, submitForms = spec.formPages),
         graft.corpus.Corpus.seeds(spec), pages, graft.corpus.Corpus.allRobots(spec))
       res.fetchLog.foreach(f => println(
         s"${f.epoch}\t${f.seq}\t${f.virtualTMs}\t${f.status}\t${f.host}\t${f.url}\t${UrlKit.toHex(f.fp).take(12)}${if (f.isRobots) "\tROBOTS" else ""}"))

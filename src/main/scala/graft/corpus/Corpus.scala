@@ -75,7 +75,15 @@ final case class CorpusSpec(
     // dont_filter=True, so duplicate seed URLs each fetch and seed
     // fingerprints never enter url_seen): re-appends the first 3 base
     // seeds at the tail of the list.
-    dupSeeds: Boolean = false) {
+    dupSeeds: Boolean = false,
+    // form corpus (contract step 7g; pair with cfg.submitForms): ~45% of
+    // content pages carry a <form> — POST with text/hidden/checkbox inputs
+    // and a submit button, GET with query-rewrite inputs matching an
+    // existing ?a=&b= page, select-with-options, action-less, cross-host
+    // and robots-blocked actions. Action targets land on the natural page
+    // mix, so some are 301 (POST preserved) and some 302 (POST → GET).
+    // Independent RNG stream — flag-off corpora stay byte-identical.
+    formPages: Boolean = false) {
 
   /** Pages on host k: host 0 is the hot host; the rest share uniformly. */
   def pagesOnHost(k: Int): Int = {
@@ -273,15 +281,23 @@ object Corpus {
     val ck = rng(spec, 7500000011L * (spec.pageGlobalIdx(k, j) + 1))
     val roll = ck.nextDouble()
     val parent = spec.pairDomain(k)
-    if (roll < 0.35) null
-    else if (roll < 0.48) s"site=s${k - (k % 2)}; Domain=$parent; Path=/" // crosses the pair
-    else if (roll < 0.56) s"p=v$j; Path=/p" // path-scoped: /p/* only, not /private/
-    else if (roll < 0.62) s"sec=v$j; Secure" // https-only (sent in the https variant)
-    else if (roll < 0.70) s"ttl=v$j; Max-Age=${1 + ck.nextInt(4)}" // expires mid-crawl
-    else if (roll < 0.75) s"site=gone; Max-Age=0; Domain=$parent; Path=/" // deletion
-    else if (roll < 0.82) s"a=1\npref=p${j % 3}; Path=/" // two headers, one response
-    else if (roll < 0.88) s"pref=q$j" // default path (/p for /p/N pages)
-    else if (roll < 0.94) s"evil=x; Domain=other-domain.example" // rejected (no match)
+    if (roll < 0.23) null
+    else if (roll < 0.36) s"site=s${k - (k % 2)}; Domain=$parent; Path=/" // crosses the pair
+    else if (roll < 0.44) s"p=v$j; Path=/p" // path-scoped: /p/* only, not /private/
+    else if (roll < 0.50) s"sec=v$j; Secure" // https-only (sent in the https variant)
+    else if (roll < 0.58) s"ttl=v$j; Max-Age=${1 + ck.nextInt(4)}" // expires mid-crawl
+    else if (roll < 0.63) s"site=gone; Max-Age=0; Domain=$parent; Path=/" // deletion
+    else if (roll < 0.70) s"a=1\npref=p${j % 3}; Path=/" // two headers, one response
+    else if (roll < 0.76) s"pref=q$j" // default path (/p for /p/N pages)
+    else if (roll < 0.82) s"evil=x; Domain=other-domain.example" // rejected (no match)
+    // Expires battery (r5; clock origin = epoch 0 in the conformance runs,
+    // so 1970 dates are small virtual times): RFC-1123, asctime 2-digit-
+    // year, Max-Age-wins, Expires deletion, unparseable → session
+    else if (roll < 0.87) s"exp=v$j; Expires=Thu, 01 Jan 1970 00:00:0${1 + ck.nextInt(4)} GMT" // expires mid-crawl
+    else if (roll < 0.90) s"far=v$j; Expires=Sat Jan  1 00:00:30 72" // 2-digit year 72 → 1972, far future
+    else if (roll < 0.93) s"both=b$j; Max-Age=${2 + ck.nextInt(3)}; Expires=Thu, 01 Jan 1970 00:00:01 GMT" // Max-Age WINS over the near-expired date
+    else if (roll < 0.955) s"exp=gone; Expires=Thu, 01 Jan 1970 00:00:00 GMT; Path=/" // deletion via Expires
+    else if (roll < 0.98) s"keep=v$j; Expires=not-a-real-date" // unparseable → session cookie
     else "malformed-no-equals" // ignored
   }
 
@@ -316,8 +332,73 @@ object Corpus {
         sb.append(s"""<a href="/p/$tgt" rel="nofollow">nf $tgt</a>\n""")
       }
     }
+    if (spec.formPages) sb.append(formBlock(spec, k, j))
     sb.append("</body></html>\n")
     sb.toString
+  }
+
+  /** Form battery (contract step 7g, independent RNG stream — flag-off page
+    * bodies stay byte-identical). Only the FIRST form on a page is submitted
+    * (from_response default formnumber=0); a second decoy form on some pages
+    * pins that. Action targets use the natural /p/N mix, so downstream some
+    * POSTs hit 301 pages (method preserved) and some 302 (converted to GET,
+    * `redirect.py:177-181`). */
+  def formBlock(spec: CorpusSpec, k: Int, j: Int): String = {
+    val fr = rng(spec, 8300000023L * (spec.pageGlobalIdx(k, j) + 1))
+    val roll = fr.nextDouble()
+    val nK = spec.pagesOnHost(k)
+    // status-class roll of a prospective target — the first draw of the
+    // page's own (pure) stream, so a form can deterministically target a
+    // 302 page (POST→GET conversion) or a 301 (method preserved) without
+    // generating the page
+    def statusRoll(j2: Int): Double =
+      rng(spec, 1000000007L * (k + 1) + j2).nextDouble()
+    def statusRollAt(k2: Int, j2: Int): Double =
+      rng(spec, 1000000007L * (k2 + 1) + j2).nextDouble()
+    def is302(j2: Int): Boolean = {
+      val sr = statusRoll(j2); sr < 0.07 && !(sr < 0.04 && j2 > 0)
+    }
+    // a 301 roll is only ~1% of pages — search the own host first, then walk
+    // the host ring (absolute action URL) so every form host can find one
+    def find301: Option[String] =
+      (0 until math.min(spec.nHosts, 16)).iterator
+        .map(d => (k + d) % spec.nHosts)
+        .flatMap { k2 =>
+          (0 until spec.pagesOnHost(k2)).find { j2 =>
+            val sr = statusRollAt(k2, j2); sr >= 0.07 && sr < 0.08
+          }.map(j2 =>
+            if (k2 == k) s"/p/$j2"
+            else s"${spec.scheme}://${spec.hostName(k2)}/p/$j2")
+        }.nextOption()
+    if (roll < 0.55 || nK < 2) "" // no form
+    else if (roll < 0.75) { // POST form: inputs + hidden + checkbox + button
+      // ~40% of POST forms pin the redirect-method contract: target a known
+      // 302 page (redirected request converts to GET, `redirect.py:177`) or
+      // a known 301 (method+body preserved); the rest draw uniformly
+      val sub = fr.nextDouble()
+      val drawn = fr.nextInt(nK)
+      val action =
+        if (sub < 0.2) s"/p/${(0 until nK).find(is302).getOrElse(drawn)}"
+        else if (sub < 0.4) find301.getOrElse(s"/p/$drawn")
+        else s"/p/$drawn"
+      s"""<form action="$action" method="post"><input type="text" name="q" value="find $j"/><input type="hidden" name="tok" value="tk$k-$j"/><input type="checkbox" name="opt" checked/><input type="checkbox" name="off"/><button type="submit" name="go" value="1">Go</button></form>\n"""
+    } else if (roll < 0.85) { // GET form whose query matches a real ?a=&b= page
+      val base = fr.nextInt(math.max(1, nK / 10))
+      val tgt = base * 10 // pageUrl gives /p/N?a=N%5&b=N%7 for N%10==0, N>0
+      if (tgt == 0 || tgt >= nK) "" // no in-range query page — skip
+      else
+        s"""<form action="/p/$tgt"><input name="a" value="${tgt % 5}"/><input name="b" value="${tgt % 7}"/><input type="submit" value="go"/></form>\n"""
+    } else if (roll < 0.92) { // select + textarea + a decoy SECOND form
+      val tgt = fr.nextInt(nK)
+      s"""<form method="POST" action="/p/$tgt"><select name="pick"><option value="o1">first</option><option value="o2" selected>second</option></select><textarea name="note">n$j</textarea><input type="submit" name="s" value="ok"/></form>\n<form action="/p/0" method="post"><input name="decoy" value="never"/></form>\n"""
+    } else if (roll < 0.96 && spec.nHosts > 1) { // cross-host POST action
+      val hk = fr.nextInt(spec.nHosts)
+      val tgt = fr.nextInt(spec.pagesOnHost(hk))
+      s"""<form action="${spec.scheme}://${spec.hostName(hk)}/p/$tgt" method="post"><input name="x" value="v$j"/><input type="submit" value="go"/></form>\n"""
+    } else if (roll < 0.98) { // robots-blocked action: dropped at robots check
+      s"""<form action="/private/${fr.nextInt(5)}" method="post"><input name="p" value="1"/><input type="submit" value="go"/></form>\n"""
+    } else // action-less form: submits to the page's own URL (base)
+      s"""<form method="post"><input name="self" value="s$j"/><input type="submit" value="go"/></form>\n"""
   }
 
   private def queryOf(j: Int): String =

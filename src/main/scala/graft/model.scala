@@ -97,7 +97,18 @@ final case class FrontierRow(
     // AND to the decompressed size in the httpcompression middleware
     // (`httpcompression.py:119`). Inherited by retries/redirects (meta
     // copy), never by links.
-    downloadMaxSize: Long = -1L)
+    downloadMaxSize: Long = -1L,
+    // HTTP method (contract step 7g): "GET" everywhere except FormRequest
+    // submissions (`http/request/form.py:39-61`). Enters the request
+    // fingerprint (`utils/request.py:87-94`), so POST and GET of one URL are
+    // distinct dupefilter entries. Redirects convert 302/303 to GET with an
+    // empty body (`redirect.py:177-181` + `_redirect_request_using_get`);
+    // 301/307/308 and retries keep method+body (request.replace).
+    method: String = "GET",
+    // request body as UTF-8 text (urlencoded form data is always ASCII —
+    // this engine never builds binary request bodies). "" = empty body.
+    // Hashed into the fingerprint; counted by DownloaderStats (6h).
+    reqBody: String = "")
 
 /** One fetch in the ordered crawl log — the byte-for-byte conformance object
   * (SURVEY.md §7.4, FIXTURES.md §6). `seq` is the global fetch index. */
@@ -117,7 +128,10 @@ final case class FetchLogRow(
     proxy: String = null, // proxy the fetch is routed through (HttpProxyMiddleware)
     // response served from the HTTP cache (reference response.flags
     // "cached", contract step 6d) — no politeness slot was consumed
-    cached: Boolean = false)
+    cached: Boolean = false,
+    // HTTP method of the fetch (contract step 7g); robots fetches are
+    // always fresh GET Requests (`robotstxt.py:82-99`)
+    method: String = "GET")
 
 /** A page of the synthetic web (the offline stand-in for HTTP fetch;
   * SURVEY.md §2.1 "Synthetic fetch"). `url` is the canonical URL — the fetch

@@ -19,9 +19,16 @@ package graft.operators
   *  - `Max-Age` on the VIRTUAL clock: expiry = response fetch time +
   *    Max-Age seconds; Max-Age ≤ 0 stores an already-expired entry, which
   *    IS the deletion (it shadows the live entry under latest-wins and is
-  *    never sent). `Expires` carries a wall-clock date the virtual
-  *    timeline cannot interpret — ignored (documented deviation; the
-  *    corpus uses Max-Age).
+  *    never sent).
+  *  - `Expires` (since r5): the attribute value is parsed with the RFC 6265
+  *    §5.1.1 tolerant cookie-date algorithm and anchored to the crawl's
+  *    virtual timeline via the clock origin (cfg.virtualClockStartMs =
+  *    absolute epoch ms of virtual t=0, the same anchor the rfc2616 cache
+  *    policy uses): virtual expiry = dateMs − clockStartMs. A date at or
+  *    before the request's virtual time is the §5.3 deletion shape. A
+  *    Max-Age attribute WINS over Expires (§4.1.2.2); an unparseable date
+  *    means the attribute is ignored (session cookie), matching
+  *    http.cookiejar's None expiry.
   *  - `Secure` ⇒ sent only on https requests.
   *  - multiple Set-Cookie headers per response travel newline-separated in
   *    the corpus page row's single string column.
@@ -87,13 +94,94 @@ object Cookies {
     if (p == null || p.isEmpty) "/" else p
   }
 
+  private val MonthNames = Array("jan", "feb", "mar", "apr", "may", "jun",
+    "jul", "aug", "sep", "oct", "nov", "dec")
+
+  /** RFC 6265 §5.1.1 cookie-date algorithm (the tolerant parse the
+    * reference jar's date handling accepts a superset of): tokenize on the
+    * delimiter set, first token matching each of time/day/month/year wins,
+    * 2-digit years 70-99 → 19xx and 0-69 → 20xx, validity checks, UTC.
+    * Returns absolute epoch MILLISECONDS; None = unparseable (the attribute
+    * is then ignored — session cookie). */
+  def parseCookieDate(s: String): Option[Long] = {
+    if (s == null) return None
+    def isDelim(c: Char): Boolean =
+      c == 0x09 || (c >= 0x20 && c <= 0x2f) || (c >= 0x3b && c <= 0x40) ||
+        (c >= 0x5b && c <= 0x60) || (c >= 0x7b && c <= 0x7e)
+    val tokens = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    for (c <- s) {
+      if (isDelim(c)) { if (cur.nonEmpty) { tokens += cur.toString; cur.clear() } }
+      else cur += c
+    }
+    if (cur.nonEmpty) tokens += cur.toString
+    // a production is 1-2 (or 2-4 for year) digits optionally followed by a
+    // non-digit and arbitrary octets (§5.1.1 grammar)
+    def leadingDigits(t: String, min: Int, max: Int): Option[Int] = {
+      var i = 0
+      while (i < t.length && t.charAt(i).isDigit) i += 1
+      if (i < min || i > max) None
+      else if (i < t.length && t.charAt(i).isDigit) None
+      else Some(t.substring(0, i).toInt)
+    }
+    // time = 1*2DIGIT ":" 1*2DIGIT ":" 1*2DIGIT ( non-digit *OCTET )
+    def matchTime(t: String): Option[(Int, Int, Int)] = {
+      var i = 0
+      def field(): Int = {
+        val s0 = i
+        while (i < t.length && t.charAt(i).isDigit && i - s0 < 2) i += 1
+        if (i == s0) -1 else t.substring(s0, i).toInt
+      }
+      val h = field()
+      if (h < 0 || i >= t.length || t.charAt(i) != ':') return None
+      i += 1
+      val m = field()
+      if (m < 0 || i >= t.length || t.charAt(i) != ':') return None
+      i += 1
+      val sec = field()
+      if (sec < 0) return None
+      if (i < t.length && t.charAt(i).isDigit) return None // 3+ digit field
+      Some((h, m, sec))
+    }
+    var time: Option[(Int, Int, Int)] = None
+    var day: Option[Int] = None
+    var month: Option[Int] = None
+    var year: Option[Int] = None
+    // §5.1.1: each token is matched against the FIRST not-yet-found
+    // production, in time → day → month → year order, no backtracking
+    for (t <- tokens) {
+      val asTime = if (time.isEmpty) matchTime(t) else None
+      if (asTime.isDefined) time = asTime
+      else if (day.isEmpty && leadingDigits(t, 1, 2).isDefined)
+        day = leadingDigits(t, 1, 2)
+      else if (month.isEmpty && t.length >= 3 &&
+          MonthNames.indexOf(t.substring(0, 3)
+            .toLowerCase(java.util.Locale.ROOT)) >= 0)
+        month = Some(MonthNames.indexOf(
+          t.substring(0, 3).toLowerCase(java.util.Locale.ROOT)) + 1)
+      else if (year.isEmpty && leadingDigits(t, 2, 4).isDefined)
+        year = leadingDigits(t, 2, 4)
+    }
+    val y0 = year.getOrElse(return None)
+    val y = if (y0 >= 70 && y0 <= 99) y0 + 1900
+      else if (y0 >= 0 && y0 <= 69) y0 + 2000 else y0
+    val (hh, mm, ss) = time.getOrElse(return None)
+    val d = day.getOrElse(return None)
+    val mo = month.getOrElse(return None)
+    if (d < 1 || d > 31 || y < 1601 || hh > 23 || mm > 59 || ss > 59) return None
+    try Some(java.time.LocalDateTime.of(y, mo, d, hh, mm, ss)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    catch { case _: java.time.DateTimeException => None }
+  }
+
   /** Parse ONE Set-Cookie header received at virtual time `nowMs` from a
-    * response served by `host` for request path `reqPath`. None =
+    * response served by `host` for request path `reqPath`. `clockStartMs`
+    * anchors Expires dates (absolute epoch ms of virtual t=0). None =
     * malformed (no '=' in the first segment / empty name — the jar's
     * parse_ns_headers drop) or REJECTED (a Domain attribute the response
     * host doesn't domain-match, `cookies.py` set_cookie_if_ok). */
   def parseOne(header: String, host: String, reqPath: String,
-      nowMs: Long): Option[ParsedCookie] = {
+      nowMs: Long, clockStartMs: Long = 0L): Option[ParsedCookie] = {
     if (header == null) return None
     val segs = header.split(";")
     val first = segs(0).trim
@@ -105,6 +193,7 @@ object Cookies {
     var domain: String = null
     var path: String = null
     var maxAge: Option[Long] = None
+    var expiresAttr: Option[Long] = None // absolute epoch ms
     var secure = false
     var i = 1
     while (i < segs.length) {
@@ -118,8 +207,13 @@ object Cookies {
           domain = av.stripPrefix(".").toLowerCase(java.util.Locale.ROOT)
         case "path" if av.startsWith("/") => path = av
         case "max-age" => av.toLongOption.foreach(v => maxAge = Some(v))
+        case "expires" => // NOTE: a date with a comma (RFC 1123 weekday,)
+          // never reaches here intact — the header splitter above is ';'
+          // so full "Wdy, DD Mon YYYY" values survive; the §5.1.1 parse
+          // is delimiter-tolerant either way
+          expiresAttr = parseCookieDate(av)
         case "secure" => secure = true
-        case _ => () // Expires (wall-clock date)/HttpOnly/SameSite/unknown
+        case _ => () // HttpOnly/SameSite/unknown — ignored
       }
       i += 1
     }
@@ -127,10 +221,16 @@ object Cookies {
     val hostOnly = domain == null
     val effDomain = if (hostOnly) h else domain
     if (!hostOnly && !domainMatches(h, effDomain)) return None // rejected
+    // Max-Age WINS over Expires (§4.1.2.2); Expires anchors to the virtual
+    // timeline via the clock origin — a non-positive virtual date is the
+    // already-expired deletion shape
     val expires = maxAge match {
       case Some(v) if v <= 0 => 0L // delete: expired from the epoch origin
       case Some(v) => nowMs + v * 1000L
-      case None => -1L
+      case None => expiresAttr match {
+        case Some(abs) => math.max(0L, abs - clockStartMs)
+        case None => -1L
+      }
     }
     Some(ParsedCookie(effDomain, hostOnly,
       if (path == null) defaultPath(reqPath) else path, name, value,
@@ -140,10 +240,10 @@ object Cookies {
   /** Parse a response's Set-Cookie header block (multiple headers
     * newline-separated — one parquet string column holds them all). */
   def parseSetCookies(headerBlock: String, host: String, reqPath: String,
-      nowMs: Long): Seq[ParsedCookie] =
+      nowMs: Long, clockStartMs: Long = 0L): Seq[ParsedCookie] =
     if (headerBlock == null) Nil
     else headerBlock.split("\n").toSeq
-      .flatMap(h => parseOne(h, host, reqPath, nowMs))
+      .flatMap(h => parseOne(h, host, reqPath, nowMs, clockStartMs))
 
   /** RFC 6265 §5.4: is a stored cookie sent with a request to
     * (host, reqPath, scheme) at virtual time `nowMs`? Field-splatted so the

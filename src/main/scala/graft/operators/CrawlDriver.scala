@@ -170,7 +170,9 @@ object CrawlDriver {
         $"cookieJar", $"dontMergeCookies",
         $"dontRedirect", $"dontRetry", $"maxRetryTimes",
         $"handleHttpstatus", $"dontCache", $"downloadSlot",
-        $"downloadMaxSize").as[FrontierRow]
+        $"downloadMaxSize",
+        // start requests are plain GETs (contract 7g)
+        lit("GET").as("method"), lit("").as("reqBody")).as[FrontierRow]
 
     val fDir = dataDir(root, 0, "frontier")
     frontier0.write.mode(SaveMode.Overwrite).parquet(fDir)
@@ -335,7 +337,9 @@ object CrawlDriver {
           "handleHttpstatus" -> lit(""),
           "dontCache" -> lit(false),
           "downloadSlot" -> lit(""),
-          "downloadMaxSize" -> lit(-1L))).as[FrontierRow]
+          "downloadMaxSize" -> lit(-1L),
+          "method" -> lit("GET"), // pre-7g snapshots are all-GET
+          "reqBody" -> lit(""))).as[FrontierRow]
       val urlSeen = readSeen(spark, m.seenDirs)
       // the merged host-state view feeds three joins inside the epoch (slot
       // state, delay updates, the next delta) — materialize the chain merge
@@ -615,7 +619,10 @@ object CrawlDriver {
   /** Full fetch log of a finished run, ordered. */
   def fetchLog(spark: SparkSession, m: Manifest): DataFrame = {
     if (m.fetchLogDirs.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(m.fetchLogDirs: _*).orderBy("seq")
+    else Snapshot.withDefaults(spark.read.parquet(m.fetchLogDirs: _*),
+      // pre-7g fetch logs predate the method column (all-GET crawls)
+      Seq("method" -> org.apache.spark.sql.functions.lit("GET")))
+      .orderBy("seq")
   }
 }
 

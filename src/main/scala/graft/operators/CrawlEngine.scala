@@ -280,7 +280,7 @@ object CrawlEngine {
       "dEpoch", "dParent", "dLink", "retryTimes", "redirectTimes", "dontFilter",
       "referer", "dontObeyRobots", "ruleIdx", "cookieJar", "dontMergeCookies",
       "dontRedirect", "dontRetry", "maxRetryTimes", "handleHttpstatus",
-      "dontCache", "downloadSlot", "downloadMaxSize")
+      "dontCache", "downloadSlot", "downloadMaxSize", "method", "reqBody")
     // meta["download_slot"] wins outright over host/IP keying (contract 7f,
     // reference get_slot_key)
     val metaSlot = when($"downloadSlot" =!= "", $"downloadSlot")
@@ -801,6 +801,8 @@ object CrawlEngine {
       .unionByName(robotsFetchLog
         .select($"fr.url".as("url"), $"fr.fp".as("fp"), $"host",
           $"t", $"seq", $"status", lit(true).as("isRobots"), $"cached",
+          // a robots request is a fresh GET (`robotstxt.py:82-99`, 7g)
+          lit("GET").as("method"), lit("").as("reqBody"),
           respBytesU($"status", coalesce($"respBodyLen", lit(0L)), nullStr,
             nullStr, nullStr, nullStr, nullStr).as("respBytes")),
         allowMissingColumns = true)
@@ -818,7 +820,7 @@ object CrawlEngine {
         $"t".as("virtualTMs"), $"status", $"isRobots", $"referer", $"cookies",
         lit(cfg.userAgent).as("userAgent"),
         authCol.as("authorization"),
-        proxyCol.as("proxy"), $"cached")
+        proxyCol.as("proxy"), $"cached", $"method")
 
     // ---- expansion: decompression / redirect / retry / links ---------------
     val retryStatuses = CrawlConfig.RetryStatuses
@@ -892,13 +894,21 @@ object CrawlEngine {
           }
         }
         // a redirect request inherits the full meta (`request.replace`) —
-        // copy() keeps it; the Referer is re-patched per step 7b
-        def redirectCand(target: String, patched: String): FrontierRow =
-          row.copy(url = target, fp = UrlKit.fingerprint(target),
+        // copy() keeps it; the Referer is re-patched per step 7b. Method
+        // conversion (contract 7g): 302/303 → GET with an empty body
+        // (`redirect.py:177-181`); 301/307/308 keep method+body; a
+        // meta-refresh ALWAYS converts (`redirect.py:207`).
+        def redirectCand(target: String, patched: String,
+            toGet: Boolean): FrontierRow = {
+          val m = if (toGet) "GET" else row.method
+          val b = if (toGet) "" else row.reqBody
+          row.copy(url = target,
+            fp = UrlKit.fingerprint(target, m, b.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
             host = UrlKit.hostOf(target), priority = row.priority + 2,
             isStart = false, dEpoch = epoch, dParent = seq, dLink = -1,
             redirectTimes = row.redirectTimes + 1, referer = patched,
-            downloadSlot = inheritedSlot)
+            downloadSlot = inheritedSlot, method = m, reqBody = b)
+        }
         if (redirectStatuses.contains(status) && location.exists(_ != null) &&
             !row.dontRedirect) { // meta["dont_redirect"]: pass through (7d)
           if (row.redirectTimes < cfg.maxRedirectTimes) {
@@ -910,7 +920,8 @@ object CrawlEngine {
               if (row.referer == null) null
               else defaultRefererPolicy.referrer(
                 UrlKit.safeUrlString(row.referer), target).orNull
-            out += ((0, redirectCand(target, patched), 0L))
+            out += ((0, redirectCand(target, patched,
+              toGet = CrawlConfig.redirectToGet(status)), 0L))
           } else out += ((4, row, 0L)) // redirect chain past the cap: counted, dropped
         } else if (retryStatuses.contains(status) && !row.dontRetry) {
           if (row.retryTimes < effMaxRetry) {
@@ -945,7 +956,7 @@ object CrawlEngine {
                 if (row.referer == null) null
                 else defaultRefererPolicy.referrer(
                   UrlKit.safeUrlString(row.referer), target).orNull
-              out += ((0, redirectCand(target, patched), 0L))
+              out += ((0, redirectCand(target, patched, toGet = true), 0L))
             } else out += ((4, row, 0L))
           } else {
           // depth-0 init (7e): _init_depth fires once per response that
@@ -981,17 +992,36 @@ object CrawlEngine {
             refPolicyHeader.orNull, defaultRefererPolicy)
           val links = LinkExtract.extract(body.get, row.url, cfg.urlLengthLimit,
             cfg.linkFilter)
+          // form submission (contract 7g): the spider-callback shape is
+          // `yield from links; yield FormRequest.from_response(response)` —
+          // the form candidate is discovered AFTER all links (FormDLink) and
+          // goes through the same depth/offsite/urllength chain. Status 200
+          // is guaranteed here (spider-reaching, body present); pages
+          // without a <form> raise in from_response — no candidate, like a
+          // spider's try/except around from_response.
+          val formReq =
+            if (!cfg.submitForms || cfg.crawlRules.nonEmpty) None
+            else graft.urlkit.Requests.tryFromResponse(body.get, row.url)
+          val allCands: Iterator[(Int, String, String, String)] =
+            links.iterator.map { case (i, l) => (i, l.url, "GET", "") } ++
+              formReq.iterator.map(br => (CrawlConfig.FormDLink, br.url,
+                br.method,
+                new String(br.body, java.nio.charset.StandardCharsets.UTF_8)))
           if (cfg.depthLimit == 0 || childDepth <= cfg.depthLimit) {
-            for ((linkIdx, link) <- links) {
-              val childHost = UrlKit.hostOf(link.url)
+            for ((candIdx, u, m, b) <- allCands) {
+              val childHost = UrlKit.hostOf(u)
               if (!cfg.hostAllowed(childHost)) out += ((3, row, 0L)) // offsite
-              else out += ((0, FrontierRow(link.url, UrlKit.fingerprint(link.url),
-                childHost, -childDepth * cfg.depthPriority,
-                childDepth, isStart = false, epoch, seq, linkIdx, 0, 0,
-                dontFilter = false,
-                referer = policy.referrer(row.url, link.url).orNull), 0L))
+              else if (candIdx != CrawlConfig.FormDLink ||
+                  u.length <= cfg.urlLengthLimit) // urllength mw: silent (links already filtered inside extract)
+                out += ((0, FrontierRow(u,
+                  UrlKit.fingerprint(u, m, b.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+                  childHost, -childDepth * cfg.depthPriority,
+                  childDepth, isStart = false, epoch, seq, candIdx, 0, 0,
+                  dontFilter = false,
+                  referer = policy.referrer(row.url, u).orNull,
+                  method = m, reqBody = b), 0L))
             }
-          } else links.foreach(_ => out += ((2, row, 0L)))
+          } else allCands.foreach(_ => out += ((2, row, 0L)))
           }
           } // end spider-input (non-metarefresh) expansion
         } else if (status != 599 &&
@@ -1045,13 +1075,14 @@ object CrawlEngine {
         $"dontFilter", $"referer", $"dontObeyRobots", $"ruleIdx",
         $"cookieJar", $"dontMergeCookies", $"dontRedirect", $"dontRetry",
         $"maxRetryTimes", $"handleHttpstatus", $"dontCache",
-        $"downloadSlot", $"downloadMaxSize")).as("r"))
+        $"downloadSlot", $"downloadMaxSize", $"method", $"reqBody")).as("r"))
       .select($"fpHex", $"r.url", $"r.fp", $"r.host", $"r.priority", $"r.depth",
         $"r.isStart", $"r.dEpoch", $"r.dParent", $"r.dLink", $"r.retryTimes",
         $"r.redirectTimes", $"r.dontFilter", $"r.referer", $"r.dontObeyRobots",
         $"r.ruleIdx", $"r.cookieJar", $"r.dontMergeCookies", $"r.dontRedirect",
         $"r.dontRetry", $"r.maxRetryTimes", $"r.handleHttpstatus",
-        $"r.dontCache", $"r.downloadSlot", $"r.downloadMaxSize")
+        $"r.dontCache", $"r.downloadSlot", $"r.downloadMaxSize",
+        $"r.method", $"r.reqBody")
 
     // Bloom prescreen (north rule: bloom/cuckoo URL-seen): a fingerprint the
     // filter has never seen is DEFINITELY new — only likely-dups pay the
@@ -1178,16 +1209,19 @@ object CrawlEngine {
     // (Referer/Cookie/UA/Authorization + the constant defaults inside the
     // helper); response size was computed per-row on the way in (respBytes).
     // 599 rows are exceptions: request counted, no response.
-    val reqBytesU = udf((url: String, referer: String, cookies: String,
-        ua: String, auth: String) =>
-      DownloaderStats.requestBytes(url, referer, cookies, ua, auth))
+    val reqBytesU = udf((url: String, method: String, reqBody: String,
+        referer: String, cookies: String, ua: String, auth: String) =>
+      DownloaderStats.requestBytes(url, method, reqBody, referer, cookies,
+        ua, auth))
     val statsBytesF = Future {
       logEnriched.agg(
-        sum(reqBytesU($"url", $"referer", $"cookies", lit(cfg.userAgent),
-          authCol)).as("rq"),
+        sum(reqBytesU($"url", $"method", $"reqBody", $"referer", $"cookies",
+          lit(cfg.userAgent), authCol)).as("rq"),
         sum(when($"status" === 599, lit(0L)).otherwise($"respBytes")).as("rs"),
-        count(when($"status" =!= 599, lit(1))).as("rc"))
-        .as[(Option[Long], Option[Long], Long)].head()
+        count(when($"status" =!= 599, lit(1))).as("rc"),
+        // request_method_count split (7g): POSTs in this epoch's log
+        count(when($"method" === "POST", lit(1))).as("posts"))
+        .as[(Option[Long], Option[Long], Long, Long)].head()
     }
     // survivors.count() materializes the expansion chain, firing obsCand
     val nSurvivors = survivors.count()
@@ -1248,10 +1282,14 @@ object CrawlEngine {
     // both sides of stats (priority 850 wraps the cache middleware at 900);
     // robots-forbidden rows never reach the downloader (rejected at 100)
     counters("downloader/request_count") = pageFetchCount + robotsFetchCount
-    counters("downloader/request_method_count/GET") =
-      pageFetchCount + robotsFetchCount
-    val (reqBytesSum, respBytesSum, respCount) =
+    val (reqBytesSum, respBytesSum, respCount, postCount) =
       Await.result(statsBytesF, Duration.Inf)
+    // method split (7g): robots fetches are always GET; the counter map only
+    // carries keys the oracle also incremented (no zero-valued POST key)
+    counters("downloader/request_method_count/GET") =
+      pageFetchCount + robotsFetchCount - postCount
+    if (postCount > 0)
+      counters("downloader/request_method_count/POST") = postCount
     counters("downloader/request_bytes") = reqBytesSum.getOrElse(0L)
     counters("downloader/response_count") = respCount
     counters("downloader/response_bytes") = respBytesSum.getOrElse(0L)
@@ -1409,7 +1447,8 @@ object CrawlEngine {
         $"seq", $"t", $"fr.cookieJar".as("jar"))
       .as[(String, String, String, Long, Long, String)]
       .flatMap { case (host, url, sc, seq, t, jar) =>
-        Cookies.parseSetCookies(sc, host, Cookies.reqPathOf(url), t)
+        Cookies.parseSetCookies(sc, host, Cookies.reqPathOf(url), t,
+          cfg.virtualClockStartMs) // Expires anchor (r5)
           .map(c => (c.domain, c.path, c.name, c.value, c.hostOnly,
             c.expiresMs, c.secure, seq, jar))
       }

@@ -101,11 +101,15 @@ object DownloaderStats {
     * ACCEPTED_ENCODINGS from importable codecs, `httpcompression.py`). */
   val AcceptEncoding = "gzip, deflate, zstd"
 
-  /** `len(request_httprepr(request))` for a GET with empty body: request
-    * line + Host line + rendered headers + blank line, UTF-8 byte lengths.
-    * Null header args = header absent on this fetch (exactly the fetch-log
-    * columns the conformance byte-compare pins). */
-  def requestBytes(url: String, referer: String, cookies: String,
+  /** `len(request_httprepr(request))`: request line + Host line + rendered
+    * headers + blank line + body, UTF-8 byte lengths. Null header args =
+    * header absent on this fetch (exactly the fetch-log columns the
+    * conformance byte-compare pins). `reqBody` is the request's UTF-8 text
+    * body ("" = empty — `request_httprepr` appends `request.body` verbatim,
+    * `utils/request.py:139`); a POST with a body carries the FormRequest's
+    * Content-Type header (`form.py:53-57` setdefault — contract 7g). */
+  def requestBytes(url: String, method: String, reqBody: String,
+      referer: String, cookies: String,
       userAgent: String, authorization: String): Long = {
     val p = PyUrl.urlparse(url)
     val pathPart = {
@@ -114,21 +118,36 @@ object DownloaderStats {
       if (p.query.nonEmpty) withParams + "?" + p.query else withParams
     }
     val host = PyUrl.hostname(p.netloc).getOrElse("")
-    var n = 4 + pathPart.getBytes(UTF_8).length + 11 // "GET " path " HTTP/1.1\r\n"
+    // "<method> " path " HTTP/1.1\r\n"
+    var n = method.getBytes(UTF_8).length + 1 + pathPart.getBytes(UTF_8).length + 11
     n += 6 + host.getBytes(UTF_8).length + 2 // "Host: " host "\r\n"
-    val headers = requestHeaders(referer, cookies, userAgent, authorization)
+    val headers = requestHeaders(method, reqBody, referer, cookies, userAgent,
+      authorization)
     if (headers.nonEmpty) n += headerSize(headers) + 2 // to_string() + "\r\n"
-    n += 2 // final "\r\n"; GET body is empty
+    n += 2 // final "\r\n"
+    n += (if (reqBody != null) reqBody.getBytes(UTF_8).length else 0)
     n.toLong
   }
 
+  /** GET with an empty body (the pre-7g surface, kept for the goldens). */
+  def requestBytes(url: String, referer: String, cookies: String,
+      userAgent: String, authorization: String): Long =
+    requestBytes(url, "GET", "", referer, cookies, userAgent, authorization)
+
   /** The request headers present at the stats middleware, in middleware
-    * order of attachment (order is irrelevant to the byte count). */
-  def requestHeaders(referer: String, cookies: String, userAgent: String,
+    * order of attachment (order is irrelevant to the byte count). A POST
+    * with a non-empty body is a FormRequest in this engine — it carries the
+    * form Content-Type (`form.py:53-57`, contract 7g); a 302/303-redirected
+    * request was converted to GET with the header dropped
+    * (`_redirect_request_using_get`). */
+  def requestHeaders(method: String, reqBody: String, referer: String,
+      cookies: String, userAgent: String,
       authorization: String): Seq[(String, String)] = {
     val b = Seq.newBuilder[(String, String)]
     b += ("Accept" -> DefaultAccept)
     b += ("Accept-Language" -> DefaultAcceptLanguage)
+    if (method == "POST" && reqBody != null && reqBody.nonEmpty)
+      b += ("Content-Type" -> "application/x-www-form-urlencoded")
     if (userAgent != null && userAgent.nonEmpty) b += ("User-Agent" -> userAgent)
     b += ("Accept-Encoding" -> AcceptEncoding)
     if (authorization != null) b += ("Authorization" -> authorization)

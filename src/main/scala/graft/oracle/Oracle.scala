@@ -328,7 +328,8 @@ object Oracle {
           inc("downloader/request_count")
           inc("downloader/request_method_count/GET")
           inc("downloader/request_bytes", graft.operators.DownloaderStats
-            .requestBytes(row.url, null, rCookies, cfg.userAgent, authOf(host)))
+            .requestBytes(row.url, "GET", "", null, rCookies, cfg.userAgent,
+              authOf(host)))
           if (status != 599) {
             inc("downloader/response_count")
             inc("downloader/response_bytes",
@@ -389,10 +390,10 @@ object Oracle {
           // body + the reference's header-size formula
           val pCookies = if (row.dontMergeCookies) null // cookies.py:79-81
             else cookieHeader(row.cookieJar, host, row.url, t)
-          inc("downloader/request_method_count/GET")
+          inc(s"downloader/request_method_count/${row.method}")
           inc("downloader/request_bytes", graft.operators.DownloaderStats
-            .requestBytes(row.url, row.referer, pCookies, cfg.userAgent,
-              authOf(host)))
+            .requestBytes(row.url, row.method, row.reqBody, row.referer,
+              pCookies, cfg.userAgent, authOf(host)))
           if (timedOut || localNoRetryExc || oversize) {
             inc("downloader/exception_count")
             inc("downloader/exception_type_count/" +
@@ -441,7 +442,7 @@ object Oracle {
           fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status,
             isRobots = false, referer = row.referer, cookies = pCookies,
             userAgent = cfg.userAgent, authorization = authOf(host),
-            proxy = proxyOf(row.url), cached = hit)
+            proxy = proxyOf(row.url), cached = hit, method = row.method)
           // meta["max_retry_times"] overrides RETRY_TIMES (7d); a retry is
           // the SAME request re-enqueued — copy() keeps all meta, like the
           // reference's request.replace
@@ -487,7 +488,7 @@ object Oracle {
               delayEvents += ((seq, slotFor(row), page.latencyMs.toLong, status))
             if (cfg.cookiesEnabled && !row.dontMergeCookies)
               for (c <- Cookies.parseSetCookies(page.setCookie, host,
-                  Cookies.reqPathOf(row.url), t))
+                  Cookies.reqPathOf(row.url), t, cfg.virtualClockStartMs))
                 epochSetCookies += ((seq, row.cookieJar, c))
             // decompression stage (contract step 6b) — must mirror
             // CrawlEngine's expansion flatMap exactly: nothing decodable →
@@ -515,13 +516,22 @@ object Oracle {
               }
             }
             // a redirect request inherits the full meta (request.replace) —
-            // copy() keeps it, the Referer is re-patched per step 7b
-            def redirectCand(target: String, patched: String): FrontierRow =
-              row.copy(url = target, fp = UrlKit.fingerprint(target),
+            // copy() keeps it, the Referer is re-patched per step 7b. Method
+            // conversion (contract 7g): 302/303 → GET + empty body
+            // (`redirect.py:177-181`), meta-refresh ALWAYS converts; 301/
+            // 307/308 keep method+body — mirrors CrawlEngine exactly
+            def redirectCand(target: String, patched: String,
+                toGet: Boolean): FrontierRow = {
+              val m = if (toGet) "GET" else row.method
+              val b = if (toGet) "" else row.reqBody
+              row.copy(url = target,
+                fp = UrlKit.fingerprint(target, m, b.getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8)),
                 host = UrlKit.hostOf(target), priority = row.priority + 2,
                 isStart = false, dEpoch = epoch, dParent = seq, dLink = -1,
                 redirectTimes = row.redirectTimes + 1, referer = patched,
-                downloadSlot = inheritedSlot)
+                downloadSlot = inheritedSlot, method = m, reqBody = b)
+            }
             if (CrawlConfig.RedirectStatuses.contains(status) &&
                 page.location != null && !row.dontRedirect) {
               if (row.redirectTimes < cfg.maxRedirectTimes) {
@@ -530,7 +540,8 @@ object Oracle {
                   if (row.referer == null) null
                   else defaultRefererPolicy.referrer(
                     UrlKit.safeUrlString(row.referer), target).orNull
-                candidates += redirectCand(target, patched)
+                candidates += redirectCand(target, patched,
+                  toGet = CrawlConfig.redirectToGet(status))
               } else inc("redirect/max_reached")
             } else if (CrawlConfig.RetryStatuses.contains(status) &&
                 !row.dontRetry) {
@@ -565,7 +576,7 @@ object Oracle {
                     if (row.referer == null) null
                     else defaultRefererPolicy.referrer(
                       UrlKit.safeUrlString(row.referer), target).orNull
-                  candidates += redirectCand(target, patched)
+                  candidates += redirectCand(target, patched, toGet = true)
                 } else inc("redirect/max_reached")
               } else {
               // depth-0 init (7e): only when the response actually reaches
@@ -599,17 +610,35 @@ object Oracle {
                 page.refererPolicy, defaultRefererPolicy)
               val links = LinkExtract.extract(body, row.url, cfg.urlLengthLimit,
                 cfg.linkFilter)
+              // form submission (contract 7g) — mirrors CrawlEngine: the
+              // first form's from_response request is discovered AFTER all
+              // links (FormDLink) and walks the same depth/offsite/urllength
+              // chain; its fingerprint hashes (method, body)
+              val formReq =
+                if (!cfg.submitForms) None
+                else graft.urlkit.Requests.tryFromResponse(body, row.url)
+              val allCands: Iterator[(Int, String, String, String)] =
+                links.iterator.map { case (i, l) => (i, l.url, "GET", "") } ++
+                  formReq.iterator.map(br => (CrawlConfig.FormDLink, br.url,
+                    br.method, new String(br.body,
+                      java.nio.charset.StandardCharsets.UTF_8)))
               if (cfg.depthLimit == 0 || childDepth <= cfg.depthLimit) {
-                for ((linkIdx, link) <- links) {
-                  val childHost = UrlKit.hostOf(link.url)
+                for ((candIdx, u, mth, b) <- allCands) {
+                  val childHost = UrlKit.hostOf(u)
                   if (!cfg.hostAllowed(childHost)) inc("offsite/filtered")
-                  else candidates += FrontierRow(link.url, UrlKit.fingerprint(link.url),
-                    childHost, -childDepth * cfg.depthPriority,
-                    childDepth, isStart = false, dEpoch = epoch, dParent = seq,
-                    dLink = linkIdx, 0, 0, dontFilter = false,
-                    referer = policy.referrer(row.url, link.url).orNull)
+                  else if (candIdx != CrawlConfig.FormDLink ||
+                      u.length <= cfg.urlLengthLimit) // urllength mw: silent
+                    candidates += FrontierRow(u,
+                      UrlKit.fingerprint(u, mth, b.getBytes(
+                        java.nio.charset.StandardCharsets.UTF_8)),
+                      childHost, -childDepth * cfg.depthPriority,
+                      childDepth, isStart = false, dEpoch = epoch, dParent = seq,
+                      dLink = candIdx, 0, 0, dontFilter = false,
+                      referer = policy.referrer(row.url, u).orNull,
+                      method = mth, reqBody = b)
                 }
-              } else inc("depth/filtered", links.size.toLong)
+              } else inc("depth/filtered",
+                (links.size + formReq.size).toLong)
               }
               } // end spider-input (non-metarefresh) expansion
             } else if (status != 599 &&

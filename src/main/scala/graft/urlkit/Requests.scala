@@ -48,19 +48,25 @@ object Requests {
   /** FormRequest(url, formdata): POST (default when formdata present) puts
     * the urlencoded pairs in the body with the form Content-Type; GET
     * replaces the URL's query string, keeping the fragment
-    * (`form.py:42-61`). */
+    * (`form.py:42-61`). EMPTY formdata mirrors the reference's `if
+    * formdata:` guard — no body, no Content-Type, and the URL's own query
+    * is left untouched. */
   def formRequest(url: String, formdata: Seq[(String, String)],
       method: String = "POST", encoding: Charset = UTF_8): BuiltRequest = {
-    val qs = urlencodeForm(formdata, encoding)
-    if (method.toUpperCase(java.util.Locale.ROOT) == "POST")
+    val m = method.toUpperCase(java.util.Locale.ROOT)
+    if (formdata.isEmpty)
+      BuiltRequest(UrlKit.safeUrlString(url, encoding), m,
+        Array.emptyByteArray, Map.empty)
+    else if (m == "POST")
       BuiltRequest(UrlKit.safeUrlString(url, encoding), "POST",
-        qs.getBytes(UTF_8),
+        urlencodeForm(formdata, encoding).getBytes(UTF_8),
         Map("Content-Type" -> "application/x-www-form-urlencoded"))
     else {
       val p = PyUrl.urlsplit(url)
       BuiltRequest(
         UrlKit.safeUrlString(
-          PyUrl.urlunsplit(p.scheme, p.netloc, p.path, qs, p.fragment),
+          PyUrl.urlunsplit(p.scheme, p.netloc, p.path,
+            urlencodeForm(formdata, encoding), p.fragment),
           encoding),
         "GET", Array.emptyByteArray, Map.empty)
     }
@@ -72,6 +78,18 @@ object Requests {
     BuiltRequest(UrlKit.safeUrlString(url), method, jsonBody.getBytes(UTF_8),
       Map("Content-Type" -> "application/json",
         "Accept" -> "application/json, text/javascript, */*; q=0.01"))
+
+  /** Crawl-loop form submission (contract 7g): `from_response` with its
+    * defaults (first form, click the first clickable) over a response BODY,
+    * None when the page has no form or the build fails — the shape of a
+    * spider callback's try/except around
+    * `yield FormRequest.from_response(response)`. THE single authority the
+    * engine and the oracle both call, so a parse quirk can never diverge
+    * them. Encoding detection mirrors link extraction (BOM → meta charset →
+    * UTF-8 validity → latin-1). */
+  def tryFromResponse(body: Array[Byte], pageUrl: String): Option[BuiltRequest] =
+    try Some(fromResponse(graft.extract.Encoding.decode(body, None), pageUrl))
+    catch { case _: RuntimeException => None }
 
   // ---- from_response (form.py:64-266) --------------------------------------
 

@@ -28,10 +28,10 @@ class ConformanceSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.lower(
           org.apache.spark.sql.functions.hex($"fp")).as("fp"),
         $"virtualTMs", $"status", $"isRobots", $"referer", $"cookies",
-        $"userAgent", $"authorization", $"proxy", $"cached")
+        $"userAgent", $"authorization", $"proxy", $"cached", $"method")
       .as[(Int, Long, String, String, String, Long, Int, Boolean,
         Option[String], Option[String], Option[String], Option[String],
-        Option[String], Boolean)]
+        Option[String], Boolean, String)]
       .collect().toVector
 
     val pages = Corpus.allPages(spec).map(p => p.url -> p).toMap
@@ -40,7 +40,7 @@ class ConformanceSpec extends AnyFunSuite {
     val oracleLog = o.fetchLog.map(f =>
       (f.epoch, f.seq, f.host, f.url, UrlKit.toHex(f.fp), f.virtualTMs, f.status,
         f.isRobots, Option(f.referer), Option(f.cookies), Option(f.userAgent),
-        Option(f.authorization), Option(f.proxy), f.cached))
+        Option(f.authorization), Option(f.proxy), f.cached, f.method))
 
     // fetch log: ordered list equality
     assert(engineLog.size === oracleLog.size,
@@ -317,6 +317,33 @@ class ConformanceSpec extends AnyFunSuite {
       .map(f => UrlKit.toHex(f.fp)).toSet
     assert(!distinctFetched.subsetOf(o.urlSeen),
       "[dupseeds] every fetched fp is in url_seen — seed fps were recorded")
+  }
+
+  test("form-submission variant conforms (POST fingerprints, 302-to-GET conversion)") {
+    // contract step 7g: every spider-reaching 200 HTML page with a <form>
+    // additionally yields FormRequest.from_response — POST bodies enter the
+    // fingerprint (a POST is a distinct dupefilter entry from the GET of the
+    // same URL), the fetch log carries the method, DownloaderStats counts
+    // method splits + Content-Type + body bytes, and redirects convert
+    // 302/303 POSTs to GET while 301/307/308 preserve method+body
+    val (_, o) = compare(Corpus.Small.copy(formPages = true),
+      CrawlConfig(maxEpochs = 10, submitForms = true), "formsubmit")
+    val posts = o.counters.getOrElse("downloader/request_method_count/POST", 0L)
+    assert(posts >= 5, s"[formsubmit] expected POST fetches, got $posts")
+    assert(o.counters("downloader/request_method_count/GET") + posts ===
+      o.counters("downloader/request_count"), "[formsubmit] method split sums")
+    // a POST and a GET of the SAME url must both appear (distinct fps)
+    val byUrl = o.fetchLog.filterNot(_.isRobots).groupBy(_.url)
+    assert(byUrl.exists(_._2.map(_.method).toSet.size == 2),
+      "[formsubmit] no URL fetched under both methods — fp method-blindness undetected")
+    // both redirect paths must be exercised (deterministic corpus — these
+    // pin the draw, they cannot flake): a POST on a 302 page converts its
+    // redirect child to GET; a POST on a 301 page keeps method+body
+    val postsLog = o.fetchLog.filter(_.method == "POST")
+    assert(postsLog.exists(f => f.status == 302),
+      "[formsubmit] no POST hit a 302 — conversion path unexercised")
+    assert(postsLog.exists(f => f.status == 301),
+      "[formsubmit] no POST hit a 301 — preservation path unexercised")
   }
 
   test("randomized-delay variant conforms (deterministic jitter ticks)") {

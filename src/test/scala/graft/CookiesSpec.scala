@@ -27,6 +27,62 @@ class CookiesSpec extends AnyFunSuite {
     assert(parse(null) === None)
   }
 
+  test("cookie-date parse: RFC 6265 §5.1.1 algorithm goldens") {
+    import Cookies.parseCookieDate
+    // canonical RFC-1123 shape (the §5.1.1 worked example family)
+    assert(parseCookieDate("Wed, 21 Oct 2015 07:28:00 GMT")
+      === Some(1445412480000L))
+    // epoch origin and near-origin (the conformance corpus anchors)
+    assert(parseCookieDate("Thu, 01 Jan 1970 00:00:00 GMT") === Some(0L))
+    assert(parseCookieDate("Thu, 01 Jan 1970 00:00:03 GMT") === Some(3000L))
+    // asctime shape, 2-digit year: 72 → 1972 (70-99 → 19xx)
+    assert(parseCookieDate("Sat Jan  1 00:00:30 72") === Some(63072030000L))
+    // 2-digit year 69 → 2069; 4-digit year below 1601 fails
+    assert(parseCookieDate("1 Jan 69 00:00:00")
+      === Some(java.time.LocalDateTime.of(2069, 1, 1, 0, 0, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+    assert(parseCookieDate("1 Jan 1600 00:00:00") === None)
+    // delimiter tolerance: dashes, extra tokens, trailing junk on seconds
+    assert(parseCookieDate("21-Oct-2015 07:28:00")
+      === Some(1445412480000L))
+    assert(parseCookieDate("Sun, 06-Nov-1994 08:49:37 GMT")
+      === Some(784111777000L))
+    // first-match-wins token order: the day token can precede the time
+    assert(parseCookieDate("2015 Oct 21 07:28:00").isDefined)
+    // invalid fields fail: hour 24, day 32, missing month, 3-digit second
+    assert(parseCookieDate("Wed, 21 Oct 2015 24:28:00 GMT") === None)
+    assert(parseCookieDate("Wed, 32 Oct 2015 07:28:00 GMT") === None)
+    assert(parseCookieDate("Wed, 21 2015 07:28:00 GMT") === None)
+    assert(parseCookieDate("Wed, 21 Oct 2015 07:28:000 GMT") === None)
+    assert(parseCookieDate("not-a-real-date") === None)
+    assert(parseCookieDate(null) === None)
+  }
+
+  test("Expires attribute: virtual-clock anchor, Max-Age precedence, deletion") {
+    // clockStartMs=0 (the conformance anchor): Expires at +3s virtual
+    val c = Cookies.parseOne("exp=v; Expires=Thu, 01 Jan 1970 00:00:03 GMT",
+      "h.test", "/", 1000L).get
+    assert(c.expiresMs === 3000L)
+    // non-zero clock origin shifts into the virtual timeline
+    val shifted = Cookies.parseOne(
+      "exp=v; Expires=Thu, 01 Jan 1970 00:01:00 GMT", "h.test", "/", 1000L,
+      clockStartMs = 50000L).get
+    assert(shifted.expiresMs === 10000L)
+    // a date before the clock origin clamps to the expired-deletion shape
+    assert(Cookies.parseOne("exp=v; Expires=Thu, 01 Jan 1970 00:00:01 GMT",
+      "h.test", "/", 1000L, clockStartMs = 99000L).get.expiresMs === 0L)
+    // Max-Age WINS over Expires (§4.1.2.2)
+    assert(Cookies.parseOne(
+      "b=1; Max-Age=5; Expires=Thu, 01 Jan 1970 00:00:01 GMT",
+      "h.test", "/", 1000L).get.expiresMs === 6000L)
+    // unparseable Expires → attribute ignored → session cookie
+    assert(Cookies.parseOne("k=v; Expires=garbage", "h.test", "/", 0L)
+      .get.expiresMs === -1L)
+    // an expired-by-Expires entry is never sendable (the deletion shape)
+    assert(!Cookies.sendable("h.test", "/", "http", 5000L,
+      "h.test", hostOnly = true, "/", 3000L, secure = false))
+  }
+
   test("Domain attribute: normalized, scoped, rejected when response host mismatches") {
     // leading dot stripped + lowercased (RFC 6265 §5.2.3)
     val c = parse("a=1; Domain=.Example.COM").get

@@ -36,6 +36,28 @@ class DownloaderStatsSpec extends AnyFunSuite {
         s"request bytes for $url")
   }
 
+  test("POST request_httprepr adds method byte, Content-Type and the body (7g)") {
+    // request_httprepr of a FormRequest POST differs from the GET of the
+    // same URL by exactly: +1 method byte ("POST" vs "GET"), the
+    // Content-Type header the FormRequest sets (`form.py:53-57`;
+    // 2 + len("Content-Type") + len("application/x-www-form-urlencoded")
+    // = 47 plus the header-join's +2 for one more key) and the body bytes
+    // appended verbatim (`utils/request.py:139`)
+    val url = "http://h1.test/p/3"
+    val body = "q=find+7&tok=tk1-7&opt=on&go=1" // 30 ASCII bytes
+    val get = DownloaderStats.requestBytes(url, null, null, UA, null)
+    val post = DownloaderStats.requestBytes(url, "POST", body, null, null, UA, null)
+    assert(post === get + 1 + 47 + 2 + 30)
+    // a 302/303-converted request is a plain GET again: empty body, no
+    // Content-Type (`_redirect_request_using_get` pops it)
+    assert(DownloaderStats.requestBytes(url, "GET", "", null, null, UA, null)
+      === get)
+    // a POST with an EMPTY body carries no Content-Type (formdata absent →
+    // FormRequest never set it): only the method byte differs
+    assert(DownloaderStats.requestBytes(url, "POST", "", null, null, UA, null)
+      === get + 1)
+  }
+
   test("get_header_size matches CPython, including the empty-set -2") {
     assert(DownloaderStats.headerSize(Nil) === -2)
     assert(DownloaderStats.headerSize(Seq("Set-Cookie" -> "a=1; Path=/")) === 23)

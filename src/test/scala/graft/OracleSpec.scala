@@ -48,13 +48,24 @@ class OracleSpec extends AnyFunSuite {
 
   test("trap URLs collapse: no two page fetches share a fingerprint") {
     val r = runSpec(Corpus.Small, CrawlConfig(maxEpochs = 6))
+    // start requests are dont_filter=True and their fps never enter url_seen
+    // (contract step 0) — a seeded URL rediscovered organically via a trap
+    // variant legitimately fetches AGAIN under the same fp, so seed fps are
+    // exempt from the one-url-per-fp invariant
+    val seedFps = Corpus.seeds(Corpus.Small).map(s =>
+      UrlKit.toHex(UrlKit.fingerprint(UrlKit.safeUrlString(s.url)))).toSet
     val pageFps = r.fetchLog.filterNot(_.isRobots)
       // retries legitimately re-fetch the same fp
       .groupBy(f => UrlKit.toHex(f.fp))
-    for ((fp, rows) <- pageFps if rows.size > 1) {
+    for ((fp, rows) <- pageFps if rows.size > 1 && !seedFps(fp)) {
       // re-fetches of one fp only via retry (same url, 503 then later)
       assert(rows.map(_.url).distinct.size === 1, s"fp $fp fetched with different urls")
     }
+    // the exemption must be exercised: at least one seed fp re-fetched via a
+    // canonically-equal variant (that's what step 0 changes observably)
+    assert(pageFps.exists { case (fp, rows) =>
+      seedFps(fp) && rows.map(_.url).distinct.size > 1 },
+      "no seed fp was organically re-fetched — step-0 exemption unexercised")
   }
 
   test("small corpus: counters are consistent") {

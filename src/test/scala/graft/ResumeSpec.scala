@@ -97,9 +97,17 @@ class ResumeSpec extends AnyFunSuite {
     }
     val b = CrawlDriver.run(spark, cfg, corpusDir, rootB, withMedia = false)
     // AutoThrottle is off (delayMs is semantically -1 throughout) and the
-    // bloom filter is advisory, so the final state must match exactly
+    // bloom filter is advisory, so the final state must match exactly —
+    // EXCEPT downloader/request_bytes (contract 6h counts the Referer
+    // header per fetch, and the aged snapshot's frontier legitimately LOST
+    // its referer values to the null backfill): the resumed total must be
+    // strictly smaller by the missing Referer header bytes, everything else
+    // byte-equal
     assert(a.manifest.pageFetches === b.manifest.pageFetches)
-    assert(a.manifest.counters === b.manifest.counters)
+    val key = "downloader/request_bytes"
+    assert(a.manifest.counters - key === b.manifest.counters - key)
+    assert(b.manifest.counters(key) < a.manifest.counters(key),
+      "backfilled-referer resume should count fewer request bytes")
   }
 
   test("an orphaned (uncommitted) epoch directory is ignored on resume") {
