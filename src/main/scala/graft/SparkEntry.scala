@@ -317,6 +317,46 @@ object SparkEntry {
         .select("doc_a", "doc_b", "hamming").distinct()
     }),
 
+    // ---- multimodal joint near-dup (axes A+B): image-side phash LSH bands
+    // propose candidate pairs, the caption/text side CONFIRMS with token
+    // overlap — the production image+caption dedup shape (a perceptual hash
+    // alone collapses distinct-caption crops; a text gate alone misses
+    // recompressions). Candidates stay LSH-bounded: the text join touches
+    // only banded pairs, never all-pairs; array_intersect matches DuckDB
+    // list_intersect (distinct common elements) exactly. -------------------
+    "q_multimodal_joint_neardup" -> ((s, dir) => {
+      val h = t(s, dir, "documents").selectExpr(
+        "doc_id", "text",
+        "cast(conv(substr(md5(concat('c', " +
+          "cast(doc_id div 16 as string))), 1, 15), 16, 10) as bigint) " +
+          "^ shiftleft(cast(1 as bigint), cast((doc_id * 7) % 60 as int)) " +
+          "^ (case when doc_id % 3 = 0 then shiftleft(cast(1 as bigint), " +
+          "cast((doc_id * 13) % 60 as int)) else cast(0 as bigint) end) " +
+          "as phash")
+      val bands = h.select(col("doc_id"), col("phash"),
+          posexplode(array((0 until 4).map(b =>
+            shiftrightunsigned(col("phash"), b * 15).bitwiseAND(lit(32767L))): _*))
+            .as(Seq("band", "bandval")))
+      val x = bands.select(col("band"), col("bandval"),
+        col("doc_id").as("doc_a"), col("phash").as("ph_a"))
+      val y = bands.select(col("band"), col("bandval"),
+        col("doc_id").as("doc_b"), col("phash").as("ph_b"))
+      val cand = x.join(y, Seq("band", "bandval"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+        .filter(col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming").distinct()
+      val ta = t(s, dir, "documents").select(col("doc_id").as("doc_a"),
+        split(col("text"), " ").as("w_a"))
+      val tb = t(s, dir, "documents").select(col("doc_id").as("doc_b"),
+        split(col("text"), " ").as("w_b"))
+      cand.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+        .withColumn("overlap",
+          size(array_intersect(col("w_a"), col("w_b"))).cast("long"))
+        .filter(col("overlap") >= 3)
+        .select("doc_a", "doc_b", "hamming", "overlap")
+    }),
+
     // ---- training-data: per-doc token repetition stats (quality signal —
     // high top_count/n_distinct ratios flag boilerplate; explode + two-level
     // agg keeps it map-side partial, no window) ----------------------------
@@ -492,6 +532,21 @@ object SparkEntry {
         "CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming " +
         "FROM b x JOIN b y ON x.band = y.band AND x.bandval = y.bandval AND x.doc_id < y.doc_id " +
         "WHERE bit_count(xor(x.phash, y.phash)) <= 4"),
+    "q_multimodal_joint_neardup" ->
+      ("WITH h AS (SELECT doc_id, text, xor(xor(('0x' || substr(md5('c' || CAST(doc_id // 16 AS VARCHAR)), 1, 15))::BIGINT, " +
+        "(1::BIGINT << ((doc_id * 7) % 60))), " +
+        "CASE WHEN doc_id % 3 = 0 THEN (1::BIGINT << ((doc_id * 13) % 60)) ELSE 0::BIGINT END) AS phash " +
+        "FROM documents), " +
+        "b AS (SELECT doc_id, phash, u.band AS band, (phash >> (u.band * 15)) & 32767 AS bandval " +
+        "FROM h, (SELECT unnest([0, 1, 2, 3]) AS band) u), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming " +
+        "FROM b x JOIN b y ON x.band = y.band AND x.bandval = y.bandval AND x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.phash, y.phash)) <= 8) " +
+        "SELECT c.doc_a, c.doc_b, c.hamming, " +
+        "CAST(length(list_intersect(string_split(da.text, ' '), string_split(db.text, ' '))) AS BIGINT) AS overlap " +
+        "FROM cand c JOIN documents da ON da.doc_id = c.doc_a JOIN documents db ON db.doc_id = c.doc_b " +
+        "WHERE length(list_intersect(string_split(da.text, ' '), string_split(db.text, ' '))) >= 3"),
     "q_word_repetition" ->
       ("SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_distinct_words, max(c) AS top_count " +
         "FROM (SELECT doc_id, w, count(*) AS c FROM " +
