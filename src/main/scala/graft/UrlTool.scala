@@ -8,6 +8,7 @@ import graft.urlkit.UrlKit
   *   runMain graft.UrlTool fp <url> [method]
   *   runMain graft.UrlTool join <base> <href>
   *   runMain graft.UrlTool host <url>
+  *   runMain graft.UrlTool curl "<curl command>"
   */
 object UrlTool {
   def main(args: Array[String]): Unit = args.toList match {
@@ -18,6 +19,14 @@ object UrlTool {
       println(UrlKit.toHex(UrlKit.fingerprint(UrlKit.safeUrlString(url), method)))
     case "join" :: base :: href :: Nil => println(UrlKit.urljoin(base, href))
     case "host" :: url :: Nil => println(UrlKit.hostOf(url))
+    case "curl" :: cmd :: Nil =>
+      // Request.from_curl: print the parsed Request kwargs, one per line
+      val r = graft.urlkit.Curl.curlToRequest(cmd)
+      println(s"method\t${r.method}")
+      println(s"url\t${r.url}")
+      r.headers.foreach { case (k, v) => println(s"header\t$k: $v") }
+      r.cookies.foreach { case (k, v) => println(s"cookie\t$k=$v") }
+      r.body.foreach(b => println(s"body\t$b"))
     case "oracle" :: rest =>
       // run the reference-semantics oracle on a canned corpus and print the log
       val spec = rest.headOption.getOrElse("tiny") match {
