@@ -370,6 +370,29 @@ object SparkEntry {
           max("c").as("top_count"))
     }),
 
+    // ---- training-data: duplicate n-gram fraction (Gopher-style quality
+    // signal: how much of each doc is word-8-gram-duplicated elsewhere in
+    // the corpus — the repeated-passage filter, distinct from the doc-level
+    // exact/MinHash dedups above). Grams are md5-hashed BEFORE the shuffle
+    // so the groupBy and join move fixed 32-byte keys, never gram strings —
+    // the 100-TB shape; outputs are exact integers. NB: Spark's
+    // sequence(1, 0) yields [1, 0] (descending), so short docs need the
+    // explicit empty-array guard to match DuckDB's empty generate_series. --
+    "q_dup_ngram_fraction" -> ((s, dir) => {
+      val tk = filter(split(col("text"), " "), x => x =!= "")
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(when(size(tk) >= 8,
+            transform(sequence(lit(1), size(tk) - lit(7)),
+              i => md5(concat_ws(" ", slice(tk, i, lit(8))))))
+            .otherwise(array().cast("array<string>"))).as("g"))
+      val gc = grams.groupBy("g").agg(countDistinct("doc_id").as("nd"))
+      grams.join(gc, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+    }),
+
     // ---- selector engine end-to-end verified: HTML is synthesized from
     // table columns, the css query runs through the real DOM parse +
     // selector evaluation + explode, and DuckDB reconstructs the expected
@@ -552,6 +575,15 @@ object SparkEntry {
         "FROM (SELECT doc_id, w, count(*) AS c FROM " +
         "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY doc_id, w) " +
         "GROUP BY doc_id"),
+    "q_dup_ngram_fraction" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents), " +
+        "grams AS (SELECT doc_id, md5(unnest(list_transform(" +
+        "generate_series(1, greatest(len(tk) - 7, 0)), " +
+        "i -> array_to_string(tk[i:i+7], ' ')))) AS g FROM toks), " +
+        "gc AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g) " +
+        "SELECT grams.doc_id, count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN gc.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams " +
+        "FROM grams JOIN gc USING (g) GROUP BY grams.doc_id"),
     // the selector engine extracts exactly the two planted hrefs per doc;
     // DuckDB reconstructs them without parsing ('/alt/..' < '/doc/..')
     "q_css_extract" ->

@@ -226,4 +226,18 @@ class OperatorsSpec extends AnyFunSuite {
     val dAC = java.lang.Long.bitCount(TextFunctions.simhash64(a) ^ TextFunctions.simhash64(c))
     assert(dAB < dAC)
   }
+
+  test("duplicate 8-gram fraction: shared passage counted, short docs dropped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dupngram").toString
+    Seq(
+      (0L, "a b c d e f g h i j"),     // grams: a..h, b..i, c..j
+      (1L, "z z a b c d e f g h"),     // shares exactly "a b c d e f g h"
+      (2L, "p q r s t u v w"),         // one unique gram
+      (3L, "x y"))                     // < 8 tokens: zero grams, absent row
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_dup_ngram_fraction")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(0L -> ((3L, 1L)), 1L -> ((3L, 1L)), 2L -> ((1L, 0L))))
+  }
 }
