@@ -39,6 +39,17 @@ object SparkEntry {
     f"${TextFunctions.rollingFingerprint(text)}%016x")
   private val cssSelectUdf = udf((html: String, q: String) =>
     graft.extract.Sel.cssSelectAll(html, q))
+  private val respClassUdf = udf((ct: String, url: String) => {
+    import graft.extract.ResponseTypes
+    val headers = if (ct == null) null else Map("Content-Type" -> ct)
+    ResponseTypes.fromArgs(headers = headers, url = url) match {
+      case ResponseTypes.RHtml => "html"
+      case ResponseTypes.RXml => "xml"
+      case ResponseTypes.RJson => "json"
+      case ResponseTypes.RText => "text"
+      case ResponseTypes.RPlain => "plain"
+    }
+  })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dupefilter: LEFT ANTI join vs the seen set (SURVEY §2.2) --------
@@ -120,6 +131,27 @@ object SparkEntry {
           lit("HTTP://H"), (col("o_custkey") % 50).cast("string"),
           lit(".TEST/p/"), col("o_orderkey").cast("string"), lit("?b=2&a=1")))
         .select(col("o_orderkey"), canonUdf(col("raw_url")).as("canonical_url"))),
+
+    // ---- response-class dispatch (responsetypes.py; SURVEY §2.1/§2.8) ----
+    // headers → URL extension precedence chain through the REAL
+    // ResponseTypes.fromArgs; the oracle re-encodes the dispatch table
+    // independently in SQL, so the authority is value-pinned on 15k rows
+    "q_response_class" -> ((s, dir) => {
+      val custMod = col("o_custkey") % 5
+      val exts = array(lit("html"), lit("txt"), lit("xml"), lit("bin"),
+        lit("json"), lit("csv"), lit("unknownext"), lit("tar.gz"))
+      t(s, dir, "orders")
+        .withColumn("content_type",
+          when(custMod === 0, lit("text/html; charset=UTF-8"))
+            .when(custMod === 1, lit("application/json"))
+            .when(custMod === 2, lit("application/octet-stream"))
+            .otherwise(lit(null: String)))
+        .withColumn("url", concat(lit("http://h.test/f"),
+          col("o_orderkey").cast("string"), lit("."),
+          element_at(exts, (col("o_orderkey") % 8).cast("int") + 1)))
+        .select(col("o_orderkey"), col("content_type"),
+          respClassUdf(col("content_type"), col("url")).as("resp_class"))
+    }),
 
     // ---- event-time tumbling window aggregation (SURVEY §2.10) -----------
     "q_window_sessionize" -> ((s, dir) =>
@@ -510,6 +542,22 @@ object SparkEntry {
       "SELECT o_orderkey, 'http://h' || (o_custkey % 50) || '.test/p/' || o_orderkey || '?a=1&b=2' AS canonical_url FROM orders",
     "q_window_sessionize" ->
       "SELECT user_id, CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win_start, count(*) AS cnt FROM events GROUP BY user_id, time_bucket(INTERVAL '1 hour', ts)",
+    "q_response_class" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CASE (o_custkey % 5) WHEN 0 THEN 'text/html; charset=UTF-8'
+        |      WHEN 1 THEN 'application/json'
+        |      WHEN 2 THEN 'application/octet-stream' END AS content_type,
+        |    ['html','txt','xml','bin','json','csv','unknownext','tar.gz'][CAST(o_orderkey % 8 AS INT) + 1] AS ext
+        |  FROM orders)
+        |SELECT o_orderkey, content_type,
+        |  CASE WHEN content_type = 'text/html; charset=UTF-8' THEN 'html'
+        |       WHEN content_type = 'application/json' THEN 'json'
+        |       ELSE CASE ext WHEN 'html' THEN 'html' WHEN 'txt' THEN 'text'
+        |                     WHEN 'xml' THEN 'xml' WHEN 'json' THEN 'json'
+        |                     WHEN 'csv' THEN 'text' ELSE 'plain' END
+        |  END AS resp_class
+        |FROM base""".stripMargin,
     "q_httperror_filter" ->
       "SELECT event_id FROM events WHERE event_type = 'error' AND value >= 0.5",
     "q_stats_minmax" ->

@@ -76,8 +76,15 @@ object FeedSpiders {
     * skipped (the reference logs + continues). */
   def csvRows(body: Array[Byte], delimiter: Option[Char] = None,
       headers: Option[Seq[String]] = None,
-      quotechar: Option[Char] = None): Seq[Map[String, String]] = {
-    val text = Encoding.decode(body, None)
+      quotechar: Option[Char] = None,
+      charset: Option[String] = None): Seq[Map[String, String]] = {
+    // csviter decodes with response.encoding; `charset` is the batch
+    // analogue of an explicitly-typed TextResponse (plain Response bodies
+    // assume utf-8 like the reference's to_unicode default)
+    val text = charset match {
+      case Some(cs) => new String(body, java.nio.charset.Charset.forName(cs))
+      case None => Encoding.decode(body, None)
+    }
     val all = csvParse(text, delimiter.getOrElse(','), quotechar.getOrElse('"'))
     val (hdr, rows) = headers match {
       case Some(h) => (h, all)
@@ -127,11 +134,15 @@ object FeedSpiders {
     }
   }
 
+  // XML names are Unicode (lxml iterates <þingflokkur> fine — reference
+  // test_xmliter_unicode); \p{L}\p{M}\p{Nd} covers NameStartChar/NameChar
+  // for real-world feeds without the full XML 1.0 production
   private val TagRe = java.util.regex.Pattern.compile(
-    """<(/?)([A-Za-z_][\w.:-]*)((?:\s+[\w.:-]+\s*=\s*(?:"[^"]*"|'[^']*'))*)\s*(/?)>""",
+    """<(/?)([\p{L}_][\p{L}\p{M}\p{Nd}._:-]*)((?:\s+[\p{L}\p{M}\p{Nd}._:-]+\s*=\s*(?:"[^"]*"|'[^']*'))*)\s*(/?)>""",
     java.util.regex.Pattern.DOTALL)
   private val AttrRe = java.util.regex.Pattern.compile(
-    """([\w.:-]+)\s*=\s*("([^"]*)"|'([^']*)')""", java.util.regex.Pattern.DOTALL)
+    """([\p{L}\p{M}\p{Nd}._:-]+)\s*=\s*("([^"]*)"|'([^']*)')""",
+    java.util.regex.Pattern.DOTALL)
 
   private final class Builder(name: String, attrs: Seq[(String, String)],
       val nsInScope: Map[String, String]) {

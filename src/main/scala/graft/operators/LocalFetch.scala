@@ -22,10 +22,13 @@ import graft.urlkit.DataUri
   * HTTP-cached (HTTPCACHE_IGNORE_SCHEMES defaults to `["file"]`,
   * `default_settings.py`); `data:` responses are cacheable.
   *
-  * Link extraction happens only for HTML responses, mirroring the
-  * response-class dispatch (`scrapy/responsetypes.py`): media type
-  * `text/html` for data URIs, a `.html`/`.htm`/`.xhtml` filename for files
-  * (CrawlSpider ignores non-HtmlResponse, `spiders/crawl.py:140-141`).
+  * Link extraction happens only for HTML responses, decided by the shared
+  * [[graft.extract.ResponseTypes]] authority exactly like the reference
+  * handlers: `from_mimetype(media_type)` for data URIs
+  * (`handlers/datauri.py:19-27`), `from_args(filename, body)` for files
+  * (`handlers/file.py:20-24`) — so an extension-less file whose body sniffs
+  * as `<html>` is parsed too (CrawlSpider ignores non-HtmlResponse,
+  * `spiders/crawl.py:140-141`).
   *
   * On a real cluster `file:` URLs resolve on the executor that fetches them
   * (exactly like the reference's handler resolving on the machine running
@@ -65,10 +68,10 @@ object LocalFetch {
       java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  private def isHtmlPath(path: String): Boolean = {
-    val p = path.toLowerCase(java.util.Locale.ROOT)
-    p.endsWith(".html") || p.endsWith(".htm") || p.endsWith(".xhtml")
-  }
+  // handlers/file.py:20-24: respcls = responsetypes.from_args(filename, body)
+  private def isHtmlFile(path: String, body: Array[Byte]): Boolean =
+    graft.extract.ResponseTypes.fromArgs(filename = path, body = body) ==
+      graft.extract.ResponseTypes.RHtml
 
   /** Dispatch one request. Deterministic for `data:`; `file:` reads the
     * task-local filesystem. */
@@ -76,7 +79,11 @@ object LocalFetch {
     if (url.startsWith("data:")) {
       DataUri.parse(url) match {
         case Right(p) =>
-          LocalResponse(200, p.data, p.mediaType == "text/html", retryExc = false)
+          // handlers/datauri.py:19-27: respcls = responsetypes.from_mimetype
+          LocalResponse(200, p.data,
+            graft.extract.ResponseTypes.fromMimetype(p.mediaType) ==
+              graft.extract.ResponseTypes.RHtml,
+            retryExc = false)
         case Left(_) =>
           LocalResponse(599, null, isHtml = false, retryExc = false,
             excClass = "builtins.ValueError")
@@ -85,7 +92,7 @@ object LocalFetch {
       val path = fileUriToPath(url)
       try {
         val body = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-        LocalResponse(200, body, isHtmlPath(path), retryExc = false)
+        LocalResponse(200, body, isHtmlFile(path, body), retryExc = false)
       } catch {
         // discriminate the OSError subclass CPython's open() would raise
         // (ADVICE r4); all are IOError subclasses → retried (retry.py
