@@ -444,6 +444,58 @@ object SparkEntry {
           max("href").as("last_href"))
     }),
 
+    // ---- MinHash+LSH near-dup, DuckDB-verified (the verification twin of
+    // q_minhash_lsh): the whole shingle→minhash→band→bucket-join pipeline
+    // from SQL primitives (md5-family hashes) so the oracle replays it
+    // bit-for-bit. The 8 signature mins are ONE map-side-partial aggregate
+    // (a single shuffle moving 8 hex strings per doc); candidate pairs are
+    // band-key collisions via equi-join, never all-pairs — the 100-TB LSH
+    // shape. The custom-Expression form (TextFunctions.minhashSignature)
+    // stays the production path, golden-pinned by TextGoldenSpec. ----------
+    "q_minhash_band_neardup" -> ((s, dir) => {
+      val tk = filter(split(col("text"), " "), x => x =!= "")
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(when(size(tk) >= 5,
+            transform(sequence(lit(1), size(tk) - lit(4)),
+              i => concat_ws(" ", slice(tk, i, lit(5)))))
+            .otherwise(array().cast("array<string>"))).as("g"))
+      val mins = (0 until 8).map(k =>
+        min(md5(concat(lit(s"$k|"), col("g")))).as(s"m$k"))
+      val sig = grams.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(
+          md5(concat(col("m0"), col("m1"), col("m2"), col("m3"))),
+          md5(concat(col("m4"), col("m5"), col("m6"), col("m7")))))
+          .as(Seq("band", "bkey")))
+      val x = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      val y = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
+      x.join(y, Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    }),
+
+    // ---- SimHash, DuckDB-verified (the verification twin of q_simhash):
+    // 60-bit fingerprint from per-bit weighted votes over md5 token hashes.
+    // The 60 bit-vote sums ride ONE map-side-partial aggregate (no bit
+    // explosion, no second shuffle) — at 100 TB this is a single pass over
+    // tokens. Production path stays TextFunctions.simhash64 (TextGoldenSpec).
+    "q_simhash_bitvote" -> ((s, dir) => {
+      val sums = (0 until 60).map(b =>
+        sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"s$b"))
+      val assemble = (0 until 60).map(b =>
+        s"(case when s$b > 0 then shiftleft(cast(1 as bigint), $b) " +
+          "else cast(0 as bigint) end)").mkString(" + ")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(filter(split(col("text"), " "), x => x =!= "")).as("w"))
+        .withColumn("h",
+          expr("cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint)"))
+        .groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), expr(s"cast($assemble as bigint)").as("simhash_sql"))
+    }),
+
     // ======= rows-only queries (no SQL oracle: hash/UDF semantics) =========
 
     // fingerprint partitioner: url_seen bucket histogram (SURVEY §2.2)
@@ -632,6 +684,29 @@ object SparkEntry {
         "SELECT grams.doc_id, count(*) AS n_grams, " +
         "CAST(sum(CASE WHEN gc.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams " +
         "FROM grams JOIN gc USING (g) GROUP BY grams.doc_id"),
+    "q_minhash_band_neardup" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents), " +
+        "grams AS (SELECT doc_id, unnest(list_transform(" +
+        "generate_series(1, greatest(len(tk) - 4, 0)), " +
+        "i -> array_to_string(tk[i:i+4], ' '))) AS g FROM toks), " +
+        "sig AS (SELECT doc_id, " +
+        (0 until 8).map(k => s"min(md5('$k|' || g)) AS m$k").mkString(", ") +
+        " FROM grams GROUP BY doc_id), " +
+        "bands AS (SELECT doc_id, 0 AS band, md5(m0 || m1 || m2 || m3) AS bkey FROM sig " +
+        "UNION ALL SELECT doc_id, 1 AS band, md5(m4 || m5 || m6 || m7) AS bkey FROM sig) " +
+        "SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b " +
+        "FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"),
+    "q_simhash_bitvote" ->
+      ("WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents), " +
+        "hb AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok), " +
+        "v AS (SELECT doc_id, " +
+        (0 until 60).map(b =>
+          s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ") +
+        " FROM hb GROUP BY doc_id) " +
+        "SELECT doc_id, CAST(" +
+        (0 until 60).map(b =>
+          s"(CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)").mkString(" + ") +
+        " AS BIGINT) AS simhash_sql FROM v"),
     // the selector engine extracts exactly the two planted hrefs per doc;
     // DuckDB reconstructs them without parsing ('/alt/..' < '/doc/..')
     "q_css_extract" ->

@@ -177,6 +177,30 @@ class PlanSpec extends AnyFunSuite {
     emptyBloom.destroy()
   }
 
+  test("simhash bit-votes ride ONE shuffle (map-side partial, no bit explosion)") {
+    val p = plan("q_simhash_bitvote")
+    assert(!p.contains("Window"), s"bit votes must not plan a window:\n$p")
+    // formatted explain names each node twice (tree line + detail section):
+    // count detail headers so "one Generate node" means the token explode only
+    assert("(?m)^\\(\\d+\\) Generate".r.findAllIn(p).size <= 1,
+      s"only the token explode may Generate — no per-bit explosion:\n$p")
+    val shuffles = "(?m)^\\(\\d+\\) Exchange$".r.findAllIn(p).size
+    assert(shuffles === 1,
+      s"the 60 bit-vote sums must ride a single partial-agg shuffle, got $shuffles:\n$p")
+    assert("partial_sum".r.findAllIn(p).size >= 60,
+      s"expected 60 map-side partial sums:\n$p")
+  }
+
+  test("minhash LSH candidates come from a band equi-join, never all-pairs") {
+    val p = plan("q_minhash_band_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band bucketing must plan an equi-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected an equi-join on (band, bkey):\n$p")
+    assert("partial_min".r.findAllIn(p).size >= 8,
+      s"the 8 signature mins must be map-side partial:\n$p")
+  }
+
   test("embedding near-dup argmax is an aggregate, not a window over the join") {
     val p = plan("q_embedding_neardup")
     assert(!p.contains("Window"),
