@@ -529,7 +529,9 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), rollingFpUdf(col("text")).as("rolling_fp"))),
 
-    // language-ID heuristic
+    // language-ID heuristic — the REAL production UDF; its DuckDB oracle is
+    // generated from TextFunctions.langMarkers (see oracleSql), so this is
+    // value-verified despite being a UDF
     "q_langid" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), langIdUdf(col("text")).as("predicted_lang"))),
@@ -696,6 +698,22 @@ object SparkEntry {
         "UNION ALL SELECT doc_id, 1 AS band, md5(m4 || m5 || m6 || m7) AS bkey FROM sig) " +
         "SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b " +
         "FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"),
+    // the oracle re-encodes langId from its marker table (single source of
+    // truth): count marker-token occurrences per language, argmax with
+    // hits DESC then declaration order, 'en' when nothing matched
+    "q_langid" -> {
+      val markerRows = TextFunctions.langMarkers.zipWithIndex.flatMap {
+        case ((lang, set), pri) => set.toSeq.sorted.map(w => s"('$lang', '$w', $pri)")
+      }.mkString(", ")
+      "WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w FROM documents), " +
+        s"m(lang, w, pri) AS (VALUES $markerRows), " +
+        "sc AS (SELECT tok.doc_id, m.lang, m.pri, count(*) AS hits " +
+        "FROM tok JOIN m ON tok.w = m.w GROUP BY tok.doc_id, m.lang, m.pri), " +
+        "best AS (SELECT doc_id, lang, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY hits DESC, pri ASC) AS rn FROM sc) " +
+        "SELECT d.doc_id, coalesce(b.lang, 'en') AS predicted_lang FROM documents d " +
+        "LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id"
+    },
     "q_simhash_bitvote" ->
       ("WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents), " +
         "hb AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok), " +

@@ -89,8 +89,10 @@ object TextFunctions {
 
   /** Tiny stopword-profile language ID (n-gram/stopword heuristic — the
     * honest offline baseline; returns ISO codes matching the documents
-    * table's lang domain, 'en' fallback). */
-  private val langMarkers: Seq[(String, Set[String])] = Seq(
+    * table's lang domain, 'en' fallback). Public: the q_langid DuckDB
+    * oracle is GENERATED from this table (single source of truth), so the
+    * production function itself is value-verified end-to-end. */
+  val langMarkers: Seq[(String, Set[String])] = Seq(
     "en" -> Set("the", "and", "of", "to", "is", "in", "that", "it"),
     "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
     "fr" -> Set("le", "la", "les", "et", "est", "une", "que", "dans"),
