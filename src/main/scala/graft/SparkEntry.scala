@@ -39,6 +39,11 @@ object SparkEntry {
     f"${TextFunctions.rollingFingerprint(text)}%016x")
   private val cssSelectUdf = udf((html: String, q: String) =>
     graft.extract.Sel.cssSelectAll(html, q))
+  private val jsonCustUdf = udf((js: String) =>
+    graft.extract.Json.loads(js)("who")("cust") match {
+      case graft.extract.Json.JInt(n) => n.toString
+      case other => throw new IllegalStateException(s"not an int: $other")
+    })
   private val respClassUdf = udf((ct: String, url: String) => {
     import graft.extract.ResponseTypes
     val headers = if (ct == null) null else Map("Content-Type" -> ct)
@@ -444,6 +449,25 @@ object SparkEntry {
           max("href").as("last_href"))
     }),
 
+    // JSON extraction both ways on one column: Spark's codegen'd
+    // get_json_object (the declarative hot path) AND the Json facade
+    // (graft.extract.Json — the TextResponse.json() analogue, JsonSpec
+    // golden-pinned) as a UDF; DuckDB replays with json_extract_string,
+    // so the facade's parse semantics are value-verified in the gate too
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("js", concat(
+          lit("{\"id\": "), col("o_orderkey").cast("string"),
+          lit(", \"who\": {\"cust\": "), col("o_custkey").cast("string"),
+          lit("}, \"pri\": \""), col("o_orderpriority"),
+          lit("\", \"tags\": [1, "), (col("o_orderkey") % 7).cast("string"),
+          lit("]}")))
+        .select(col("o_orderkey"),
+          get_json_object(col("js"), "$.who.cust").as("cust_s"),
+          get_json_object(col("js"), "$.pri").as("pri_s"),
+          get_json_object(col("js"), "$.tags[1]").as("tag_s"),
+          jsonCustUdf(col("js")).as("cust_facade"))),
+
     // ---- MinHash+LSH near-dup, DuckDB-verified (the verification twin of
     // q_minhash_lsh): the whole shingle→minhash→band→bucket-join pipeline
     // from SQL primitives (md5-family hashes) so the oracle replays it
@@ -524,7 +548,10 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), simhashUdf(col("text")).as("simhash"))),
 
-    // rolling-hash doc fingerprint
+    // rolling-hash doc fingerprint — the REAL production UDF; DuckDB
+    // re-derives the exact 64-bit value (recursive-CTE FNV-1a per token +
+    // algebraic expansion of the outer fold, hugeint mod-2^64), so this is
+    // value-verified despite being a UDF
     "q_rolling_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), rollingFpUdf(col("text")).as("rolling_fp"))),
@@ -725,6 +752,47 @@ object SparkEntry {
         (0 until 60).map(b =>
           s"(CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)").mkString(" + ") +
         " AS BIGINT) AS simhash_sql FROM v"),
+    // exact re-derivation of rollingFingerprint (h = h*1000003 + fnv64(tok)
+    // over space-split tokens, Long wraparound): FNV-1a folded per distinct
+    // token by a recursive CTE over UTF-8 bytes (hex-decoded), the outer
+    // fold expanded algebraically as sum(fnv(tok_k)*1000003^(n-k)) mod 2^64
+    // via a recursive powers table; 64x64 mulmod split at 2^32 to stay
+    // inside HUGEINT; output is the UDF's %016x rendering of the residue
+    "q_rolling_fingerprint" ->
+      ("WITH RECURSIVE " +
+        "toks AS (SELECT doc_id, generate_subscripts(l, 1) AS k, unnest(l) AS tok, len(l) AS n " +
+        "FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS l FROM documents)), " +
+        "vocab AS (SELECT DISTINCT tok FROM toks), " +
+        "fnv AS (SELECT tok, lower(hex(encode(tok))) AS hx, 0 AS i, 14695981039346656037::HUGEINT AS h FROM vocab " +
+        "UNION ALL SELECT tok, hx, i + 1, " +
+        "(xor(h, (16*(strpos('0123456789abcdef', substr(hx, 2*i+1, 1))-1) " +
+        "+ strpos('0123456789abcdef', substr(hx, 2*i+2, 1))-1)::HUGEINT) " +
+        "* 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT " +
+        "FROM fnv WHERE i < length(hx)/2), " +
+        "fnv_done AS (SELECT tok, h FROM fnv WHERE i = length(hx)/2), " +
+        "maxn AS (SELECT max(n) AS mx FROM toks), " +
+        "pw AS (SELECT 0 AS e, 1::HUGEINT AS v " +
+        "UNION ALL SELECT e+1, (v * 1000003::HUGEINT) % 18446744073709551616::HUGEINT FROM pw, maxn WHERE e < mx), " +
+        "terms AS (SELECT t.doc_id, " +
+        "(((f.h // 4294967296) * p.v % 4294967296) * 4294967296 " +
+        "+ (f.h % 4294967296) * p.v) % 18446744073709551616::HUGEINT AS term " +
+        "FROM toks t JOIN fnv_done f ON t.tok = f.tok JOIN pw p ON p.e = t.n - t.k), " +
+        "summed AS (SELECT d.doc_id, coalesce(sum(term) % 18446744073709551616::HUGEINT, 0::HUGEINT) AS h " +
+        "FROM documents d LEFT JOIN terms USING (doc_id) GROUP BY d.doc_id) " +
+        "SELECT doc_id, lower(lpad(hex(h), 16, '0')) AS rolling_fp FROM summed"),
+    // same JSON string built with || concatenation, extracted with DuckDB's
+    // json_extract_string; cust_facade re-extracts the same path (the Spark
+    // side routes it through the graft.extract.Json parser instead)
+    "q_json_extract" ->
+      ("WITH j AS (SELECT o_orderkey, " +
+        "'{\"id\": ' || o_orderkey || ', \"who\": {\"cust\": ' || o_custkey || " +
+        "'}, \"pri\": \"' || o_orderpriority || '\", \"tags\": [1, ' || (o_orderkey % 7) || ']}' AS js " +
+        "FROM orders) " +
+        "SELECT o_orderkey, " +
+        "json_extract_string(js, '$.who.cust') AS cust_s, " +
+        "json_extract_string(js, '$.pri') AS pri_s, " +
+        "json_extract_string(js, '$.tags[1]') AS tag_s, " +
+        "json_extract_string(js, '$.who.cust') AS cust_facade FROM j"),
     // the selector engine extracts exactly the two planted hrefs per doc;
     // DuckDB reconstructs them without parsing ('/alt/..' < '/doc/..')
     "q_css_extract" ->
