@@ -68,6 +68,12 @@ object FeedExport {
 
     def writer(d: DataFrame) = {
       var w = d.write.mode(SaveMode.Overwrite)
+        // ScrapyJSONEncoder renders datetime/date as "YYYY-MM-DD HH:MM:SS" /
+        // "YYYY-MM-DD" (`utils/serialize.py:22-27`, str()-style, no 'T');
+        // the CSV exporter str()s them the same way. Spark's writers default
+        // to ISO-8601 'T' forms — pin the reference's instead.
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .option("dateFormat", "yyyy-MM-dd")
       writerCodec.foreach(c => w = w.option("compression", c))
       if (feed.batchItemCount > 0) w.partitionBy("batch") else w
     }

@@ -36,6 +36,24 @@ class FeedExportSpec extends AnyFunSuite {
     assert(back.columns.toSet === Set("seq", "url", "status"))
   }
 
+  test("datetime/date render like ScrapyJSONEncoder (no ISO 'T'), json + csv") {
+    // reference golden (`tests/test_utils_serialize.py::test_encode_decode`):
+    // datetime(2010,1,2,10,11,12) -> "2010-01-02 10:11:12", date -> "2010-01-02"
+    import spark.implicits._
+    val df = Seq(1L).toDF("seq")
+      .withColumn("dt", to_timestamp(lit("2010-01-02 10:11:12")))
+      .withColumn("d", to_date(lit("2010-01-02")))
+    def rawText(dir: String): String =
+      spark.read.text(dir).as[String].collect().mkString("\n")
+    val jout = TestSpark.tempDir("feed-json-dt")
+    FeedExport.export(spark, df, FeedExport.Feed("json"), jout)
+    assert(rawText(jout).contains("\"dt\":\"2010-01-02 10:11:12\""))
+    assert(rawText(jout).contains("\"d\":\"2010-01-02\""))
+    val cout = TestSpark.tempDir("feed-csv-dt")
+    FeedExport.export(spark, df, FeedExport.Feed("csv"), cout)
+    assert(rawText(cout).contains("2010-01-02 10:11:12"))
+  }
+
   test("post-processing: single gzip plugin uses the distributed writer codec") {
     import spark.implicits._
     val out = TestSpark.tempDir("feed-gz")
