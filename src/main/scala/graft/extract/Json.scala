@@ -58,6 +58,45 @@ object Json {
   final class JsonError(msg: String, val pos: Int)
       extends IllegalArgumentException(s"$msg (char $pos)")
 
+  /** CPython-default `json.dumps`: separators `", "`/`": "`, ensure_ascii
+    * (non-ASCII → `\uXXXX`), NaN/Infinity constants. One documented
+    * divergence: float exponent formatting follows Java `Double.toString`
+    * ("1.0E22") not CPython repr ("1e+22") — both shortest-round-trip;
+    * integral-valued doubles render "1.0" like CPython. */
+  def dumps(v: JVal): String = v match {
+    case JNull => "null"
+    case JBool(b) => if (b) "true" else "false"
+    case JInt(n) => n.toString
+    case JFloat(d) =>
+      if (d.isNaN) "NaN"
+      else if (d.isPosInfinity) "Infinity"
+      else if (d.isNegInfinity) "-Infinity"
+      else java.lang.Double.toString(d)
+    case JStr(s) => quote(s)
+    case JArr(items) => items.map(dumps).mkString("[", ", ", "]")
+    case JObj(fields) =>
+      fields.map { case (k, x) => quote(k) + ": " + dumps(x) }
+        .mkString("{", ", ", "}")
+  }
+
+  private def quote(s: String): String = {
+    val sb = new StringBuilder(s.length + 2)
+    sb += '"'
+    for (c <- s) c match {
+      case '"' => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case '\b' => sb ++= "\\b"
+      case '\f' => sb ++= "\\f"
+      case '\n' => sb ++= "\\n"
+      case '\r' => sb ++= "\\r"
+      case '\t' => sb ++= "\\t"
+      case c2 if c2 < 0x20 || c2 > 0x7e => sb ++= f"\\u${c2.toInt}%04x"
+      case c2 => sb += c2
+    }
+    sb += '"'
+    sb.toString
+  }
+
   /** `json.loads(str)`. */
   def loads(s: String): JVal = new P(s).document()
 

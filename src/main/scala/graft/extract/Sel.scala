@@ -35,6 +35,10 @@ object Sel {
   final case class ElNode(el: El) extends Node
   /** A text node or attribute value, already entity-decoded. */
   final case class ValNode(value: String) extends Node
+  /** A JSON value produced by [[Sel.jmespath]] (parsel's json-type
+    * selector). A string value re-parses as HTML when css/xpath chains
+    * onto it. */
+  final case class JsonNode(value: Json.JVal) extends Node
 
   /** Document-level selector ("response.selector"): one root node. */
   def apply(html: String): Sel = {
@@ -167,6 +171,13 @@ final class Sel private[extract] (
   // ------------------------------------------------------------- evaluation
 
   private[extract] def run(query: Query): Sel = {
+    // parsel: css/xpath on a json-type STRING selector re-parses the string
+    // as HTML (`resp.jmespath("html").xpath(...)`, test_selector.py). The
+    // fresh Sel carries its own source, so element serialization works.
+    nodes match {
+      case Seq(JsonNode(Json.JStr(s))) => return Sel(s).run(query)
+      case _ =>
+    }
     val out = Vector.newBuilder[Node]
     for (node <- nodes) node match {
       case ElNode(ctx) =>
@@ -185,6 +196,40 @@ final class Sel private[extract] (
             textNodes(matched.iterator.map(descTextSpans)).foreach(out += _)
         }
       case ValNode(_) => // string values have no children/attributes
+      case JsonNode(_) => // non-string JSON values have no HTML children
+        // (a single string value was delegated above; mixed node sets keep
+        // parsel's per-node semantics: nothing matches inside a non-string)
+    }
+    new Sel(html, doc, out.result())
+  }
+
+  // ------------------------------------------------------------- jmespath
+
+  /** parsel `.jmespath(query)` ([[JmesPath]] documents the supported
+    * subset). The JSON root per node: a prior jmespath result continues
+    * from its value; a text/attribute value parses as JSON; the document
+    * root parses the WHOLE source as JSON (a JSON response body); any other
+    * element parses its direct text content (`<content>{...}</content>`).
+    * A list result fans out into one selector per element, like parsel. */
+  def jmespath(q: String): Sel = {
+    val expr = JmesPath.parse(q)
+    val out = Vector.newBuilder[Node]
+    for (n <- nodes) {
+      val root: Json.JVal = n match {
+        case JsonNode(v) => v
+        case ValNode(s) => Json.loads(s)
+        case ElNode(el) =>
+          if (el.parent == null) Json.loads(html)
+          else Json.loads(
+            childTextSpans(el).map(s =>
+              LinkExtract.replaceHtmlEntities(html.substring(s._1, s._2)))
+              .mkString)
+      }
+      JmesPath.eval(expr, root) match {
+        case Json.JNull => // no result
+        case Json.JArr(items) => items.foreach(v => out += JsonNode(v))
+        case v => out += JsonNode(v)
+      }
     }
     new Sel(html, doc, out.result())
   }
@@ -275,6 +320,10 @@ final class Sel private[extract] (
 
   private def serialize(n: Node): String = n match {
     case ValNode(v) => v
+    // parsel json-type get(): a string is itself, anything else renders
+    // with json.dumps (so `.jmespath("total").get() == "4"`)
+    case JsonNode(Json.JStr(s)) => s
+    case JsonNode(v) => Json.dumps(v)
     case ElNode(el) =>
       if (el.parent == null) html // the virtual root = the whole document
       else html.substring(el.start, el.outerEnd)
@@ -326,6 +375,8 @@ final class Sel private[extract] (
     * `_InvalidSelector` message (follow raises it, follow_all suppresses). */
   private def urlOfNode(n: Node): Either[String, String] = n match {
     case ValNode(v) => Right(LinkExtract.stripHtml5Whitespace(v))
+    case JsonNode(Json.JStr(s)) => Right(LinkExtract.stripHtml5Whitespace(s))
+    case JsonNode(_) => Left("Unsupported selector: non-string JSON value")
     case ElNode(el) if el.parent == null =>
       Left("Unsupported selector: document root")
     case ElNode(el) if el.tag != "a" && el.tag != "link" =>

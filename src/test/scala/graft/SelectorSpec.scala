@@ -226,4 +226,111 @@ class SelectorSpec extends AnyFunSuite {
     assert(Sel(html).css("a::attr(href)").followAll(base) ==
       Seq("http://example.com/1", "http://example.com/2"))
   }
+
+  // ------------------------- jmespath (test_selector.py::TestJMESPath) ----
+
+  test("jmespath: json body wrapping html (test_json_has_html)") {
+    val body =
+      """
+        {
+            "content": [
+                {
+                    "name": "A",
+                    "value": "a"
+                },
+                {
+                    "name": {
+                        "age": 18
+                    },
+                    "value": "b"
+                },
+                {
+                    "name": "C",
+                    "value": "c"
+                },
+                {
+                    "name": "<a>D</a>",
+                    "value": "<div>d</div>"
+                }
+            ],
+            "html": "<div><a>a<br>b</a>c</div><div><a>d</a>e<b>f</b></div>"
+        }
+        """
+    val sel = Sel(body)
+    assert(sel.jmespath("html").get ===
+      Some("<div><a>a<br>b</a>c</div><div><a>d</a>e<b>f</b></div>"))
+    assert(sel.jmespath("html").xpath("//div/a/text()").getall ===
+      Seq("a", "b", "d"))
+    assert(sel.jmespath("html").css("div > b").getall === Seq("<b>f</b>"))
+    assert(sel.jmespath("content").jmespath("name.age").get === Some("18"))
+  }
+
+  val htmlWithJson: String =
+    """
+        <div>
+            <h1>Information</h1>
+            <content>
+            {
+              "user": [
+                        {
+                                  "name": "A",
+                                  "age": 18
+                        },
+                        {
+                                  "name": "B",
+                                  "age": 32
+                        },
+                        {
+                                  "name": "C",
+                                  "age": 22
+                        },
+                        {
+                                  "name": "D",
+                                  "age": 25
+                        }
+              ],
+              "total": 4,
+              "status": "ok"
+            }
+            </content>
+        </div>
+        """
+
+  test("jmespath: html body wrapping json (test_html_has_json)") {
+    val sel = Sel(htmlWithJson)
+    assert(sel.xpath("//div/content/text()").jmespath("user[*].name").getall ===
+      Seq("A", "B", "C", "D"))
+    assert(sel.xpath("//div/content").jmespath("user[*].name").getall ===
+      Seq("A", "B", "C", "D"))
+    assert(sel.xpath("//div/content").jmespath("total").get === Some("4"))
+  }
+
+  test("jmespath chained with re (test_jmestpath_with_re)") {
+    val sel = Sel(htmlWithJson)
+    assert(sel.xpath("//div/content/text()").jmespath("user[*].name")
+      .re("(\\w+)") === Seq("A", "B", "C", "D"))
+    assert(sel.xpath("//div/content").jmespath("user[*].name")
+      .re("(\\w+)") === Seq("A", "B", "C", "D"))
+    assert(sel.xpath("//div/content").jmespath("unavailable")
+      .re("(\\d+)") === Seq.empty)
+    assert(sel.xpath("//div/content").jmespath("unavailable")
+      .reFirst("(\\d+)") === None)
+    assert(sel.xpath("//div/content").jmespath("user[*].age.to_string(@)")
+      .re("(\\d+)") === Seq("18", "32", "22", "25"))
+  }
+
+  test("jmespath subset: index, negative index, misses, fail-fast") {
+    val sel = Sel("""{"a": [10, 20, 30], "o": {"k": "v"}}""")
+    assert(sel.jmespath("a[0]").get === Some("10"))
+    assert(sel.jmespath("a[-1]").get === Some("30"))
+    assert(sel.jmespath("a[9]").get === None)
+    assert(sel.jmespath("o.k").get === Some("v"))
+    assert(sel.jmespath("o.missing").get === None)
+    assert(sel.jmespath("a[*]").getall === Seq("10", "20", "30"))
+    // [*] on a non-list is jmespath null
+    assert(sel.jmespath("o[*]").get === None)
+    intercept[IllegalArgumentException](sel.jmespath("a[?x > `1`]"))
+    intercept[IllegalArgumentException](sel.jmespath("a | b"))
+    intercept[IllegalArgumentException](sel.jmespath("a[*].b[*]"))
+  }
 }
