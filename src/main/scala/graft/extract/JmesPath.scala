@@ -116,4 +116,20 @@ object JmesPath {
   }
 
   def search(q: String, root: JVal): JVal = eval(parse(q), root)
+
+  /** `Sel(json).jmespath(q).getall` without the HTML round-trip — the
+    * entry point for the `graft_jmespath` Catalyst expression: parse the
+    * document, search, render each result like parsel `.getall()` (strings
+    * raw, anything else json.dumps). */
+  def selectAll(json: String, q: String): Seq[String] = {
+    def render(v: JVal): String = v match {
+      case JStr(s) => s
+      case other => Json.dumps(other)
+    }
+    search(q, Json.loads(json)) match {
+      case JNull => Seq.empty
+      case JArr(items) => items.map(render)
+      case v => Seq(render(v))
+    }
+  }
 }

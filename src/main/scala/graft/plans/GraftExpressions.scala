@@ -34,6 +34,9 @@ object GraftExprs {
 
   def xpathSelect(html: UTF8String, query: UTF8String): ArrayData =
     toArrayData(graft.extract.Sel.xpathSelectAll(html.toString, query.toString))
+
+  def jmespathSelect(json: UTF8String, query: UTF8String): ArrayData =
+    toArrayData(graft.extract.JmesPath.selectAll(json.toString, query.toString))
 }
 
 /** canonicalize_url as a codegen-friendly unary expression. */
@@ -114,6 +117,25 @@ case class XPathSelectExpr(left: Expression, right: Expression)
   override def prettyName: String = "graft_xpath_select"
 }
 
+/** jmespath-subset extraction over a JSON column:
+  * `graft_jmespath(js, 'user[*].name')` → array<string> (strings raw,
+  * other values json.dumps-rendered — parsel `.jmespath(q).getall()`
+  * semantics; the subset is documented on [[graft.extract.JmesPath]]).
+  * Complements Spark's `get_json_object` where a projection fans out. */
+case class JmesPathSelectExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftExprs.jmespathSelect(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.GraftExprs.jmespathSelect($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JmesPathSelectExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_jmespath"
+}
+
 /** Session extensions: register the expressions as SQL functions —
   * `spark.sql("SELECT graft_canonicalize(url) ...")` — via
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or config
@@ -140,5 +162,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_xpath_select"),
       new ExpressionInfo(classOf[XPathSelectExpr].getName, "graft_xpath_select"),
       (children: Seq[Expression]) => XPathSelectExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jmespath"),
+      new ExpressionInfo(classOf[JmesPathSelectExpr].getName, "graft_jmespath"),
+      (children: Seq[Expression]) => JmesPathSelectExpr(children.head, children(1))))
   }
 }

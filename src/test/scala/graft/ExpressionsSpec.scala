@@ -90,6 +90,27 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(links.toSeq === viaLib)
   }
 
+  test("jmespath expression (codegen + SQL + explode + facade parity)") {
+    import spark.implicits._
+    val js = """{"user": [{"name": "A", "age": 18}, {"name": "B", "age": 32}], "total": 2}"""
+    val r = spark.sql(
+      s"""SELECT graft_jmespath('$js', 'user[*].name') AS names,
+          graft_jmespath('$js', 'total') AS total,
+          graft_jmespath('$js', 'missing') AS missing""").collect().head
+    assert(r.getSeq[String](0) === Seq("A", "B"))
+    assert(r.getSeq[String](1) === Seq("2")) // non-strings render json.dumps-style
+    assert(r.getSeq[String](2) === Seq.empty)
+    // non-foldable column through a codegen'd projection + explode
+    val docs = (0 until 10).map(i => s"""{"tags": ["t$i", "u$i"], "id": $i}""")
+    val tags = docs.toDF("js")
+      .selectExpr("explode(graft_jmespath(js, 'tags[*]')) AS tag")
+      .as[String].collect()
+    assert(tags.length === 20)
+    assert(tags.take(2) === Array("t0", "u0"))
+    val viaLib = docs.flatMap(d => graft.extract.JmesPath.selectAll(d, "tags[*]"))
+    assert(tags.toSeq === viaLib)
+  }
+
   test("phash hamming expression on real corpus hashes") {
     import spark.implicits._
     val hashes = (0 until 8).map(i =>
