@@ -275,4 +275,60 @@ class FeedSpidersSpec extends AnyFunSuite {
     assert(nodes.head.childTexts("t:title",
       Map("t" -> "http://www.w3.org/2005/Atom")) === Seq("a & b"))
   }
+
+  test("xmliter iterate_namespace: default-xmlns itertag needs the uri " +
+    "(test_xmliter_iterate_namespace)") {
+    val body = ("""<?xml version="1.0" encoding="UTF-8"?>
+      |<rss version="2.0" xmlns="http://base.google.com/ns/1.0">
+      |    <channel>
+      |    <title>My Dummy Company</title>
+      |    <link>http://www.mydummycompany.com</link>
+      |    <description>This is a dummy company. We do nothing.</description>
+      |    <item>
+      |        <title>Item 1</title>
+      |        <description>This is item 1</description>
+      |        <link>http://www.mydummycompany.com/items/1</link>
+      |        <image_link>http://www.mydummycompany.com/images/item1.jpg</image_link>
+      |        <image_link>http://www.mydummycompany.com/images/item2.jpg</image_link>
+      |    </item>
+      |    </channel>
+      |</rss>""").stripMargin.getBytes("UTF-8")
+    assert(FeedSpiders.xmlNodes(body, "image_link").isEmpty)
+    val nodes = FeedSpiders.xmlNodes(body, "image_link",
+      namespace = Some("http://base.google.com/ns/1.0"))
+    assert(nodes.map(_.text) === Seq(
+      "http://www.mydummycompany.com/images/item1.jpg",
+      "http://www.mydummycompany.com/images/item2.jpg"))
+  }
+
+  test("xmliter prefixed namespaces (test_xmliter_namespaces_prefix)") {
+    val body = ("""<?xml version="1.0" encoding="UTF-8"?>
+      |<root>
+      |    <h:table xmlns:h="http://www.w3.org/TR/html4/">
+      |      <h:tr>
+      |        <h:td>Apples</h:td>
+      |        <h:td>Bananas</h:td>
+      |      </h:tr>
+      |    </h:table>
+      |
+      |    <f:table xmlns:f="http://www.w3schools.com/furniture">
+      |      <f:name>African Coffee Table</f:name>
+      |      <f:width>80</f:width>
+      |      <f:length>120</f:length>
+      |    </f:table>
+      |
+      |</root>""").stripMargin.getBytes("UTF-8")
+    val hUri = "http://www.w3.org/TR/html4/"
+    val hTable = FeedSpiders.xmlNodes(body, "table", namespace = Some(hUri))
+    assert(hTable.size === 1)
+    val tr = hTable.head.children.filter(c => c.nsUri == hUri && c.localName == "tr")
+    assert(tr.size === 1)
+    val tds = tr.head.childTexts("h:td", Map("h" -> hUri))
+    assert(tds === Seq("Apples", "Bananas"))
+    val fUri = "http://www.w3schools.com/furniture"
+    val fTable = FeedSpiders.xmlNodes(body, "table", namespace = Some(fUri))
+    assert(fTable.size === 1)
+    assert(fTable.head.childTexts("f:name", Map("f" -> fUri)) ===
+      Seq("African Coffee Table"))
+  }
 }
