@@ -468,6 +468,19 @@ object SparkEntry {
           get_json_object(col("js"), "$.tags[1]").as("tag_s"),
           jsonCustUdf(col("js")).as("cust_facade"))),
 
+    // jmespath [*] projection fan-out through the codegen'd graft_jmespath
+    // Catalyst expression (the JSON leg of the selector trio) — something
+    // get_json_object can't express; DuckDB replays with a json path
+    // wildcard + unnest, so the expression itself is value-verified
+    "q_jmespath_project" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("js", concat(
+          lit("{\"tags\": [{\"name\": \"p"), col("o_custkey").cast("string"),
+          lit("\"}, {\"name\": \"q"), (col("o_orderkey") % 7).cast("string"),
+          lit("\"}]}")))
+        .select(col("o_orderkey"),
+          explode(expr("graft_jmespath(js, 'tags[*].name')")).as("tag"))),
+
     // ---- MinHash+LSH near-dup, DuckDB-verified (the verification twin of
     // q_minhash_lsh): the whole shingle→minhash→band→bucket-join pipeline
     // from SQL primitives (md5-family hashes) so the oracle replays it
@@ -793,6 +806,14 @@ object SparkEntry {
         "json_extract_string(js, '$.pri') AS pri_s, " +
         "json_extract_string(js, '$.tags[1]') AS tag_s, " +
         "json_extract_string(js, '$.who.cust') AS cust_facade FROM j"),
+    // json path wildcard returns a LIST; unnest fans it out like explode
+    "q_jmespath_project" ->
+      ("WITH j AS (SELECT o_orderkey, " +
+        "'{\"tags\": [{\"name\": \"p' || o_custkey || " +
+        "'\"}, {\"name\": \"q' || (o_orderkey % 7) || '\"}]}' AS js " +
+        "FROM orders) " +
+        "SELECT o_orderkey, " +
+        "unnest(json_extract_string(js, '$.tags[*].name')) AS tag FROM j"),
     // the selector engine extracts exactly the two planted hrefs per doc;
     // DuckDB reconstructs them without parsing ('/alt/..' < '/doc/..')
     "q_css_extract" ->
