@@ -23,6 +23,7 @@ object Bench {
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions) // graft_* SQL functions
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
