@@ -39,6 +39,33 @@ object SparkEntry {
     f"${TextFunctions.rollingFingerprint(text)}%016x")
   private val cssSelectUdf = udf((html: String, q: String) =>
     graft.extract.Sel.cssSelectAll(html, q))
+  /** Shared by q_minhash_band_neardup / q_neardup_clusters: the LSH
+    * candidate edge list from SQL primitives (md5-family hashes — so DuckDB
+    * replays it bit-for-bit). 8 signature mins ride ONE map-side-partial
+    * aggregate; pairs come from a band equi-join, never all-pairs. */
+  private def minhashBandEdges(s: SparkSession, dir: String): DataFrame = {
+    val tk = filter(split(col("text"), " "), x => x =!= "")
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(when(size(tk) >= 5,
+          transform(sequence(lit(1), size(tk) - lit(4)),
+            i => concat_ws(" ", slice(tk, i, lit(5)))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+    val mins = (0 until 8).map(k =>
+      min(md5(concat(lit(s"$k|"), col("g")))).as(s"m$k"))
+    val sig = grams.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(
+        md5(concat(col("m0"), col("m1"), col("m2"), col("m3"))),
+        md5(concat(col("m4"), col("m5"), col("m6"), col("m7")))))
+        .as(Seq("band", "bkey")))
+    val x = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+    val y = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
+    x.join(y, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   private val jsonCustUdf = udf((js: String) =>
     graft.extract.Json.loads(js)("who")("cust") match {
       case graft.extract.Json.JInt(n) => n.toString
@@ -489,28 +516,17 @@ object SparkEntry {
     // band-key collisions via equi-join, never all-pairs — the 100-TB LSH
     // shape. The custom-Expression form (TextFunctions.minhashSignature)
     // stays the production path, golden-pinned by TextGoldenSpec. ----------
-    "q_minhash_band_neardup" -> ((s, dir) => {
-      val tk = filter(split(col("text"), " "), x => x =!= "")
-      val grams = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(when(size(tk) >= 5,
-            transform(sequence(lit(1), size(tk) - lit(4)),
-              i => concat_ws(" ", slice(tk, i, lit(5)))))
-            .otherwise(array().cast("array<string>"))).as("g"))
-      val mins = (0 until 8).map(k =>
-        min(md5(concat(lit(s"$k|"), col("g")))).as(s"m$k"))
-      val sig = grams.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      val bands = sig.select(col("doc_id"),
-        posexplode(array(
-          md5(concat(col("m0"), col("m1"), col("m2"), col("m3"))),
-          md5(concat(col("m4"), col("m5"), col("m6"), col("m7")))))
-          .as(Seq("band", "bkey")))
-      val x = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-      val y = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
-      x.join(y, Seq("band", "bkey"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-    }),
+    "q_minhash_band_neardup" -> ((s, dir) => minhashBandEdges(s, dir)),
+
+    // near-dup CLUSTER assignment — the step after LSH candidate pairs in a
+    // dedup pipeline (hash-min connected components, graft.functions
+    // .Clusters). DuckDB replays the closure with a recursive CTE over the
+    // same band-join edges, so the distributed iterate is value-verified
+    // end-to-end (shingle→minhash→LSH→cluster)
+    "q_neardup_clusters" -> ((s, dir) =>
+      graft.functions.Clusters
+        .connectedComponents(minhashBandEdges(s, dir), "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("cluster"))),
 
     // ---- SimHash, DuckDB-verified (the verification twin of q_simhash):
     // 60-bit fingerprint from per-bit weighted votes over md5 token hashes.
@@ -615,6 +631,19 @@ object SparkEntry {
 
   /** DuckDB-runnable oracles for every SQL-expressible query above.
     * Validated against duckdb 1.0.0 on the sf0.01 tables. */
+  /** Shared CTE prefix of the two MinHash-LSH oracles: shingle→signature→
+    * band keys, bit-identical to [[minhashBandEdges]]'s md5 construction. */
+  private val minhashBandCte: String =
+    "toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents), " +
+      "grams AS (SELECT doc_id, unnest(list_transform(" +
+      "generate_series(1, greatest(len(tk) - 4, 0)), " +
+      "i -> array_to_string(tk[i:i+4], ' '))) AS g FROM toks), " +
+      "sig AS (SELECT doc_id, " +
+      (0 until 8).map(k => s"min(md5('$k|' || g)) AS m$k").mkString(", ") +
+      " FROM grams GROUP BY doc_id), " +
+      "bands AS (SELECT doc_id, 0 AS band, md5(m0 || m1 || m2 || m3) AS bkey FROM sig " +
+      "UNION ALL SELECT doc_id, 1 AS band, md5(m4 || m5 || m6 || m7) AS bkey FROM sig)"
+
   def oracleSql: Map[String, String] = Map(
     "q_dupefilter_anti_join" ->
       "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)",
@@ -727,17 +756,20 @@ object SparkEntry {
         "CAST(sum(CASE WHEN gc.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams " +
         "FROM grams JOIN gc USING (g) GROUP BY grams.doc_id"),
     "q_minhash_band_neardup" ->
-      ("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents), " +
-        "grams AS (SELECT doc_id, unnest(list_transform(" +
-        "generate_series(1, greatest(len(tk) - 4, 0)), " +
-        "i -> array_to_string(tk[i:i+4], ' '))) AS g FROM toks), " +
-        "sig AS (SELECT doc_id, " +
-        (0 until 8).map(k => s"min(md5('$k|' || g)) AS m$k").mkString(", ") +
-        " FROM grams GROUP BY doc_id), " +
-        "bands AS (SELECT doc_id, 0 AS band, md5(m0 || m1 || m2 || m3) AS bkey FROM sig " +
-        "UNION ALL SELECT doc_id, 1 AS band, md5(m4 || m5 || m6 || m7) AS bkey FROM sig) " +
-        "SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b " +
+      ("WITH " + minhashBandCte +
+        " SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b " +
         "FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"),
+    // connected components of the SAME band-join edges: transitive closure
+    // by recursive CTE (UNION dedup terminates it), component id = min node
+    "q_neardup_clusters" ->
+      ("WITH RECURSIVE " + minhashBandCte + ", " +
+        "edges AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b " +
+        "FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id), " +
+        "e AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges), " +
+        "reach(node, other) AS (SELECT a, b FROM e " +
+        "UNION SELECT r.node, e2.b FROM reach r JOIN e e2 ON r.other = e2.a) " +
+        "SELECT node AS doc_id, least(node, min(other)) AS cluster " +
+        "FROM reach GROUP BY node"),
     // the oracle re-encodes langId from its marker table (single source of
     // truth): count marker-token occurrences per language, argmax with
     // hits DESC then declaration order, 'en' when nothing matched
