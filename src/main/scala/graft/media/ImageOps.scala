@@ -78,6 +78,113 @@ object ImageOps {
     val md = java.security.MessageDigest.getInstance("MD5")
     graft.urlkit.UrlKit.toHex(md.digest(bytes))
   }
+
+  /** Decode ALL frames of a multi-frame container (animated GIF — the one
+    * video-ish format the JDK reads natively). Frames are composited per the
+    * GIF89a model: each sub-image is drawn at its (left, top) offset over
+    * the running canvas; disposal `restoreToBackgroundColor` clears the
+    * frame's rect, `restoreToPrevious` reverts the canvas. Single-frame
+    * formats (png/jpeg/bmp, or a plain GIF) yield one frame; unrecognized
+    * payloads yield Nil (same Option-ish contract as `decode`). */
+  def decodeFrames(bytes: Array[Byte]): Seq[Pixels] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Seq.empty
+      val reader = readers.next()
+      reader.setInput(iis, false, false) // keep metadata: GIF frame offsets/disposal
+      try {
+        val n = reader.getNumImages(true)
+        if (n <= 0) return Seq.empty
+        // canvas = logical screen; grow to fit any frame's extent
+        var canvasW = 0; var canvasH = 0
+        val metas = (0 until n).map { i =>
+          val img = reader.read(i)
+          val (left, top, disposal) = gifFrameGeometry(reader, i)
+          canvasW = math.max(canvasW, left + img.getWidth)
+          canvasH = math.max(canvasH, top + img.getHeight)
+          (img, left, top, disposal)
+        }
+        val canvas = new BufferedImage(canvasW, canvasH, BufferedImage.TYPE_INT_RGB)
+        val g = canvas.createGraphics()
+        val out = Seq.newBuilder[Pixels]
+        for ((img, left, top, disposal) <- metas) {
+          val before =
+            if (disposal == "restoreToPrevious") {
+              val c = new BufferedImage(canvasW, canvasH, BufferedImage.TYPE_INT_RGB)
+              c.createGraphics().drawImage(canvas, 0, 0, null)
+              Some(c)
+            } else None
+          g.drawImage(img, left, top, null)
+          val rgb = new Array[Int](canvasW * canvasH)
+          canvas.getRGB(0, 0, canvasW, canvasH, rgb, 0, canvasW)
+          var i = 0
+          while (i < rgb.length) { rgb(i) = rgb(i) & 0xffffff; i += 1 }
+          out += Pixels(canvasW, canvasH, rgb)
+          disposal match {
+            case "restoreToBackgroundColor" =>
+              g.setColor(java.awt.Color.BLACK)
+              g.fillRect(left, top, img.getWidth, img.getHeight)
+            case "restoreToPrevious" =>
+              g.drawImage(before.get, 0, 0, null)
+            case _ => // doNotDispose / none: frame persists
+          }
+        }
+        g.dispose()
+        out.result()
+      } finally reader.dispose()
+    } catch {
+      case _: Exception => Seq.empty
+    } finally iis.close()
+  }
+
+  /** (left, top, disposalMethod) for frame i when the reader is GIF;
+    * (0, 0, none) for any other format or absent metadata. */
+  private def gifFrameGeometry(reader: javax.imageio.ImageReader, i: Int): (Int, Int, String) = {
+    try {
+      val meta = reader.getImageMetadata(i)
+      val fmt = "javax_imageio_gif_image_1.0"
+      if (!meta.getMetadataFormatNames.contains(fmt)) return (0, 0, "none")
+      val root = meta.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+      var left = 0; var top = 0; var disposal = "none"
+      val kids = root.getChildNodes
+      var k = 0
+      while (k < kids.getLength) {
+        val node = kids.item(k)
+        node.getNodeName match {
+          case "ImageDescriptor" =>
+            val at = node.getAttributes
+            left = at.getNamedItem("imageLeftPosition").getNodeValue.toInt
+            top = at.getNamedItem("imageTopPosition").getNodeValue.toInt
+          case "GraphicControlExtension" =>
+            disposal = node.getAttributes.getNamedItem("disposalMethod").getNodeValue
+          case _ =>
+        }
+        k += 1
+      }
+      (left, top, disposal)
+    } catch { case _: Exception => (0, 0, "none") }
+  }
+
+  /** Write frames as an animated GIF via the JDK's sequence writer — the
+    * spec/corpus fixture generator for `decodeFrames`. GIF is palettized, so
+    * use low-color frames when pixel-exact round-trips matter. */
+  def encodeGifAnimation(frames: Seq[Pixels]): Array[Byte] = {
+    require(frames.nonEmpty, "no frames")
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (p <- frames) {
+      val img = new BufferedImage(p.w, p.h, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, p.w, p.h, p.rgb, 0, p.w)
+      writer.writeToSequence(new IIOImage(img, null, null), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
 }
 
 /** 64-bit perceptual hash — the standard DCT pHash (public algorithm;

@@ -2,12 +2,19 @@ package graft.media
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
-/** Multimodal column operators: images are REAL (javax.imageio decode,
-  * resize, thumbnails — mirroring the reference's ImagesPipeline convert
-  * path, `scrapy/pipelines/images.py:144-210`); audio/video decoding has no
-  * codec library in this container, so those extractors are clearly-marked
-  * deterministic STUBS with production-shaped Spark plumbing (binary column
-  * in, typed feature struct out, mapPartitions batching).
+/** Multimodal column operators over binary payload columns — ALL REAL
+  * decode paths using JDK-builtin codecs (no external libraries):
+  *   - images: javax.imageio decode / resize / thumbnails, mirroring the
+  *     reference's ImagesPipeline convert path
+  *     (`scrapy/pipelines/images.py:144-210`);
+  *   - audio: javax.sound.sampled — WAV/AIFF/AU containers, PCM + µ-law +
+  *     a-law payloads, normalized to 16-bit PCM ([[AudioOps]]);
+  *   - video-ish: multi-frame animated GIF via the ImageIO reader with
+  *     GIF89a frame compositing ([[ImageOps.decodeFrames]]).
+  * Formats that genuinely need external codecs (mp3/aac, mp4/h264/vp9) are
+  * documented out of scope for this container — the plumbing (binary in,
+  * typed feature struct out, mapPartitions batching, flatMap frame fan-out)
+  * is format-agnostic and they'd slot into the same Option-decode contract.
   */
 object MediaFunctions {
 
@@ -77,56 +84,42 @@ object MediaFunctions {
   }
 
   final case class AudioFeatures(
-      media_id: String, nSamples: Long, meanAmplitude: Double, fingerprint: Long)
+      media_id: String, sampleRate: Float, channels: Int, nFrames: Long,
+      durationSec: Double, rms: Double, zeroCrossRate: Double, fingerprint: Long)
 
-  /** STUB audio decode: no audio codec libs in this container. The
-    * "decoder" is a deterministic fake (treats the payload as PCM-ish
-    * bytes); the Spark plumbing — binary in, typed features out,
-    * per-partition batching — is the real production shape. Swap
-    * `fakeDecodePcm` for a javax.sound / ffmpeg binding in production. */
+  /** REAL audio feature extraction over a binary column: javax.sound
+    * decode to 16-bit PCM (WAV/AIFF/AU, µ-law/a-law — [[AudioOps.decode]]),
+    * then duration / RMS energy / zero-crossing rate (the standard cheap
+    * quality-filter signals) and a deterministic sample fingerprint.
+    * Undecodable payloads drop out (Option contract, same as images). */
   def audioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
     import spark.implicits._
     media.select($"media_id", $"bytes").as[(String, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val samples = fakeDecodePcm(bytes)
-          val mean = if (samples.isEmpty) 0.0 else samples.map(math.abs(_).toDouble).sum / samples.length
-          AudioFeatures(id, samples.length.toLong, mean,
-            samples.take(256).foldLeft(0L)((h, s) => h * 1000003L + s))
+        it.flatMap { case (id, bytes) =>
+          AudioOps.decode(bytes).map { s =>
+            AudioFeatures(id, s.sampleRate, s.channels, s.nFrames, s.durationSec,
+              AudioOps.rms(s.data), AudioOps.zeroCrossRate(s.data),
+              s.data.take(256).foldLeft(0L)((h, v) => h * 1000003L + v))
+          }
         }
       }
   }
 
-  /** Deterministic stand-in for an audio decoder (STUB — see above). */
-  private def fakeDecodePcm(bytes: Array[Byte]): Array[Short] = {
-    val out = new Array[Short](bytes.length / 2)
-    var i = 0
-    while (i + 1 < bytes.length) {
-      out(i / 2) = (((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)).toShort
-      i += 2
-    }
-    out
-  }
-
   final case class FrameSample(media_id: String, frameIdx: Int, phash: Long)
 
-  /** STUB video frame sampling: synthesizes every k-th "frame" from payload
-    * slices (no video codecs in-container); real plumbing: one binary blob →
-    * several typed frame rows (flatMap fan-out), phash per frame. */
+  /** REAL video-frame sampling over a binary column: every k-th composited
+    * frame of a multi-frame container (animated GIF — the JDK-native case,
+    * [[ImageOps.decodeFrames]]), phash per sampled frame. One blob fans out
+    * to several typed rows (flatMap); single-frame images yield their one
+    * frame; undecodable payloads yield none. */
   def sampleFrames(spark: SparkSession, media: DataFrame, everyK: Int = 10): Dataset[FrameSample] = {
     import spark.implicits._
     media.select($"media_id", $"bytes").as[(String, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val frameSize = 256
-        val nFrames = math.max(bytes.length / frameSize, 1)
-        (0 until nFrames by everyK).map { f =>
-          val slice = bytes.slice(f * frameSize, math.min((f + 1) * frameSize, bytes.length))
-          val side = math.max(math.sqrt(slice.length.toDouble).toInt, 1)
-          val rgb = Array.tabulate(side * side) { i =>
-            val b = if (i < slice.length) slice(i) & 0xff else 0
-            (b << 16) | (b << 8) | b
-          }
-          FrameSample(id, f, Phash.phash64(rgb, side, side))
+        val frames = ImageOps.decodeFrames(bytes)
+        (0 until frames.length by everyK).map { f =>
+          FrameSample(id, f, Phash.phash64(frames(f)))
         }
       }
   }

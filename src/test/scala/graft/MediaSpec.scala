@@ -60,4 +60,83 @@ class MediaSpec extends AnyFunSuite {
     val hashes = (0 until 200).map(i => Phash.phash64(Corpus.pixels(spec2, i)))
     assert(hashes.distinct.size < hashes.size, "corpus should contain near-dup images")
   }
+
+  // ---- audio (javax.sound, real decode) ------------------------------------
+
+  test("wav pcm16 round-trip is sample-exact; rate/channels preserved") {
+    import graft.media.AudioOps
+    val tone = AudioOps.sine(261.63, 0.3, 22050f, amplitude = 0.8)
+    val dec = AudioOps.decode(AudioOps.encodeWav(tone)).get
+    assert(dec.sampleRate === 22050f && dec.channels === 1)
+    assert(dec.data.sameElements(tone.data)) // PCM16 LE is lossless
+  }
+
+  test("stereo interleaved wav: frame count halves the sample count") {
+    import graft.media.AudioOps
+    val n = 1000
+    val interleaved = Array.tabulate(2 * n)(i =>
+      if (i % 2 == 0) (i * 13 % 3000).toShort else (-i * 7 % 3000).toShort)
+    val dec = AudioOps.decode(AudioOps.encodeWav(AudioOps.Samples(8000f, 2, interleaved))).get
+    assert(dec.channels === 2 && dec.nFrames === n.toLong)
+    assert(dec.data.sameElements(interleaved))
+  }
+
+  test("ulaw wav decodes through the PCM16 conversion chain") {
+    import graft.media.AudioOps
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // synthesize a µ-law WAV: PCM16 tone → JDK µ-law converter → WAVE bytes
+    val tone = AudioOps.sine(440.0, 0.1)
+    val pcmBytes = AudioOps.encodeWav(tone)
+    val pcmIn = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(pcmBytes))
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val ulawIn = AudioSystem.getAudioInputStream(ulawFmt, pcmIn)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulawIn, AudioFileFormat.Type.WAVE, bos)
+    val dec = AudioOps.decode(bos.toByteArray).get
+    assert(dec.nFrames === tone.nFrames)
+    // µ-law is lossy but a 440 Hz tone keeps its energy + pitch signals
+    assert(math.abs(AudioOps.rms(dec.data) - AudioOps.rms(tone.data)) < 0.01)
+    assert(math.abs(AudioOps.zeroCrossRate(dec.data) - 0.11) < 0.01)
+  }
+
+  test("non-audio bytes decode to None") {
+    import graft.media.AudioOps
+    assert(AudioOps.decode(Array.tabulate(256)(_.toByte)).isEmpty)
+    assert(AudioOps.decode(Corpus.image(spec, 0).bytes).isEmpty)
+  }
+
+  // ---- animated GIF frames (ImageIO multi-frame, real decode) --------------
+
+  test("animated gif: frame count and low-color pixel fidelity") {
+    // ≤256-color frames survive GIF palettization exactly
+    val frames = (0 until 5).map { f =>
+      val colors = Array(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000)
+      ImageOps.Pixels(32, 32, Array.tabulate(32 * 32)(i => colors((i + f) % colors.length)))
+    }
+    val decoded = ImageOps.decodeFrames(ImageOps.encodeGifAnimation(frames))
+    assert(decoded.length === 5)
+    for ((orig, dec) <- frames.zip(decoded)) {
+      assert(dec.w === 32 && dec.h === 32)
+      assert(dec.rgb.sameElements(orig.rgb), "palettized round-trip must be exact")
+    }
+  }
+
+  test("single-frame formats yield one frame; junk yields none") {
+    val png = ImageOps.encode(Corpus.pixels(spec, 2), "png")
+    val one = ImageOps.decodeFrames(png)
+    assert(one.length === 1)
+    assert(one.head.rgb.sameElements(Corpus.pixels(spec, 2).rgb))
+    assert(ImageOps.decodeFrames(Array.tabulate(100)(_.toByte)).isEmpty)
+  }
+
+  test("gif frame phashes track the source frames") {
+    val frames = (0 until 8).map(i =>
+      graft.media.MediaFunctions.resize(Corpus.pixels(Corpus.Small, i * 3), 64, 64))
+    val decoded = ImageOps.decodeFrames(ImageOps.encodeGifAnimation(frames))
+    assert(decoded.length === 8)
+    for ((orig, dec) <- frames.zip(decoded)) {
+      val d = Phash.hamming(Phash.phash64(orig), Phash.phash64(dec))
+      assert(d <= 10, s"gif palettization drifted phash by $d bits")
+    }
+  }
 }

@@ -74,15 +74,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("audio/video stubs: deterministic features through real plumbing") {
+  test("audio/video features: real JDK decode through the Spark plumbing") {
     import spark.implicits._
-    val media = Seq(("m1", Array.tabulate(4096)(_.toByte)),
-      ("m2", Array.tabulate(1024)(i => (i * 7).toByte))).toDF("media_id", "bytes")
+    import graft.media.AudioOps
+    // real WAV payloads (javax.sound decode), one garbage row that must drop
+    val wav1 = AudioOps.encodeWav(AudioOps.sine(440.0, 0.5))          // 4000 frames
+    val wav2 = AudioOps.encodeWav(AudioOps.sine(1000.0, 0.25, 16000f)) // 4000 frames
+    val gif = ImageOps.encodeGifAnimation(
+      (0 until 16).map(i => MediaFunctions.resize(Corpus.pixels(Corpus.Tiny, i), 48, 48)))
+    val media = Seq(("m1", wav1), ("m2", wav2), ("junk", Array.tabulate(64)(_.toByte)))
+      .toDF("media_id", "bytes")
     val audio = MediaFunctions.audioFeatures(spark, media).collect()
-    assert(audio.map(_.media_id).toSet === Set("m1", "m2"))
-    assert(audio.forall(_.nSamples > 0))
-    val frames = MediaFunctions.sampleFrames(spark, media, everyK = 4).collect()
-    assert(frames.count(_.media_id == "m1") === 4) // 16 frames, every 4th
+    assert(audio.map(_.media_id).toSet === Set("m1", "m2")) // junk dropped
+    val m1 = audio.find(_.media_id == "m1").get
+    assert(m1.sampleRate === 8000f && m1.channels === 1 && m1.nFrames === 4000L)
+    assert(math.abs(m1.durationSec - 0.5) < 1e-9)
+    // 440 Hz sine at amp 0.5: rms = 0.5/√2, zcr = 2·440/8000
+    assert(math.abs(m1.rms - 0.5 / math.sqrt(2.0)) < 0.005)
+    assert(math.abs(m1.zeroCrossRate - 2.0 * 440.0 / 8000.0) < 0.005)
+    // animated GIF: 16 composited frames, every 4th sampled
+    val frames = MediaFunctions.sampleFrames(spark, Seq(("v1", gif)).toDF("media_id", "bytes"), everyK = 4).collect()
+    assert(frames.map(_.frameIdx).sorted === Array(0, 4, 8, 12))
     // determinism
     val again = MediaFunctions.audioFeatures(spark, media).collect()
     assert(audio.map(_.fingerprint).sorted === again.map(_.fingerprint).sorted)
