@@ -38,6 +38,8 @@ object CrawlMain {
       Corpus.Small.copy(cookieTraps = true, cookieJarSeeds = true)
     // small corpus + form pages (contract 7g; pair with GRAFT_SUBMIT_FORMS=1)
     case "smallform" :: Nil => Corpus.Small.copy(formPages = true)
+    // small corpus + Location-resolution traps (///-relative, data: target)
+    case "smallscheme" :: Nil => Corpus.Small.copy(schemeTrapPages = true)
     case "bench" :: Nil => Corpus.bench()
     case "bench" :: n :: Nil => Corpus.bench(n.toInt)
     case "bench" :: n :: "notraps" :: Nil => // round-1-shaped A/B baseline

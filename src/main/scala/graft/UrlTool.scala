@@ -38,6 +38,8 @@ object UrlTool {
             cookieJarSeeds = true)
         case "smallform" => // form-submission corpus (contract 7g)
           graft.corpus.Corpus.Small.copy(formPages = true)
+        case "smallscheme" => // Location-resolution traps (redirect.py:163-173)
+          graft.corpus.Corpus.Small.copy(schemeTrapPages = true)
         case _ => graft.corpus.Corpus.Tiny
       }
       val pages = graft.corpus.Corpus.allPages(spec).map(p => p.url -> p).toMap

@@ -83,7 +83,14 @@ final case class CorpusSpec(
     // and robots-blocked actions. Action targets land on the natural page
     // mix, so some are 301 (POST preserved) and some 302 (POST → GET).
     // Independent RNG stream — flag-off corpora stay byte-identical.
-    formPages: Boolean = false) {
+    formPages: Boolean = false,
+    // Location-resolution trap pages (reference `redirect.py:163-173`):
+    // plants a triple-slash scheme-relative 302 (///host/path → the
+    // request scheme + host, NOT a path on the original host), a 301 whose
+    // Location is a data: URI (non-http target: the response passes
+    // through, no redirect) and a network-path //host/path 302, plus
+    // seeds targeting all three. Flag-off corpora stay byte-identical.
+    schemeTrapPages: Boolean = false) {
 
   /** Pages on host k: host 0 is the hot host; the rest share uniformly. */
   def pagesOnHost(k: Int): Int = {
@@ -171,6 +178,21 @@ object Corpus {
     val roll = r.nextDouble()
     val nK = spec.pagesOnHost(k)
     val cc = cacheControlOf(spec, k, j)
+    if (spec.schemeTrapPages && j == 1 && k >= 1 && k <= 3 && spec.nHosts > 4) {
+      // planted Location-resolution traps (flag-on only; `redirscheme`
+      // conformance variant pins engine == oracle on all three)
+      return (k: @unchecked) match {
+        case 1 => // triple-slash scheme-relative → scheme://h2/p/0
+          PageRow(url, 302, s"///${spec.hostName(2)}/p/0",
+            Array.emptyByteArray, null, 25, cacheControl = cc)
+        case 2 => // non-http(s) target: response passes through, no redirect
+          PageRow(url, 301, "data:text/html,trap",
+            Array.emptyByteArray, null, 25, cacheControl = cc)
+        case 3 => // network-path relative → scheme://h4/p/1
+          PageRow(url, 302, s"//${spec.hostName(4)}/p/1",
+            Array.emptyByteArray, null, 25, cacheControl = cc)
+      }
+    }
     if (roll < 0.04 && j > 0) { // 404
       PageRow(url, 404, null, Array.emptyByteArray, null, 10 + r.nextInt(100),
         cacheControl = cc)
@@ -568,7 +590,7 @@ object Corpus {
       }
     }
     val extras = localSeeds(spec) ++ metaSeeds(spec) ++ slotSeeds(spec) ++
-      sizeSeeds(spec)
+      sizeSeeds(spec) ++ schemeSeeds(spec)
     // explicit duplicate seeds (contract step 0: dont_filter start requests
     // — each copy fetches; appended last so flag-off lists and the extras'
     // seq bases stay byte-identical)
@@ -693,6 +715,17 @@ object Corpus {
     val base = spec.seedCount.toLong + localSeeds(spec).size +
       metaSeeds(spec).size + slotSeeds(spec).size
     metas.zipWithIndex.map { case (s, i) => s.copy(seq = base + i) }
+  }
+
+  /** Seeds targeting the three planted Location-resolution trap pages
+    * (`schemeTrapPages`): a crawl must observably resolve the ///-relative
+    * and //-relative 302s to the OTHER host and pass the data:-Location
+    * 301 through to the HttpError drop. */
+  def schemeSeeds(spec: CorpusSpec): Seq[SeedRow] = {
+    if (!spec.schemeTrapPages) return Nil
+    val base = spec.seedCount.toLong + localSeeds(spec).size +
+      metaSeeds(spec).size + slotSeeds(spec).size + sizeSeeds(spec).size
+    (1 to 3).map(k => SeedRow(base + k - 1, pageUrl(spec, k, 1), 0))
   }
 
   /** data:/file: seeds appended when `localSeedsDir` is set (contract 6e):

@@ -909,10 +909,19 @@ object CrawlEngine {
             redirectTimes = row.redirectTimes + 1, referer = patched,
             downloadSlot = inheritedSlot, method = m, reqBody = b)
         }
-        if (redirectStatuses.contains(status) && location.exists(_ != null) &&
-            !row.dontRedirect) { // meta["dont_redirect"]: pass through (7d)
+        // Location resolution (`redirect.py:163-173`): safe_url_string +
+        // the `//`-prefix special case, then the scheme gate — a target
+        // outside http/https does NOT redirect; the response passes
+        // through to the spider chain below (HttpError gate applies)
+        val redirTarget: Option[String] =
+          if (redirectStatuses.contains(status) && location.exists(_ != null) &&
+              !row.dontRedirect) // meta["dont_redirect"]: pass through (7d)
+            Some(UrlKit.safeUrlString(UrlKit.redirectTarget(row.url, location.get)))
+              .filter(UrlKit.redirectSchemeOk)
+          else None
+        if (redirTarget.isDefined) {
           if (row.redirectTimes < cfg.maxRedirectTimes) {
-            val target = UrlKit.safeUrlString(UrlKit.urljoin(row.url, location.get))
+            val target = redirTarget.get
             // redirected request inherits the Referer, then the default
             // policy re-patches it with the old value as surrogate parent
             // URL (contract step 7b; `referer.py:381-399`)

@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * exporters (`scrapy/exporters.py:113-375`), re-expressed on the
   * DataFrameWriter. Formats: json (array-of-objects semantics via Spark's
   * json lines — the reference's JsonLinesItemExporter), csv
-  * (CsvItemExporter), parquet, xml (XmlItemExporter serialization below).
-  * marshal/pickle are CPython object formats with no JVM consumer — out of
-  * scope by design (documented, not stubbed).
+  * (CsvItemExporter), parquet, xml (XmlItemExporter serialization below),
+  * and the CPython binary formats pickle / marshal (PickleItemExporter /
+  * MarshalItemExporter, `exporters.py:297-322`) via the byte-for-byte
+  * [[Pickle]]/[[PyMarshal]] writers — one `dumps(dict(item))` per row,
+  * concatenated per part file exactly like the reference's per-item
+  * `dump(..., file)` stream.
   *
   * Per-feed features mapped from the reference:
   *  - `itemFilter` — ITEM_FILTER / ItemFilter.accepts (`feedexport.py:48-94`)
@@ -21,7 +24,7 @@ import org.apache.spark.sql.functions._
 object FeedExport {
 
   final case class Feed(
-      format: String, // json | csv | parquet | xml
+      format: String, // json | csv | parquet | xml | pickle | marshal
       itemFilter: Option[Column] = None,
       fields: Seq[String] = Nil,
       batchItemCount: Int = 0,
@@ -81,31 +84,188 @@ object FeedExport {
     feed.format match {
       case "json" => writer(batched).json(outDir)
       case "parquet" => writer(batched).parquet(outDir)
-      case "csv" => writer(batched).option("header", "true").csv(outDir)
+      case "csv" => writer(csvSerialize(batched)).option("header", "true").csv(outDir)
       case "xml" =>
-        val dataCols = batched.columns.filter(_ != "batch")
+        val schema = batched.schema
+        val dataFields = schema.fields.filter(_.name != "batch")
         val doc = batched.select(
           (if (feed.batchItemCount > 0) Seq(col("batch")) else Seq.empty) :+
-            xmlItem(dataCols).as("value"): _*)
+            xmlItem(dataFields.toIndexedSeq).as("value"): _*)
         writer(doc).text(outDir)
+      case "pickle" | "marshal" =>
+        writeBinary(batched, feed.format, outDir, feed.batchItemCount > 0, orderCols)
       case other => throw new IllegalArgumentException(s"unknown feed format $other")
     }
 
-    if (feed.postProcessing.nonEmpty && writerCodec.isEmpty)
+    if (feed.postProcessing.nonEmpty &&
+        (writerCodec.isEmpty || feed.format == "pickle" || feed.format == "marshal"))
       PostProcessing.compressDir(outDir, feed.postProcessing)
   }
 
+  /** Distributed binary item-stream writer for the CPython formats: each
+    * partition serializes its rows in order and streams them to ONE part
+    * file through the Hadoop FileSystem API (works on local FS and HDFS
+    * alike; no driver collect). With batching, batches are range-partitioned
+    * so each output file holds whole batches, written under `batch=N/`
+    * subdirs mirroring the text writers' `partitionBy("batch")` layout. */
+  private def writeBinary(df0: DataFrame, format: String, outDir: String,
+      batched: Boolean, orderCols: Seq[String]): Unit = {
+    val df =
+      if (!batched) df0
+      else df0.repartitionByRange(col("batch"))
+        .sortWithinPartitions(("batch" +: orderCols).map(col): _*)
+    val schema = df.schema
+    val conf = new SerHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
+    val pickle = format == "pickle"
+    val ext = format
+    df.rdd.foreachPartition { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val fsRoot = new org.apache.hadoop.fs.Path(outDir)
+      val fs = fsRoot.getFileSystem(conf.value)
+      val batchIdx = schema.fieldNames.indexOf("batch")
+      var curBatch: Long = Long.MinValue
+      var out: org.apache.hadoop.fs.FSDataOutputStream = null
+      def open(batch: Long): Unit = {
+        if (out != null) out.close()
+        val p =
+          if (batchIdx < 0) new org.apache.hadoop.fs.Path(fsRoot, f"part-$pid%05d.$ext")
+          else new org.apache.hadoop.fs.Path(fsRoot, f"batch=$batch/part-$pid%05d.$ext")
+        out = fs.create(p, true)
+        curBatch = batch
+      }
+      try {
+        rows.foreach { row =>
+          val b = if (batchIdx < 0) Long.MinValue + 1 else row.getLong(batchIdx)
+          if (out == null || b != curBatch) open(b)
+          val item = rowToPy(row, schema, skipIdx = batchIdx)
+          out.write(if (pickle) Pickle.dumps(item) else PyMarshal.dumps(item))
+        }
+      } finally if (out != null) out.close()
+    }
+  }
+
+  /** Row → CPython item dict in schema field order. Field names are
+    * interned constants (like spider-code dict keys); values are fresh
+    * runtime objects — the convention the [[Py]] writers' goldens pin.
+    * datetime/date columns export via the same string render the text
+    * exporters use (`utils/serialize.py:22-27` str()-style); pickling real
+    * datetime objects would need the copyreg REDUCE protocol, outside the
+    * feed value domain. */
+  private[operators] def rowToPy(row: org.apache.spark.sql.Row,
+      schema: org.apache.spark.sql.types.StructType, skipIdx: Int): Py = {
+    val fields = schema.fields.zipWithIndex.collect {
+      case (f, i) if i != skipIdx =>
+        (Py.PyStr(f.name, interned = true): Py, anyToPy(row.get(i), f.dataType))
+    }
+    Py.PyDict(fields.toIndexedSeq)
+  }
+
+  private def anyToPy(v: Any, dt: org.apache.spark.sql.types.DataType): Py = {
+    import org.apache.spark.sql.types._
+    if (v == null) return Py.PyNone
+    dt match {
+      case StringType => Py.PyStr(v.asInstanceOf[String])
+      case LongType => Py.int(v.asInstanceOf[Long])
+      case IntegerType => Py.int(v.asInstanceOf[Int].toLong)
+      case ShortType => Py.int(v.asInstanceOf[Short].toLong)
+      case ByteType => Py.int(v.asInstanceOf[Byte].toLong)
+      case BooleanType => Py.PyBool(v.asInstanceOf[Boolean])
+      case DoubleType => Py.PyFloat(v.asInstanceOf[Double])
+      case FloatType => Py.PyFloat(v.asInstanceOf[Float].toDouble)
+      case BinaryType => Py.PyBytes(v.asInstanceOf[Array[Byte]])
+      case _: DecimalType => Py.PyFloat(v.asInstanceOf[java.math.BigDecimal].doubleValue())
+      case DateType => Py.PyStr(v.toString) // yyyy-MM-dd
+      case TimestampType =>
+        val ts = v.asInstanceOf[java.sql.Timestamp]
+        val base = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss").format(ts)
+        val micros = ts.getNanos / 1000
+        Py.PyStr(if (micros == 0) base else f"$base.$micros%06d")
+      case ArrayType(et, _) =>
+        Py.PyList(v.asInstanceOf[scala.collection.Seq[Any]].toIndexedSeq.map(anyToPy(_, et)))
+      case MapType(kt, vt, _) =>
+        Py.PyDict(v.asInstanceOf[scala.collection.Map[Any, Any]].toIndexedSeq
+          .map { case (k, mv) => (anyToPy(k, kt), anyToPy(mv, vt)) })
+      case st: StructType =>
+        rowToPy(v.asInstanceOf[org.apache.spark.sql.Row], st, skipIdx = -1)
+      case other => throw new IllegalArgumentException(s"unsupported feed type $other")
+    }
+  }
+
+  /** Hadoop Configuration is not Serializable; standard wrapper so the
+    * executor-side writers can open the right FileSystem. */
+  private final class SerHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** CsvItemExporter value serialization (`exporters.py:234-244`
+    * `_join_if_needed` + BaseItemExporter str()): a multivalued field of
+    * strings joins with "," (the writer's quoting then wraps embedded
+    * commas); a multivalued field of non-strings renders as the Python
+    * `str(list)` form `[4, 8]`; booleans render `True`/`False` like
+    * `str(bool)`. Timestamps/dates ride the writer's reference-format
+    * options. All column expressions — stays in whole-stage codegen. */
+  private def csvSerialize(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cols = df.schema.fields.map { f =>
+      val c = col(f.name)
+      (f.dataType match {
+        case ArrayType(StringType, _) => array_join(c, ",")
+        case ArrayType(et, _) =>
+          concat(lit("["), array_join(transform(c, e => pyStr(e, et)), ", "), lit("]"))
+        case BooleanType => pyStr(c, BooleanType)
+        case _ => c
+      }).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Python `str(value)` render for scalar leaves. */
+  private def pyStr(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.BooleanType =>
+        when(c.isNull, lit(null: String)).when(c, lit("True")).otherwise(lit("False"))
+      case _ => c.cast("string")
+    }
+
   /** One `<item>` element per row (XmlItemExporter `exporters.py:113-152`):
-    * `<item><field>escaped</field>…</item>`, null fields omitted. Files are
+    * `<item><field>escaped</field>…</item>`, null fields omitted.
+    * Reference `_export_xml_field` recursion: a dict-valued field nests
+    * child elements, a multivalued field wraps each element in `<value>`,
+    * scalars are str()'d (booleans `True`/`False`) and escaped. Files are
     * item streams; `XmlRoot` wraps them into a complete document. */
-  def xmlItem(fields: Seq[String]): Column =
+  def xmlItem(fields: Seq[org.apache.spark.sql.types.StructField]): Column =
     concat(
       lit("<item>"),
-      concat(fields.map { f =>
-        when(col(f).isNull, lit(""))
-          .otherwise(concat(lit(s"<$f>"), xmlEscape(col(f).cast("string")), lit(s"</$f>")))
-      }: _*),
+      concat(fields.map(f => xmlField(col(f.name), f.name, f.dataType)): _*),
       lit("</item>"))
+
+  private def xmlField(c: Column,
+      name: String, dt: org.apache.spark.sql.types.DataType): Column =
+    when(c.isNull, lit(""))
+      .otherwise(concat(lit(s"<$name>"), xmlValue(c, dt), lit(s"</$name>")))
+
+  private def xmlValue(c: Column,
+      dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ArrayType(et, _) =>
+        array_join(transform(c, e =>
+          concat(lit("<value>"), xmlValue(e, et), lit("</value>"))), "")
+      case st: StructType =>
+        concat(st.fields.map(f => xmlField(c.getField(f.name), f.name, f.dataType))
+          .toIndexedSeq: _*)
+      case BooleanType => pyStr(c, BooleanType)
+      case _ => xmlEscape(c.cast("string"))
+    }
+  }
 
   val XmlRoot: (String, String) = ("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n<items>", "</items>")
 

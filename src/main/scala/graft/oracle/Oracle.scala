@@ -533,9 +533,14 @@ object Oracle {
                 downloadSlot = inheritedSlot, method = m, reqBody = b)
             }
             if (CrawlConfig.RedirectStatuses.contains(status) &&
-                page.location != null && !row.dontRedirect) {
+                page.location != null && !row.dontRedirect &&
+                UrlKit.redirectSchemeOk(UrlKit.safeUrlString(
+                  UrlKit.redirectTarget(row.url, page.location)))) {
+              // Location resolution + scheme gate (`redirect.py:163-173`)
+              // mirror CrawlEngine: a non-http(s) target passes the
+              // response through to the spider chain (HttpError gate)
               if (row.redirectTimes < cfg.maxRedirectTimes) {
-                val target = UrlKit.safeUrlString(UrlKit.urljoin(row.url, page.location))
+                val target = UrlKit.safeUrlString(UrlKit.redirectTarget(row.url, page.location))
                 val patched =
                   if (row.referer == null) null
                   else defaultRefererPolicy.referrer(

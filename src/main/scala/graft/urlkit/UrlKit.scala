@@ -172,6 +172,30 @@ object UrlKit {
   /** Resolve a (possibly relative) href against a base URL — CPython urljoin. */
   def urljoin(base: String, href: String): String = PyUrl.urljoin(base, href)
 
+  /** RedirectMiddleware Location resolution (`redirect.py:163-168`):
+    * `safe_url_string` the raw header; a scheme-relative Location (leading
+    * `//`) becomes request-scheme + "://" + location stripped of ALL
+    * leading slashes — the reference's guard against urljoin's handling of
+    * `///host/path` (which would otherwise resolve as an absolute PATH on
+    * the request's host); then urljoin against the request URL. The caller
+    * applies the Request-constructor `safe_url_string` to the result and
+    * gates on the target scheme (http/https only, `redirect.py:172-173`). */
+  def redirectTarget(requestUrl: String, location: String): String = {
+    var loc = safeUrlString(location)
+    if (location.startsWith("//")) {
+      val scheme = PyUrl.urlparse(requestUrl).scheme
+      loc = scheme + "://" + loc.dropWhile(_ == '/')
+    }
+    urljoin(requestUrl, loc)
+  }
+
+  /** The redirect scheme gate (`redirect.py:172-173`): only http/https
+    * targets redirect; anything else passes the response through. */
+  def redirectSchemeOk(targetUrl: String): Boolean = {
+    val s = PyUrl.urlparse(targetUrl).scheme
+    s == "http" || s == "https"
+  }
+
   // ---- fingerprint -------------------------------------------------------
 
   private val hexLower = "0123456789abcdef"

@@ -97,6 +97,22 @@ class ConformanceSpec extends AnyFunSuite {
     compare(Corpus.Small, CrawlConfig(maxEpochs = 8, maxRedirectTimes = 0), "redirmax")
   }
 
+  test("redirect Location-resolution variant conforms (///-relative, //-relative, " +
+      "non-http target passthrough)") {
+    // planted traps (`redirect.py:163-173`): a ///host/path 302 resolves to
+    // the request scheme + OTHER host (not a path on the original host), a
+    // //host/path 302 likewise, and a 301 whose Location is a data: URI
+    // does NOT redirect — the response reaches the spider and the
+    // HttpError gate drops it (301 not in allowed codes)
+    val (_, o) = compare(Corpus.Small.copy(schemeTrapPages = true),
+      CrawlConfig(maxEpochs = 8), "redirscheme")
+    assert(o.counters.getOrElse("httperror/response_ignored_status_count/301", 0L) >= 1,
+      "the data:-Location 301 must pass through to the HttpError drop")
+    assert(o.fetchLog.exists(f => f.url == "http://h2.test/p/0" &&
+        f.referer == null), // redirect of a referer-less seed
+      "the ///-relative trap must fetch the cross-host target")
+  }
+
   test("decompression max-size variant conforms (responses dropped + counted)") {
     // corpus bodies are a few hundred bytes; a 400 B cap trips
     // httpcompression/max_size_exceeded on the larger compressed pages while
