@@ -457,6 +457,29 @@ object SparkEntry {
           sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
     }),
 
+    // ---- benchmark decontamination: flag training docs sharing any 8-gram
+    // with a held-out evaluation set (here: the 10 lexicographically-first
+    // docs as the deterministic stand-in). The benchmark gram set is tiny
+    // by construction → broadcast LEFT SEMI join against the corpus gram
+    // stream; the scan side only shuffles for the final per-doc count
+    // (map-side partial agg). This is the shape decontamination keeps at
+    // 100 TB: benchmark grams always fit in memory, the corpus streams. --
+    "q_decontaminate" -> ((s, dir) => {
+      val tk = filter(split(col("text"), " "), x => x =!= "")
+      val gramsOf = (df: DataFrame) => df.select(col("doc_id"),
+        explode(when(size(tk) >= 8,
+          transform(sequence(lit(1), size(tk) - lit(7)),
+            i => md5(concat_ws(" ", slice(tk, i, lit(8))))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      val docs = t(s, dir, "documents")
+      val bench = docs.orderBy("doc_id").limit(10)
+      val benchGrams = gramsOf(bench).select("g").distinct()
+      gramsOf(docs.join(bench.select("doc_id"), Seq("doc_id"), "left_anti"))
+        .join(broadcast(benchGrams), Seq("g"), "left_semi")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_contaminated"))
+    }),
+
     // ---- selector engine end-to-end verified: HTML is synthesized from
     // table columns, the css query runs through the real DOM parse +
     // selector evaluation + explode, and DuckDB reconstructs the expected
@@ -755,6 +778,16 @@ object SparkEntry {
         "SELECT grams.doc_id, count(*) AS n_grams, " +
         "CAST(sum(CASE WHEN gc.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams " +
         "FROM grams JOIN gc USING (g) GROUP BY grams.doc_id"),
+    "q_decontaminate" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents), " +
+        "grams AS (SELECT doc_id, md5(unnest(list_transform(" +
+        "generate_series(1, greatest(len(tk) - 7, 0)), " +
+        "i -> array_to_string(tk[i:i+7], ' ')))) AS g FROM toks), " +
+        "bench AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 10), " +
+        "bg AS (SELECT DISTINCT g FROM grams JOIN bench USING (doc_id)) " +
+        "SELECT doc_id, count(*) AS n_contaminated FROM grams " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM bench) " +
+        "AND g IN (SELECT g FROM bg) GROUP BY doc_id"),
     "q_minhash_band_neardup" ->
       ("WITH " + minhashBandCte +
         " SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b " +

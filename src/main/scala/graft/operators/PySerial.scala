@@ -22,7 +22,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    (BINGET) and marshal TYPE_*_INTERNED + FLAG_REF, shared by value;
   *  - the empty string is an interned singleton; 1-char strings with
   *    codepoint < 256 are cached singletons (marshal: non-interned but
-  *    FLAG_REF'd; pickle: memo-shared by value);
+  *    FLAG_REF'd; pickle: memo-shared by value). Caveat: CPython's
+  *    marshal renders a cached 1-char as TYPE_SHORT_ASCII_INTERNED if any
+  *    code in the process ever used that character as an interned constant
+  *    — process-global state no static model can know; graft pins the
+  *    fresh-interpreter render (non-interned), sharing behavior identical;
   *  - small ints in the CPython cache [-5, 256] are singletons (marshal
   *    FLAG_REF + 'r' refs on reuse; pickle never memoizes ints);
   *  - the empty bytes object is a singleton; all other runtime values are
@@ -82,6 +86,10 @@ object Py {
     case PyStr(s, interned) if interned || s.isEmpty ||
         (s.length == 1 && s.charAt(0) < 0x100) => ("str", s)
     case PyBytes(b) if b.isEmpty => "bytes0"
+    // the empty tuple is a CPython singleton: marshal flags + refs it;
+    // pickle never memoizes it (save_tuple returns before PUT), so this
+    // key is registered only by the marshal writer
+    case PyTuple(v) if v.isEmpty => "tuple0"
     case _ => null
   }
 }
@@ -160,7 +168,8 @@ object Pickle {
         case PyInt(v) => saveInt(v)
         case PyFloat(v) =>
           u8('G')
-          val bits = java.lang.Double.doubleToLongBits(v)
+          // raw bits: NaN payloads round-trip like CPython's struct pack
+          val bits = java.lang.Double.doubleToRawLongBits(v)
           var i = 56
           while (i >= 0) { u8((bits >> i).toInt); i -= 8 }
         case s @ PyStr(v, _) =>
@@ -188,7 +197,7 @@ object Pickle {
           memoize(b)
         case l @ PyList(items) =>
           u8(']'); memoize(l) // EMPTY_LIST
-          batch(items)(save) { n => if (n == 1) u8('a') else u8('e') }
+          batch(items)(save)(single = 'a', multi = 'e') // APPEND / APPENDS
         case t @ PyTuple(items) =>
           if (items.isEmpty) u8(')') // EMPTY_TUPLE, not memoized
           else if (items.size <= 3) {
@@ -198,18 +207,20 @@ object Pickle {
           }
         case d @ PyDict(items) =>
           u8('}'); memoize(d) // EMPTY_DICT
-          batch(items) { kv => save(kv._1); save(kv._2) } { n =>
-            if (n == 1) u8('s') else u8('u')
-          }
+          batch(items) { kv => save(kv._1); save(kv._2) }(
+            single = 's', multi = 'u') // SETITEM / SETITEMS
       }
     }
 
-    /** pickle batch_appends/batch_setitems: chunks of 1000; a 1-element
-      * chunk uses the single-op form, larger chunks MARK…APPENDS/SETITEMS. */
-    private def batch[A](items: Seq[A])(one: A => Unit)(close: Int => Unit): Unit =
-      items.grouped(BatchSize).foreach { chunk =>
-        if (chunk.size == 1) { one(chunk.head); close(1) }
-        else if (chunk.nonEmpty) { u8('('); chunk.foreach(one); close(chunk.size) }
+    /** The C pickler's batch_list/batch_dict (Modules/_pickle.c): the
+      * single-op form (APPEND/SETITEM) fires only when the WHOLE container
+      * has exactly one element; otherwise every 1000-chunk — including a
+      * trailing 1-element one — is MARK…APPENDS/SETITEMS. */
+    private def batch[A](items: Seq[A])(one: A => Unit)(
+        single: Char, multi: Char): Unit =
+      if (items.size == 1) { one(items.head); u8(single) }
+      else items.grouped(BatchSize).foreach { chunk =>
+        if (chunk.nonEmpty) { u8('('); chunk.foreach(one); u8(multi) }
       }
 
     private def saveInt(v: BigInt): Unit = {
@@ -254,7 +265,7 @@ object PyMarshal {
       case PyBool(false) => u8('F')
       case PyFloat(v) => // TYPE_BINARY_FLOAT, LE double; fresh ⇒ unflagged
         u8('g')
-        val bits = java.lang.Double.doubleToLongBits(v)
+        val bits = java.lang.Double.doubleToRawLongBits(v)
         var i = 0
         while (i < 64) { u8((bits >> i).toInt); i += 8 }
       case PyInt(v) =>
@@ -298,10 +309,17 @@ object PyMarshal {
         }
       case PyList(items) =>
         u8('['); i32le(items.size); items.foreach(write)
-      case PyTuple(items) =>
-        if (items.size < 256) { u8(')'); u8(items.size) } // TYPE_SMALL_TUPLE
-        else { u8('('); i32le(items.size) }
-        items.foreach(write)
+      case t @ PyTuple(items) =>
+        if (items.isEmpty) { // the () singleton: flagged + ref on reuse
+          val k = singletonKey(t)
+          val hit = refs.get(k)
+          if (hit != null) { u8('r'); i32le(hit.intValue()) }
+          else { refs.put(k, refCount); refCount += 1; u8(')' | 0x80); u8(0) }
+        } else {
+          if (items.size < 256) { u8(')'); u8(items.size) } // TYPE_SMALL_TUPLE
+          else { u8('('); i32le(items.size) }
+          items.foreach(write)
+        }
       case PyDict(items) =>
         u8('{')
         items.foreach { case (k, v) => write(k); write(v) }

@@ -61,15 +61,23 @@ object RobotsRules {
 
   val AllowAll: RobotsRules = RobotsRules(Vector.empty)
 
-  /** Parse a robots.txt body; any decoding trouble → allow-all. */
+  /** Parse a robots.txt body. Reference `decode_robotstxt`
+    * (`robotstxt.py:24-42`): `decode("utf-8-sig", errors="ignore")` — a
+    * leading UTF-8 BOM is stripped and undecodable bytes are silently
+    * DROPPED, so a stray bad byte does not void the remaining rules (pure
+    * binary garbage decodes to directive-less text ⇒ allow-all falls out
+    * of the parse, not the decode). */
   def parse(body: Array[Byte]): RobotsRules = {
     if (body == null || body.isEmpty) return AllowAll
-    val text =
-      try {
-        val dec = UTF_8.newDecoder()
-          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-        dec.decode(java.nio.ByteBuffer.wrap(body)).toString
-      } catch { case _: Exception => return AllowAll }
+    val noBom =
+      if (body.length >= 3 && (body(0) & 0xff) == 0xef &&
+          (body(1) & 0xff) == 0xbb && (body(2) & 0xff) == 0xbf)
+        java.util.Arrays.copyOfRange(body, 3, body.length)
+      else body
+    val dec = UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.IGNORE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.IGNORE)
+    val text = dec.decode(java.nio.ByteBuffer.wrap(noBom)).toString
     parse(text)
   }
 

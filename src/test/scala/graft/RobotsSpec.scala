@@ -89,4 +89,70 @@ class RobotsSpec extends AnyFunSuite {
     assert(!r.allowed("http://h.test/p?a=1", "bot"))
     assert(r.allowed("http://h.test/p?a=2", "bot"))
   }
+
+  // ── reference tests/test_robotstxt_interface.py battery ──
+
+  test("wildcard battery (test_allowed_wildcards)") {
+    val r = RobotsRules.parse(
+      """User-agent: first
+        |Disallow: /disallowed/*/end$
+        |
+        |User-agent: second
+        |Allow: /*allowed
+        |Disallow: /
+        |""".stripMargin)
+    assert(r.allowed("https://www.site.local/disallowed", "first"))
+    assert(!r.allowed("https://www.site.local/disallowed/xyz/end", "first"))
+    assert(!r.allowed("https://www.site.local/disallowed/abc/end", "first"))
+    assert(r.allowed("https://www.site.local/disallowed/xyz/endinglater", "first"))
+    assert(r.allowed("https://www.site.local/allowed", "second"))
+    assert(r.allowed("https://www.site.local/is_still_allowed", "second"))
+    assert(r.allowed("https://www.site.local/is_allowed_too", "second"))
+  }
+
+  test("length-based precedence (test_length_based_precedence)") {
+    val r = RobotsRules.parse("User-agent: * \nDisallow: / \nAllow: /page")
+    assert(r.allowed("https://www.site.local/page", "*"))
+  }
+
+  test("unicode url and useragent (test_unicode_url_and_useragent)") {
+    val r = RobotsRules.parse(
+      """
+        |User-Agent: *
+        |Disallow: /admin/
+        |Disallow: /static/
+        |# taken from https://en.wikipedia.org/robots.txt
+        |Disallow: /wiki/K%C3%A4ytt%C3%A4j%C3%A4:
+        |Disallow: /wiki/Käyttäjä:
+        |
+        |User-Agent: UnicödeBöt
+        |Disallow: /some/randome/page.html""".stripMargin)
+    assert(r.allowed("https://site.local/", "*"))
+    assert(!r.allowed("https://site.local/admin/", "*"))
+    assert(!r.allowed("https://site.local/static/", "*"))
+    assert(r.allowed("https://site.local/admin/", "UnicödeBöt"))
+    assert(!r.allowed("https://site.local/wiki/K%C3%A4ytt%C3%A4j%C3%A4:", "*"))
+    assert(!r.allowed("https://site.local/wiki/Käyttäjä:", "*"))
+    assert(r.allowed("https://site.local/some/randome/page.html", "*"))
+    assert(!r.allowed("https://site.local/some/randome/page.html", "UnicödeBöt"))
+  }
+
+  test("decode_robotstxt: BOM stripped, bad bytes dropped, garbage = allow-all") {
+    // reference `robotstxt.py:24-42` decode("utf-8-sig", errors="ignore")
+    val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      "User-agent: *\nDisallow: /\n".getBytes("UTF-8")
+    assert(!RobotsRules.parse(bom).allowed("https://site.local/x", "*"),
+      "BOM must not hide the star group")
+    // a stray undecodable byte is DROPPED — the rule on that line still applies
+    val stray = "User-agent: *\n".getBytes("UTF-8") ++ Array(0xff.toByte) ++
+      "Disallow: /\n".getBytes("UTF-8")
+    assert(!RobotsRules.parse(stray).allowed("https://site.local/x", "*"),
+      "a stray bad byte must not void the remaining rules")
+    // pure binary garbage decodes to directive-less text → allow all
+    val gif = Array[Byte]('G', 'I', 'F', '8', '9', 'a',
+      0xd3.toByte, 0x00, 0xfe.toByte, 0x00, 0xa2.toByte)
+    val g = RobotsRules.parse(gif)
+    assert(g.allowed("https://site.local/", "*"))
+    assert(g.allowed("https://site.local/disallowed", "chrome"))
+  }
 }
