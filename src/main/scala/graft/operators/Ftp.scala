@@ -114,14 +114,15 @@ object FtpClient {
     buf.toByteArray
   }
 
-  /** Log in, switch to binary, RETR `path`, return the payload bytes.
+  /** Open the control connection, log in, run `f`, QUIT.
     *
-    * Throws [[CommandFailed]] when the server rejects a command with a
-    * reply code (e.g. 550 for a missing file, 530 for a bad password) and
-    * [[ConnectionLost]] when the control channel dies — mirroring how the
-    * reference surfaces Twisted's two failure shapes. */
-  def retrieve(host: String, port: Int, user: String, password: String,
-      path: String, passive: Boolean = true, timeoutMs: Int = 15000): Array[Byte] = {
+    * A login rejection is NOT a [[CommandFailed]]: Twisted's FTPClient drops
+    * the connection on failed auth, so the reference surfaces it as
+    * ConnectionLost (`test_invalid_credentials`) — never a mapped-status
+    * response. */
+  private def session[A](host: String, port: Int, user: String,
+      password: String, timeoutMs: Int)(
+      f: (BufferedReader, OutputStream, Socket) => A): A = {
     val ctl = new Socket()
     try {
       ctl.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
@@ -132,10 +133,6 @@ object FtpClient {
       val greeting = readReply(in)
       if (greeting.code != 220) throw ConnectionLost(s"bad greeting: ${greeting.text}")
       // USER → 331 (need password) or 230 (already in); PASS → 230.
-      // A login rejection is NOT a CommandFailed: Twisted's FTPClient drops
-      // the connection on failed auth, so the reference surfaces it as
-      // ConnectionLost (test_invalid_credentials) — never a mapped-status
-      // response.
       send(out, s"USER $user")
       val u = readReply(in)
       if (u.code != 331 && u.code != 230)
@@ -145,47 +142,106 @@ object FtpClient {
         val p = readReply(in)
         if (p.code != 230) throw ConnectionLost(s"login failed: ${p.text}")
       }
-      expect(in, out, "TYPE I", _ == 200)
-      val (dataSock, retrReply) =
-        if (passive) {
-          val pasv = expect(in, out, "PASV", _ == 227)
-          val (dh, dp) = parsePasv(pasv.text)
-          // connect to the advertised endpoint; servers behind loopback
-          // always advertise a reachable one in this model
-          val ds = new Socket()
-          ds.connect(new java.net.InetSocketAddress(dh, dp), timeoutMs)
-          ds.setSoTimeout(timeoutMs)
-          send(out, s"RETR $path")
-          val r = readReply(in)
-          if (r.code != 125 && r.code != 150) { ds.close(); throw CommandFailed(r) }
-          (ds, r)
-        } else {
-          // active mode (FTP_PASSIVE_MODE=false / meta ftp_passive): we
-          // listen, the server connects back (RFC 959 PORT)
-          val srv = new ServerSocket(0, 1, ctl.getLocalAddress)
-          try {
-            srv.setSoTimeout(timeoutMs)
-            val a = ctl.getLocalAddress.getHostAddress.split('.')
-            val p = srv.getLocalPort
-            expect(in, out,
-              s"PORT ${a.mkString(",")},${p / 256},${p % 256}", _ == 200)
-            send(out, s"RETR $path")
-            val r = readReply(in)
-            if (r.code != 125 && r.code != 150) throw CommandFailed(r)
-            val ds = srv.accept()
-            ds.setSoTimeout(timeoutMs)
-            (ds, r)
-          } finally srv.close()
-        }
-      val body =
-        try drain(dataSock.getInputStream)
-        finally dataSock.close()
-      val done = readReply(in)
-      if (done.code != 226 && done.code != 250) throw CommandFailed(done)
+      val result = f(in, out, ctl)
       send(out, "QUIT") // best-effort; reply not required
-      body
+      result
     } finally ctl.close()
   }
+
+  /** Arrange a data connection (PASV or PORT), issue `command`, run `use`
+    * on the data socket, then consume the 226/250 completion reply. */
+  private def withData[A](in: BufferedReader, out: OutputStream, ctl: Socket,
+      passive: Boolean, timeoutMs: Int, command: String)(use: Socket => A): A = {
+    val dataSock =
+      if (passive) {
+        val pasv = expect(in, out, "PASV", _ == 227)
+        val (dh, dp) = parsePasv(pasv.text)
+        // connect to the advertised endpoint; servers behind loopback
+        // always advertise a reachable one in this model
+        val ds = new Socket()
+        ds.connect(new java.net.InetSocketAddress(dh, dp), timeoutMs)
+        ds.setSoTimeout(timeoutMs)
+        send(out, command)
+        val r = readReply(in)
+        if (r.code != 125 && r.code != 150) { ds.close(); throw CommandFailed(r) }
+        ds
+      } else {
+        // active mode (FTP_PASSIVE_MODE=false / FEED_STORAGE_FTP_ACTIVE):
+        // we listen, the server connects back (RFC 959 PORT)
+        val srv = new ServerSocket(0, 1, ctl.getLocalAddress)
+        try {
+          srv.setSoTimeout(timeoutMs)
+          val a = ctl.getLocalAddress.getHostAddress.split('.')
+          val p = srv.getLocalPort
+          expect(in, out,
+            s"PORT ${a.mkString(",")},${p / 256},${p % 256}", _ == 200)
+          send(out, command)
+          val r = readReply(in)
+          if (r.code != 125 && r.code != 150) throw CommandFailed(r)
+          val ds = srv.accept()
+          ds.setSoTimeout(timeoutMs)
+          ds
+        } finally srv.close()
+      }
+    val result = try use(dataSock) finally dataSock.close()
+    val done = readReply(in)
+    if (done.code != 226 && done.code != 250) throw CommandFailed(done)
+    result
+  }
+
+  /** Log in, switch to binary, RETR `path`, return the payload bytes.
+    *
+    * Throws [[CommandFailed]] when the server rejects a command with a
+    * reply code (e.g. 550 for a missing file, 530 for a bad password) and
+    * [[ConnectionLost]] when the control channel dies — mirroring how the
+    * reference surfaces Twisted's two failure shapes. */
+  def retrieve(host: String, port: Int, user: String, password: String,
+      path: String, passive: Boolean = true, timeoutMs: Int = 15000): Array[Byte] =
+    session(host, port, user, password, timeoutMs) { (in, out, ctl) =>
+      expect(in, out, "TYPE I", _ == 200)
+      withData(in, out, ctl, passive, timeoutMs, s"RETR $path") { ds =>
+        drain(ds.getInputStream)
+      }
+    }
+
+  private def posixDirname(path: String): String = {
+    val i = path.lastIndexOf('/')
+    if (i < 0) "" else if (i == 0) "/" else path.substring(0, i)
+  }
+
+  private def posixBasename(path: String): String = {
+    val i = path.lastIndexOf('/')
+    if (i < 0) path else path.substring(i + 1)
+  }
+
+  /** Reference `ftp_makedirs_cwd` (`utils/ftp.py:7-18`): CWD to `path`,
+    * creating missing parents on a 5xx (ftplib `error_perm`) — recurse to
+    * the parent, MKD, and CWD only at the first call. */
+  private def makedirsCwd(in: BufferedReader, out: OutputStream, path: String,
+      firstCall: Boolean): Unit = {
+    try { expect(in, out, s"CWD $path", _ / 100 == 2); () }
+    catch { case CommandFailed(r) if r.code >= 500 && r.code < 600 =>
+      makedirsCwd(in, out, posixDirname(path), firstCall = false)
+      expect(in, out, s"MKD $path", _ / 100 == 2)
+      if (firstCall) expect(in, out, s"CWD $path", _ / 100 == 2)
+    }
+  }
+
+  /** Reference `ftp_store_file` (`utils/ftp.py:21-45`): log in, CWD to the
+    * path's directory (creating missing parents), then upload the payload —
+    * `STOR` when `overwrite` else `APPE`. */
+  def store(host: String, port: Int, user: String, password: String,
+      path: String, content: Array[Byte], passive: Boolean = true,
+      overwrite: Boolean = true, timeoutMs: Int = 15000): Unit =
+    session(host, port, user, password, timeoutMs) { (in, out, ctl) =>
+      makedirsCwd(in, out, posixDirname(path), firstCall = true)
+      expect(in, out, "TYPE I", _ == 200) // ftplib storbinary sends TYPE I itself
+      val cmd = if (overwrite) "STOR" else "APPE"
+      withData(in, out, ctl, passive, timeoutMs, s"$cmd ${posixBasename(path)}") { ds =>
+        ds.getOutputStream.write(content)
+        ds.getOutputStream.flush()
+      }
+    }
 }
 
 object FtpFetch {

@@ -54,8 +54,15 @@ final class MiniFtpServer(root: Path, users: Map[String, String]) {
       reply(out, "220 ready")
       var user: String = null
       var home: Path = null
+      var cwd: Path = null
       var pasv: ServerSocket = null
       var active: (String, Int) = null
+
+      // "/" is the (chrooted) user home, like Twisted's FTPRealm shell
+      def resolve(arg: String): Path =
+        if (arg == "/" || arg.isEmpty) home
+        else if (arg.startsWith("/")) home.resolve(arg.substring(1)).normalize
+        else cwd.resolve(arg).normalize
 
       def openData(): Socket =
         if (pasv != null) {
@@ -81,6 +88,7 @@ final class MiniFtpServer(root: Path, users: Map[String, String]) {
               if (user == "anonymous" ||
                   (user != null && users.get(user).contains(arg))) {
                 home = if (user == "anonymous") root else root.resolve(user)
+                cwd = home
                 reply(out, "230 User logged in")
               } else {
                 // Twisted drops the control connection on failed auth —
@@ -101,8 +109,7 @@ final class MiniFtpServer(root: Path, users: Map[String, String]) {
               active = (ns.take(4).mkString("."), ns(4) * 256 + ns(5))
               reply(out, "200 PORT command successful")
             case "RETR" =>
-              val rel = if (arg.startsWith("/")) arg.substring(1) else arg
-              val f = if (home == null) null else home.resolve(rel)
+              val f = if (home == null) null else resolve(arg)
               if (home == null) reply(out, "530 Please login")
               else if (f != null && Files.isRegularFile(f)) {
                 reply(out, "150 Opening binary data connection")
@@ -111,7 +118,41 @@ final class MiniFtpServer(root: Path, users: Map[String, String]) {
                 finally d.close()
                 reply(out, "226 Transfer complete")
               } else
-                reply(out, s"550 $rel: No such file or directory.")
+                reply(out, s"550 $arg: No such file or directory.")
+            case "CWD" =>
+              if (home == null) reply(out, "530 Please login")
+              else {
+                val d = resolve(arg)
+                if (Files.isDirectory(d)) { cwd = d; reply(out, "250 Directory changed") }
+                else reply(out, s"550 $arg: No such directory.")
+              }
+            case "MKD" =>
+              if (home == null) reply(out, "530 Please login")
+              else {
+                val d = resolve(arg)
+                if (Files.isDirectory(d.getParent) && !Files.exists(d)) {
+                  Files.createDirectory(d)
+                  reply(out, s"""257 "$arg" created""")
+                } else reply(out, s"550 $arg: Cannot create directory.")
+              }
+            case "STOR" | "APPE" =>
+              if (home == null) reply(out, "530 Please login")
+              else {
+                val f = resolve(arg)
+                reply(out, "150 Opening binary data connection")
+                val d = openData()
+                val buf = new java.io.ByteArrayOutputStream()
+                try {
+                  val chunk = new Array[Byte](8192)
+                  var n = d.getInputStream.read(chunk)
+                  while (n >= 0) { buf.write(chunk, 0, n); n = d.getInputStream.read(chunk) }
+                } finally d.close()
+                import java.nio.file.StandardOpenOption._
+                if (cmd == "APPE")
+                  Files.write(f, buf.toByteArray, CREATE, WRITE, APPEND)
+                else Files.write(f, buf.toByteArray, CREATE, WRITE, TRUNCATE_EXISTING)
+                reply(out, "226 Transfer complete")
+              }
             case "QUIT" =>
               reply(out, "221 Goodbye")
               open = false
