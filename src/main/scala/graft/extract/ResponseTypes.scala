@@ -161,7 +161,7 @@ object ResponseTypes {
 
   /** CPython `posixpath.splitext`: last-dot split where a basename of
     * leading dots has no extension. Returns (base, ext-with-dot). */
-  private def splitext(p: String): (String, String) = {
+  private[graft] def splitext(p: String): (String, String) = {
     val sepIndex = p.lastIndexOf('.')
     var filenameIndex = p.lastIndexOf('/') + 1
     if (sepIndex > filenameIndex) {

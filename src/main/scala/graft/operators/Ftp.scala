@@ -204,6 +204,24 @@ object FtpClient {
       }
     }
 
+  /** `MDTM path` + `RETR path` in one session — `FTPFilesStore.stat_file`
+    * (`pipelines/files.py:410-421`). The first element is
+    * `float(voidcmd("MDTM …")[4:].strip())`: ftplib returns the raw reply
+    * line, `[4:]` strips the `213 ` prefix, and the remaining
+    * `YYYYMMDDHHMMSS[.sss]` digits parse as a (non-epoch) float. */
+  def mdtmAndRetrieve(host: String, port: Int, user: String, password: String,
+      path: String, passive: Boolean = true,
+      timeoutMs: Int = 15000): (Double, Array[Byte]) =
+    session(host, port, user, password, timeoutMs) { (in, out, ctl) =>
+      val r = expect(in, out, s"MDTM $path", _ / 100 == 2)
+      val mdtm = r.text.substring(4).trim.toDouble
+      expect(in, out, "TYPE I", _ == 200)
+      val body = withData(in, out, ctl, passive, timeoutMs, s"RETR $path") {
+        ds => drain(ds.getInputStream)
+      }
+      (mdtm, body)
+    }
+
   private def posixDirname(path: String): String = {
     val i = path.lastIndexOf('/')
     if (i < 0) "" else if (i == 0) "/" else path.substring(0, i)

@@ -153,6 +153,17 @@ final class MiniFtpServer(root: Path, users: Map[String, String]) {
                 else Files.write(f, buf.toByteArray, CREATE, WRITE, TRUNCATE_EXISTING)
                 reply(out, "226 Transfer complete")
               }
+            case "MDTM" =>
+              val f = if (home == null) null else resolve(arg)
+              if (home == null) reply(out, "530 Please login")
+              else if (f != null && Files.isRegularFile(f)) {
+                val t = java.time.Instant
+                  .ofEpochMilli(Files.getLastModifiedTime(f).toMillis)
+                  .atZone(java.time.ZoneOffset.UTC)
+                reply(out, "213 " + java.time.format.DateTimeFormatter
+                  .ofPattern("yyyyMMddHHmmss").format(t))
+              } else
+                reply(out, s"550 $arg: No such file or directory.")
             case "QUIT" =>
               reply(out, "221 Goodbye")
               open = false
