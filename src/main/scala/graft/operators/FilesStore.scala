@@ -45,9 +45,7 @@ object FilesStore {
     * (`tests/test_pipeline_files.py:92-154`) in FilesStoreSpec. */
   def filePath(rawUrl: String): String = {
     val url = UrlKit.safeUrlString(rawUrl)
-    val md = java.security.MessageDigest.getInstance("SHA-1")
-    val guid = md.digest(url.getBytes(StandardCharsets.UTF_8))
-      .map(b => f"${b & 0xff}%02x").mkString
+    val guid = mediaGuid(rawUrl)
     val suffix = pathSuffix(url)
     val ext =
       if (suffix.nonEmpty && PyMime.typesMap.contains(suffix)) suffix
@@ -56,6 +54,16 @@ object FilesStore {
         case e => e
       }.getOrElse("")
     s"full/$guid$ext"
+  }
+
+  /** The media guid both pipelines share: sha1 hex of the
+    * (`safe_url_string`-sanitized, like `Request.__init__`) URL bytes
+    * (`files.py:720`, `images.py:221,230`). */
+  def mediaGuid(rawUrl: String): String = {
+    val url = UrlKit.safeUrlString(rawUrl)
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.digest(url.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"${b & 0xff}%02x").mkString
   }
 
   /** CPython `pathlib.PurePath(url).suffix`: the final path component's
