@@ -83,6 +83,48 @@ object MediaFunctions {
       }
   }
 
+  final case class ImageDownloadResult(
+      url: String, path: String, checksum: String,
+      width: Int, height: Int, status: String)
+
+  /** `ImagesPipeline.image_downloaded` (`images.py:120-141`) for one row:
+    * run the get_images chain, persist the full image AND every thumbnail
+    * into `store` (meta `{width,height}` is carried in the result row; the
+    * store layer's header hook is S3-only), return the md5 checksum of the
+    * FULL image's bytes. A gate failure (too small / undecodable) becomes a
+    * `status` carrying the reference's ImageException message — the
+    * media_failed path — with nothing persisted. */
+  def imageDownloadedRow(url: String, bytes: Array[Byte],
+      store: graft.operators.FilesStore.FsFilesStore,
+      minWidth: Int = 0, minHeight: Int = 0,
+      thumbs: Seq[(String, (Int, Int))] = Nil): ImageDownloadResult =
+    ImagesPipeline.getImages(url, bytes, minWidth, minHeight, thumbs) match {
+      case Left(msg) =>
+        ImageDownloadResult(url, null, null, 0, 0, msg)
+      case Right(rows) =>
+        rows.foreach { case (path, _, buf) => store.persistFile(path, buf) }
+        val (path, img, buf) = rows.head
+        ImageDownloadResult(url, path, ImageOps.md5Hex(buf),
+          img.w, img.h, "downloaded")
+    }
+
+  /** The distributed `image_downloaded` stage: each partition persists the
+    * files its rows produced (FILES_STORE must be a shared filesystem on a
+    * real cluster — the reference's assumption too) and yields one result
+    * row per input. Narrow map, no shuffle; pairs with an exact-dedup or
+    * URL-seen stage upstream so each file is written once. */
+  def persistImages(spark: SparkSession, images: DataFrame, storeUri: String,
+      minWidth: Int = 0, minHeight: Int = 0,
+      thumbs: Seq[(String, (Int, Int))] = Nil): Dataset[ImageDownloadResult] = {
+    import spark.implicits._
+    images.select($"url", $"bytes").as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val store = graft.operators.FilesStore.FsFilesStore(storeUri)
+        it.map { case (u, b) =>
+          imageDownloadedRow(u, b, store, minWidth, minHeight, thumbs) }
+      }
+  }
+
   final case class AudioFeatures(
       media_id: String, sampleRate: Float, channels: Int, nFrames: Long,
       durationSec: Double, rms: Double, zeroCrossRate: Double, fingerprint: Long)

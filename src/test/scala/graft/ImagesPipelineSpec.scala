@@ -208,6 +208,59 @@ class ImagesPipelineSpec extends AnyFunSuite {
     assert(im.rgb(3) === 0)
   }
 
+  // ---- image_downloaded persist flow (images.py:120-141) ------------------
+
+  test("imageDownloadedRow persists full + thumbs, checksums the full buf") {
+    import graft.media.MediaFunctions
+    val dir = java.nio.file.Files.createTempDirectory("graft-imgstore")
+    val store = graft.operators.FilesStore.FsFilesStore(dir.toString)
+    val url = "https://dev.mydeco.com/mydeco.gif"
+    val buf = ImageOps.encode(solid(50, 50, 0), "jpeg")
+    val r = MediaFunctions.imageDownloadedRow(url, buf, store,
+      thumbs = Seq("small" -> ((20, 20))))
+    assert(r.status === "downloaded")
+    assert(r.path === "full/3fd165099d8e71b8a48b2683946e64dbfad8b52d.jpg")
+    assert(r.width === 50 && r.height === 50)
+    // un-resized RGB JPEG: the persisted full file IS the original body
+    val full = dir.resolve("full/3fd165099d8e71b8a48b2683946e64dbfad8b52d.jpg")
+    assert(java.nio.file.Files.readAllBytes(full) === buf)
+    assert(r.checksum === ImageOps.md5Hex(buf))
+    val thumb = dir.resolve(
+      "thumbs/small/3fd165099d8e71b8a48b2683946e64dbfad8b52d.jpg")
+    assert(java.nio.file.Files.isRegularFile(thumb))
+    assert(ImageOps.decode(
+      java.nio.file.Files.readAllBytes(thumb)).get.w === 20)
+    // media_failed path: nothing persisted, status carries the message
+    val tiny = MediaFunctions.imageDownloadedRow(
+      "https://x.example/tiny.jpg", ImageOps.encode(solid(5, 5, 0), "jpeg"),
+      store, minWidth = 10, minHeight = 10)
+    assert(tiny.status === "Image too small (5x5 < 10x10)")
+    assert(tiny.path == null && tiny.checksum == null)
+  }
+
+  test("persistImages distributes the image_downloaded stage") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = TestSpark.tempDir("graft-imgstore-spark")
+    val rows = Seq(
+      ("https://dev.mydeco.com/mydeco.gif",
+        ImageOps.encode(solid(50, 50, 0x336699), "jpeg")),
+      ("https://x.example/small.png",
+        ImageOps.encode(solid(4, 4, 0), "png")))
+    val df = rows.toDF("url", "bytes")
+    val out = graft.media.MediaFunctions.persistImages(spark, df, dir,
+      minWidth = 10, minHeight = 10, thumbs = Seq("t" -> ((10, 10))))
+      .collect().sortBy(_.url)
+    assert(out.length === 2)
+    val ok = out.head
+    assert(ok.status === "downloaded")
+    assert(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(dir, ok.path)))
+    assert(java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(dir,
+      "thumbs/t/3fd165099d8e71b8a48b2683946e64dbfad8b52d.jpg")))
+    assert(out(1).status === "Image too small (4x4 < 10x10)")
+  }
+
   test("applyOrientation transform table") {
     import ImagesPipeline.applyOrientation
     val p = ImageOps.Pixels(2, 1, Array(1, 2)) // [A B]
