@@ -60,10 +60,28 @@ class FilesStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       === "full/178059cbeba2e34120a67f2dc1afc3ecc09b61cb.png")
   }
 
-  test("file_path: uppercase suffix resolves through guess_type") {
-    // ".PDF" is not a (case-sensitive) types_map key; guess_type lowercases
-    val p = FilesStore.filePath("https://example.com/REPORT.PDF")
-    assert(p.startsWith("full/") && p.endsWith(".pdf"))
+  test("file_path: CPython edge cases — encoding chains, case, dot names") {
+    // goldens generated with CPython mimetypes (builtin table) + sha1
+    import FilesStore.filePath
+    // ".gz" isn't a types key → guess_type strips the encoding suffix,
+    // types ".tar", and guess_extension maps back to ".tar"
+    assert(filePath("http://x.example/backup.tar.gz")
+      === "full/f145f09415673b592ba705949d0f375e745d11a3.tar")
+    // suffix_map re-map: .svgz → .svg.gz → .svg
+    assert(filePath("http://x.example/logo.svgz")
+      === "full/997d9845bf8afedd74c53ccf762fdb56a5e56be2.svg")
+    assert(filePath("http://x.example/archive.tgz")
+      === "full/3b4b0ed094b03703fc8892a81574e78934c74cde.tar")
+    // ".PDF" is not a (case-sensitive) types key; guess_type lowercases
+    assert(filePath("http://x.example/REPORT.PDF")
+      === "full/48e1f0e6ba661e53cd69c1d1577ab57112a9bbb2.pdf")
+    assert(filePath("http://x.example/photo.JPEG")
+      === "full/4b70ec3deeef9b6e743167141fe2965a15634447.jpg")
+    // PurePath.suffix: leading-dot and trailing-dot names have none
+    assert(filePath("http://x.example/.hidden")
+      === "full/8ad5ee94576645fbb99a68ebfb6d15131c1f1147")
+    assert(filePath("http://x.example/name.")
+      === "full/5684cd3a2d5efeb69f91085d6fe83b19a95a1f60")
   }
 
   // ---- FSFilesStore (test_fs_store, files.py:104-152) --------------------
