@@ -232,6 +232,57 @@ object FilesStore {
   }
 
   // ---------------------------------------------------------------------
+  // GCSFilesStore (files.py:287-363) — path/metadata contract only
+  // ---------------------------------------------------------------------
+
+  /** `GCSFilesStore.CACHE_CONTROL` (`files.py:290`). */
+  val GcsCacheControl = "max-age=172800"
+
+  /** The `gs://bucket/prefix…` store's PINNABLE surface: bucket/prefix
+    * parse (`uri[5:].split("/", 1)`, same shape as S3), the blob path used
+    * by BOTH persist and stat (`prefix + path`,
+    * `test_blob_path_consistency`), the default content type, and the
+    * upload metadata (cache control + string-rendered item meta +
+    * predefined ACL). The transport itself delegates wholesale to the
+    * google-cloud-storage client in the reference — no public wire
+    * contract its tests pin — so persist/stat network calls are documented
+    * out for this offline port. */
+  final case class GcsFilesStore(
+      bucket: String,
+      prefix: String,
+      policy: Option[String] = None) {
+
+    /** `_get_blob_path` (`files.py:338-339`). */
+    def blobPath(path: String): String = prefix + path
+
+    /** `_get_content_type` (`files.py:333-336`). */
+    def contentType(headers: Seq[(String, String)]): String =
+      headers.collectFirst { case ("Content-Type", v) => v }
+        .getOrElse("application/octet-stream")
+
+    /** The blob attributes `persist_file` sets (`files.py:341-363`). */
+    def uploadMetadata(meta: Seq[(String, String)],
+        headers: Seq[(String, String)]): Map[String, String] =
+      Map("cache_control" -> GcsCacheControl,
+        "content_type" -> contentType(headers)) ++
+        policy.map("predefined_acl" -> _) ++
+        meta.map { case (k, v) => s"metadata.$k" -> v }
+  }
+
+  object GcsFilesStore {
+    def fromUri(uri: String, policy: Option[String] = None): GcsFilesStore = {
+      if (!uri.startsWith("gs://"))
+        throw new IllegalArgumentException(
+          s"Incorrect URI scheme in $uri, expected 'gs'")
+      val rest = uri.substring(5)
+      val slash = rest.indexOf('/')
+      if (slash < 0)
+        throw new IllegalArgumentException(s"no blob prefix in $uri")
+      GcsFilesStore(rest.substring(0, slash), rest.substring(slash + 1), policy)
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // FTPFilesStore (files.py:364-427)
   // ---------------------------------------------------------------------
 

@@ -149,6 +149,27 @@ class FilesStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stat.lastModified === 1575158400.0)
   }
 
+  // ---- GCSFilesStore path/metadata contract (files.py:287-363) ------------
+
+  test("GCS store: blob path = prefix + path, both directions (test_blob_path_consistency)") {
+    val st = FilesStore.GcsFilesStore.fromUri("gs://my_bucket/my_prefix/")
+    assert(st.bucket === "my_bucket" && st.prefix === "my_prefix/")
+    assert(st.blobPath("full/my_data.txt") === "my_prefix/full/my_data.txt")
+    intercept[IllegalArgumentException](
+      FilesStore.GcsFilesStore.fromUri("s3://b/p"))
+  }
+
+  test("GCS store: upload metadata — cache control, content type, acl, meta") {
+    val st = FilesStore.GcsFilesStore.fromUri("gs://b/p/",
+      policy = Some("authenticatedRead"))
+    val md = st.uploadMetadata(Seq("foo" -> "bar"), Nil)
+    assert(md("cache_control") === "max-age=172800")
+    assert(md("content_type") === "application/octet-stream")
+    assert(md("predefined_acl") === "authenticatedRead")
+    assert(md("metadata.foo") === "bar")
+    assert(st.contentType(Seq("Content-Type" -> "image/png")) === "image/png")
+  }
+
   // ---- FTPFilesStore (TestFTPFileStore, files.py:364-427) ----------------
 
   private val username = "scrapy"
