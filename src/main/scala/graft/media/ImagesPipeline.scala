@@ -282,14 +282,24 @@ object ImagesPipeline {
     ImageOps.decode(bytes).map(applyOrientation(_, exifOrientation(bytes)))
 
   /** EXIF-transpose at the BYTES level: non-normal orientation re-encodes
-    * the transposed pixels (PNG, lossless) so downstream format branches
+    * the transposed pixels (PNG, lossless, ALPHA-PRESERVING — PIL's
+    * exif_transpose keeps the RGBA mode, so transparency must survive into
+    * the convert_image composite branch) so downstream format branches
     * still see a decodable payload; orientation 1 passes the original
     * through untouched. */
   private def transposeBytes(bytes: Array[Byte]): Array[Byte] = {
     val o = exifOrientation(bytes)
-    if (o <= 1) bytes
-    else ImageOps.decode(bytes) match {
-      case Some(p) => ImageOps.encode(applyOrientation(p, o), "png")
+    if (o <= 1) return bytes
+    decodeFull(bytes) match {
+      case Some(d) =>
+        // applyOrientation permutes ints — ARGB values ride along intact
+        val t = applyOrientation(Pixels(d.w, d.h, d.argb), o)
+        val img = new java.awt.image.BufferedImage(t.w, t.h,
+          java.awt.image.BufferedImage.TYPE_INT_ARGB)
+        img.setRGB(0, 0, t.w, t.h, t.rgb, 0, t.w)
+        val bos = new java.io.ByteArrayOutputStream()
+        ImageIO.write(img, "png", bos)
+        bos.toByteArray
       case None => bytes
     }
   }

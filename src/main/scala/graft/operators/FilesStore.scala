@@ -21,10 +21,12 @@ import graft.urlkit.{PyUrl, UrlKit}
   *    produces the request the upload amounts to, like [[FeedStorage]])
   *  - `FtpFilesStore` — upload + MDTM/RETR stat over [[FtpClient]]
   *    (`files.py:364-427`)
-  *
-  * `gs://` (GCSFilesStore) is not ported: the reference delegates wholesale
-  * to the google-cloud-storage client and its only non-mocked test is
-  * env-gated; there is no public wire contract to pin offline.
+  *  - `GcsFilesStore` — the `gs://` path/metadata contract only
+  *    (`files.py:287-363`): the reference delegates the transport wholesale
+  *    to the google-cloud-storage client and its only non-mocked test is
+  *    env-gated, so there is no public wire contract to pin offline —
+  *    what IS pinned is the blob-path/attribute surface its mocked test
+  *    covers.
   */
 object FilesStore {
 

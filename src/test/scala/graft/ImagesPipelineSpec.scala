@@ -261,6 +261,16 @@ class ImagesPipelineSpec extends AnyFunSuite {
     assert(out(1).status === "Image too small (4x4 < 10x10)")
   }
 
+  test("EXIF transpose preserves alpha into the composite branch") {
+    // RGBA PNG with orientation 3: transparency must survive the transpose
+    // (PIL exif_transpose keeps RGBA) so convert_image still composites
+    // over white instead of seeing a flattened opaque image
+    val buf = pngWithExif(argbPng(4, 4, (50 << 24) | 0x007fff), 3)
+    val rows = ImagesPipeline.getImages("https://x.example/a.png", buf)
+      .toOption.get
+    assert(rows.head._2.rgb.forall(_ == 0xcde6ff)) // (205,230,255)
+  }
+
   test("applyOrientation transform table") {
     import ImagesPipeline.applyOrientation
     val p = ImageOps.Pixels(2, 1, Array(1, 2)) // [A B]
