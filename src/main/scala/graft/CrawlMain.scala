@@ -119,6 +119,9 @@ object CrawlMain {
         case "csv" => df.drop("fp").write.mode("overwrite")
           .option("header", "true").csv(outDir)
         case "parquet" => df.write.mode("overwrite").parquet(outDir)
+        case "xml" | "pickle" | "marshal" | "pprint" =>
+          operators.FeedExport.export(spark, df,
+            operators.FeedExport.Feed(fmt), outDir)
         case other => sys.error(s"unknown format $other")
       }
       println(s"exported $table as $fmt to $outDir")

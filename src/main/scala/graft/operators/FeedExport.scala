@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * DataFrameWriter. Formats: json (array-of-objects semantics via Spark's
   * json lines — the reference's JsonLinesItemExporter), csv
   * (CsvItemExporter), parquet, xml (XmlItemExporter serialization below),
-  * and the CPython binary formats pickle / marshal (PickleItemExporter /
+  * the CPython binary formats pickle / marshal (PickleItemExporter /
   * MarshalItemExporter, `exporters.py:297-322`) via the byte-for-byte
   * [[Pickle]]/[[PyMarshal]] writers — one `dumps(dict(item))` per row,
   * concatenated per part file exactly like the reference's per-item
-  * `dump(..., file)` stream.
+  * `dump(..., file)` stream — and pprint (PprintItemExporter,
+  * `exporters.py:325-332`) via the byte-for-byte [[PyPprint]] pformat.
   *
   * Per-feed features mapped from the reference:
   *  - `itemFilter` — ITEM_FILTER / ItemFilter.accepts (`feedexport.py:48-94`)
@@ -24,7 +25,7 @@ import org.apache.spark.sql.functions._
 object FeedExport {
 
   final case class Feed(
-      format: String, // json | csv | parquet | xml | pickle | marshal
+      format: String, // json | csv | parquet | xml | pickle | marshal | pprint
       itemFilter: Option[Column] = None,
       fields: Seq[String] = Nil,
       batchItemCount: Int = 0,
@@ -92,13 +93,14 @@ object FeedExport {
           (if (feed.batchItemCount > 0) Seq(col("batch")) else Seq.empty) :+
             xmlItem(dataFields.toIndexedSeq).as("value"): _*)
         writer(doc).text(outDir)
-      case "pickle" | "marshal" =>
+      case "pickle" | "marshal" | "pprint" =>
         writeBinary(batched, feed.format, outDir, feed.batchItemCount > 0, orderCols)
       case other => throw new IllegalArgumentException(s"unknown feed format $other")
     }
 
     if (feed.postProcessing.nonEmpty &&
-        (writerCodec.isEmpty || feed.format == "pickle" || feed.format == "marshal"))
+        (writerCodec.isEmpty || feed.format == "pickle" ||
+          feed.format == "marshal" || feed.format == "pprint"))
       PostProcessing.compressDir(outDir, feed.postProcessing)
   }
 
@@ -116,7 +118,14 @@ object FeedExport {
         .sortWithinPartitions(("batch" +: orderCols).map(col): _*)
     val schema = df.schema
     val conf = new SerHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
-    val pickle = format == "pickle"
+    // pprint rides the same per-item byte-stream plumbing: the reference
+    // PprintItemExporter writes to_bytes(pformat(itemdict) + "\n") per item
+    // (`exporters.py:325-332`)
+    val dumps: Py => Array[Byte] = format match {
+      case "pickle" => Pickle.dumps _
+      case "marshal" => PyMarshal.dumps _
+      case "pprint" => PyPprint.exportLine _
+    }
     val ext = format
     df.rdd.foreachPartition { rows =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -138,7 +147,7 @@ object FeedExport {
           val b = if (batchIdx < 0) Long.MinValue + 1 else row.getLong(batchIdx)
           if (out == null || b != curBatch) open(b)
           val item = rowToPy(row, schema, skipIdx = batchIdx)
-          out.write(if (pickle) Pickle.dumps(item) else PyMarshal.dumps(item))
+          out.write(dumps(item))
         }
       } finally if (out != null) out.close()
     }

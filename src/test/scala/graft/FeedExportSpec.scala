@@ -274,6 +274,23 @@ class FeedExportSpec extends AnyFunSuite {
       partBytes(plain, ".pickle").toSeq)
   }
 
+  test("pprint feed is the byte-for-byte CPython PprintItemExporter stream") {
+    // golden: CPython 3.11 `"".join(pprint.pformat(d) + "\n" for d in items)`
+    // over the same item dicts — note sort_dicts reorders the keys
+    val out = TestSpark.tempDir("feed-pprint")
+    FeedExport.export(spark, binarySample(), FeedExport.Feed("pprint"), out)
+    assert(new String(partBytes(out, ".pprint"), "UTF-8") ===
+      "{'body': b'\\x00\\x01abc',\n 'note': None,\n 'ok': True,\n" +
+      " 'score': 0.5,\n 'size': 1234567890123,\n 'status': 200,\n" +
+      " 'tags': ['x', 'news'],\n 'url': 'http://a.example/'}\n" +
+      "{'body': b'',\n 'note': 'dup',\n 'ok': False,\n 'score': -2.25,\n" +
+      " 'size': -1,\n 'status': 404,\n 'tags': [],\n" +
+      " 'url': 'http://b.example/é'}\n" +
+      "{'body': None,\n 'note': '',\n 'ok': None,\n 'score': None,\n" +
+      " 'size': None,\n 'status': 301,\n 'tags': None,\n" +
+      " 'url': 'http://c.example/'}\n")
+  }
+
   test("binary feed batching writes whole batches under batch=N dirs") {
     import spark.implicits._
     val out = TestSpark.tempDir("feed-marshal-batch")
