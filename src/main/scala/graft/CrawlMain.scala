@@ -98,6 +98,42 @@ object CrawlMain {
       m.counters.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"# $k=$v") }
       spark.stop()
 
+    // LogStats + PeriodicLog replay (`scrapy/extensions/logstats.py`,
+    // `periodic_log.py`): one tick per committed epoch manifest — the
+    // reference-format "Crawled N pages (...)" line plus the PeriodicLog
+    // stats/delta JSON over the counter table, and the closing
+    // responses_per_minute / items_per_minute pair on the virtual
+    // interval timeline. Reads manifests only — no Spark session.
+    case "stats" :: root :: rest =>
+      import operators.PeriodicStats
+      import operators.PeriodicStats.{LogStats, PeriodicConf, PeriodicLog, StatLong}
+      val interval = rest.headOption.map(_.toDouble).getOrElse(60.0)
+      val ms = graft.plans.Snapshot.loadAll(root)
+      require(ms.nonEmpty, s"no manifest under $root")
+      val ls = new LogStats(interval)
+      val pl = new PeriodicLog(
+        PeriodicConf(statsEnabled = true, deltaEnabled = true), interval)
+      pl.spiderOpened(0L)
+      def pages(m: graft.plans.Manifest): Long = m.pageFetches
+      // batch item analogue: stored media rows (file_count, contract 6g/
+      // FILES_EXPIRES); 0 when media is off
+      def items(m: graft.plans.Manifest): Long =
+        m.counters.getOrElse("file_count", 0L)
+      ms.zipWithIndex.foreach { case (m, i) =>
+        val line =
+          if (i == 0) ls.spiderOpened(pages(m), items(m))
+          else ls.tick(pages(m), items(m))
+        println(s"[logstats] epoch=${m.snapshotId} $line")
+        val stats = m.counters.toSeq.sortBy(_._1)
+          .map { case (k, v) => (k, StatLong(v): PeriodicStats.StatVal) }
+        println(pl.logLine(stats, (i * interval * 1000).toLong, 0L))
+      }
+      val last = ms.last
+      val (rpm, ipm) = ls.spiderClosed(Some(0L),
+        Some(((ms.size - 1) * interval * 1000).toLong), pages(last), items(last))
+      println(s"responses_per_minute=${rpm.map(_.toString).getOrElse("None")} " +
+        s"items_per_minute=${ipm.map(_.toString).getOrElse("None")}")
+
     // feed-export analogue (`scrapy/extensions/feedexport.py`): crawl
     // outputs → json/csv/parquet via the built-in DataFrameWriter
     case "export" :: root :: table :: outDir :: rest =>

@@ -90,6 +90,17 @@ object Snapshot {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** All committed manifests in snapshot order (one per epoch) — the
+    * replay feed for the periodic-stats surface. */
+  def loadAll(root: String): Seq[Manifest] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return Nil
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d+\\.manifest\\.json"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map(p => parse(new String(Files.readAllBytes(p), UTF_8)))
+  }
+
   /** Latest committed manifest, if any. */
   def loadLatest(root: String): Option[Manifest] = {
     val dir = Paths.get(root)
