@@ -143,4 +143,15 @@ class ResponseTypesSpec extends AnyFunSuite {
     // NUL / TAB / LF / CR are allowed
     assert(ResponseTypes.binaryIsText(b(0, 9, 10, 13)))
   }
+
+  test("response_status_message (tests/test_utils_response.py)") {
+    assert(ResponseTypes.statusMessage(200) === "200 OK")
+    assert(ResponseTypes.statusMessage(404) === "404 Not Found")
+    assert(ResponseTypes.statusMessage(573) === "573 Unknown Status")
+    // a few more phrase-table spot checks (http.HTTPStatus 3.11)
+    assert(ResponseTypes.statusMessage(418) === "418 I'm a Teapot")
+    assert(ResponseTypes.statusMessage(308) === "308 Permanent Redirect")
+    assert(ResponseTypes.statusMessage(451) === "451 Unavailable For Legal Reasons")
+    assert(ResponseTypes.statusMessage(599) === "599 Unknown Status")
+  }
 }
