@@ -366,6 +366,22 @@ package graft
   *     (`redirect.py:177-181`), meta-refresh always converts, 301/307/308
   *     and retries keep method+body. Depth/offsite/urllength and the
   *     Referer policy apply to the form candidate exactly like a link.
+  *  7h. Schedule-time offsite (`downloadermiddlewares/offsite.py:47-99` on
+  *     the request_scheduled signal, engine `_schedule_request`
+  *     `core/engine.py:414-423`): EVERY request entering the scheduler —
+  *     links, forms, rule requests, redirects (incl. meta-refresh), retries,
+  *     start requests — is checked against allowedDomains BEFORE the
+  *     dupefilter; a filtered request never enters url_seen. `dont_filter`
+  *     (true on retries and start requests, copied into redirects of either
+  *     via request.replace) and meta["allow_offsite"] (FrontierRow/
+  *     SeedRow/RuleRequest `allowOffsite`, inherited by retries/redirects,
+  *     never by links) both bypass. Counters: `offsite/filtered` per
+  *     dropped request; `offsite/domains` once per DISTINCT non-empty
+  *     filtered hostname over the crawl lifetime (the middleware's
+  *     `domains_seen` set — persisted as the `offsite_domains` delta chain
+  *     so resume never re-counts). The allowed list is cleaned like
+  *     `get_host_regex`: null / URL-shaped / port-carrying entries never
+  *     match.
   *  8. Dupefilter (`scrapy/dupefilters.py:94-105` via scheduler `:343-345`):
   *     candidates processed in discovery order; dontFilter rows bypass (no
   *     seen-check, no insert); otherwise first-wins on fp against
@@ -493,13 +509,37 @@ final case class CrawlConfig(
       case s => s.split(",").contains(status.toString)
     })
 
-  /** Offsite predicate (`scrapy/downloadermiddlewares/offsite.py:47-99`):
-    * host must equal an allowed domain or be a subdomain of one. Applied to
-    * extracted link candidates before the dupefilter (legacy spider-mw
-    * placement — offsite links never enter url_seen). */
-  def hostAllowed(host: String): Boolean =
-    allowedDomains.isEmpty ||
-      allowedDomains.exists(d => host == d || host.endsWith("." + d))
+  /** `get_host_regex` model (`downloadermiddlewares/offsite.py:73-99`):
+    * the CLEANED allowed-domain list — `None` entries, URL entries
+    * (`^https?://`) and entries carrying a port (`:\d+$`) are dropped with
+    * a warning in the reference and never match. */
+  @transient private lazy val offsiteDomains: Seq[String] =
+    allowedDomains.filter(d => d != null &&
+      !d.matches("^https?://.*$") && !d.matches(".*:\\d+$"))
+
+  /** `should_follow` (`downloadermiddlewares/offsite.py:68-72`): host must
+    * fully match `^(.*\.)?(d1|d2|…)$` over the cleaned domains — equal to
+    * one of them or a subdomain. An EMPTY `allowed_domains` compiles to
+    * `re.compile("")` (allow all); a non-empty list whose entries are ALL
+    * invalid matches only the empty/trailing-dot host (the reference's
+    * degenerate `^(.*\.)?()$`). A null host is the reference's
+    * `hostname or ""`. */
+  def hostAllowed(host: String): Boolean = {
+    if (allowedDomains.isEmpty) return true
+    val h = if (host == null) "" else host
+    if (offsiteDomains.isEmpty) h.isEmpty || h.endsWith(".")
+    else offsiteDomains.exists(d => h == d || h.endsWith("." + d))
+  }
+
+  /** Schedule-time offsite decision (`offsite.py:47-66` process_request on
+    * the request_scheduled signal, contract step 7h): true = the request is
+    * DROPPED (IgnoreRequest). `dont_filter` and meta["allow_offsite"] both
+    * bypass. THE single authority both the oracle and the engine call, at
+    * every schedule point (links, forms, rule requests, redirects,
+    * meta-refresh; retries and start requests carry dont_filter=true). */
+  def offsiteFiltered(host: String, dontFilter: Boolean,
+      allowOffsite: Boolean): Boolean =
+    !dontFilter && !allowOffsite && !hostAllowed(host)
   require(queueOrder == "lifo" || queueOrder == "fifo", s"bad queueOrder $queueOrder")
   require(concurrency >= 1, s"bad concurrency $concurrency")
   require(httpcachePolicy == "dummy" || httpcachePolicy == "rfc2616",

@@ -90,7 +90,15 @@ final case class CorpusSpec(
     // Location is a data: URI (non-http target: the response passes
     // through, no redirect) and a network-path //host/path 302, plus
     // seeds targeting all three. Flag-off corpora stay byte-identical.
-    schemeTrapPages: Boolean = false) {
+    schemeTrapPages: Boolean = false,
+    // offsite-redirect trap pages (contract 7h; pair with an allowedDomains
+    // config): plants, at j=2 on hosts 1-3, a 302 and a meta-refresh whose
+    // targets are OFF-domain hosts (schedule-time offsite filters them for
+    // link-discovered requests) plus a seed directly on the third trap —
+    // the seed's redirect inherits dont_filter=true and BYPASSES offsite,
+    // so the off-domain host actually fetches. Flag-off corpora stay
+    // byte-identical.
+    offsiteTrapPages: Boolean = false) {
 
   /** Pages on host k: host 0 is the hot host; the rest share uniformly. */
   def pagesOnHost(k: Int): Int = {
@@ -190,6 +198,26 @@ object Corpus {
             Array.emptyByteArray, null, 25, cacheControl = cc)
         case 3 => // network-path relative → scheme://h4/p/1
           PageRow(url, 302, s"//${spec.hostName(4)}/p/1",
+            Array.emptyByteArray, null, 25, cacheControl = cc)
+      }
+    }
+    if (spec.offsiteTrapPages && j == 2 && k >= 1 && k <= 3 && spec.nHosts > 45) {
+      // planted offsite-redirect traps (flag-on only; `offsiteredir`
+      // conformance variant pins engine == oracle on all three): targets
+      // are corpus hosts OUTSIDE the variant's allowedDomains
+      return (k: @unchecked) match {
+        case 1 => // 302 → off-domain: schedule-time offsite filters it (7h)
+          PageRow(url, 302, s"${spec.scheme}://${spec.hostName(40)}/p/0",
+            Array.emptyByteArray, null, 25, cacheControl = cc)
+        case 2 => // meta-refresh → off-domain: same gate at the mr site
+          PageRow(url, 200, null,
+            (s"""<html><head><meta http-equiv="refresh" content="0; """ +
+              s"""url=${spec.scheme}://${spec.hostName(41)}/p/0"></head>""" +
+              "<body>moved</body></html>")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            null, 25, cacheControl = cc)
+        case 3 => // 302 → off-domain; a SEED lands here too (bypass path)
+          PageRow(url, 302, s"${spec.scheme}://${spec.hostName(42)}/p/1",
             Array.emptyByteArray, null, 25, cacheControl = cc)
       }
     }
@@ -590,7 +618,7 @@ object Corpus {
       }
     }
     val extras = localSeeds(spec) ++ metaSeeds(spec) ++ slotSeeds(spec) ++
-      sizeSeeds(spec) ++ schemeSeeds(spec)
+      sizeSeeds(spec) ++ schemeSeeds(spec) ++ offsiteSeeds(spec)
     // explicit duplicate seeds (contract step 0: dont_filter start requests
     // — each copy fetches; appended last so flag-off lists and the extras'
     // seq bases stay byte-identical)
@@ -726,6 +754,19 @@ object Corpus {
     val base = spec.seedCount.toLong + localSeeds(spec).size +
       metaSeeds(spec).size + slotSeeds(spec).size + sizeSeeds(spec).size
     (1 to 3).map(k => SeedRow(base + k - 1, pageUrl(spec, k, 1), 0))
+  }
+
+  /** Offsite-trap seed (contract 7h; appended when `offsiteTrapPages`):
+    * lands directly on the third trap page — a start request is
+    * dont_filter=True and its redirect inherits the flag (request.replace),
+    * so THIS redirect to an off-domain host bypasses the offsite check and
+    * fetches, while the same page's organic rediscovery is filtered. */
+  def offsiteSeeds(spec: CorpusSpec): Seq[SeedRow] = {
+    if (!spec.offsiteTrapPages) return Nil
+    val base = spec.seedCount.toLong + localSeeds(spec).size +
+      metaSeeds(spec).size + slotSeeds(spec).size + sizeSeeds(spec).size +
+      schemeSeeds(spec).size
+    Seq(SeedRow(base, pageUrl(spec, 3, 2), 0))
   }
 
   /** data:/file: seeds appended when `localSeedsDir` is set (contract 6e):

@@ -28,8 +28,10 @@ object CrawlRules {
   /** A follow-request as the hooks see it (the Request surrogate):
     * `process_request` may rewrite the URL (`request.replace(url=...)` in
     * the reference tests) — the crawl re-sanitizes and re-fingerprints
-    * after the hook. */
-  final case class RuleRequest(url: String, linkText: String, ruleIdx: Int)
+    * after the hook — or set meta["allow_offsite"] (`offsite.py:50-55`,
+    * contract 7h) to keep an off-domain request schedulable. */
+  final case class RuleRequest(url: String, linkText: String, ruleIdx: Int,
+      allowOffsite: Boolean = false)
 
   /** One Rule. `processLinks` runs on the rule's deduped, not-yet-seen
     * extracted links; `processRequest` maps (request, responseUrl) to the

@@ -108,7 +108,13 @@ final case class FrontierRow(
     // request body as UTF-8 text (urlencoded form data is always ASCII —
     // this engine never builds binary request bodies). "" = empty body.
     // Hashed into the fingerprint; counted by DownloaderStats (6h).
-    reqBody: String = "")
+    reqBody: String = "",
+    // meta["allow_offsite"] (`downloadermiddlewares/offsite.py:50-55`,
+    // contract step 7h): bypasses the schedule-time offsite check without
+    // the dupefilter bypass dont_filter also carries. Inherited by
+    // retries/redirects (meta copy), never by links; settable on seeds and
+    // by a CrawlSpider rule's process_request hook (RuleRequest).
+    allowOffsite: Boolean = false)
 
 /** One fetch in the ordered crawl log — the byte-for-byte conformance object
   * (SURVEY.md §7.4, FIXTURES.md §6). `seq` is the global fetch index. */
@@ -179,7 +185,12 @@ final case class SeedRow(seq: Long, url: String, priority: Int,
     // meta["download_slot"] on the start request — see [[FrontierRow]]
     downloadSlot: String = "",
     // meta["download_maxsize"] on the start request — see [[FrontierRow]]
-    downloadMaxSize: Long = -1L)
+    downloadMaxSize: Long = -1L,
+    // meta["allow_offsite"] on the start request (contract 7h) — start
+    // requests and everything request.replace derives from them already
+    // bypass via dont_filter, so this is inert on seeds today; carried for
+    // meta-surface completeness — see [[FrontierRow]]
+    allowOffsite: Boolean = false)
 
 /** Per-slot politeness state carried across epochs (reference: downloader
   * Slot.lastseen + Slot.delay, `scrapy/core/downloader/__init__.py:148-177`).

@@ -70,6 +70,15 @@ object CrawlDriver {
       .reduce(_.unionByName(_)).as[CrawlEngine.RobotsCacheRow]
   }
 
+  /** offsite domains_seen chain (contract 7h): per-epoch deltas are
+    * pairwise disjoint (each anti-joined against the full prior chain at
+    * write time), so the read is a plain union — no merge shuffle. */
+  def readOffsiteDomains(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    import spark.implicits._
+    if (dirs.isEmpty) spark.emptyDataset[String].toDF("domain")
+    else dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
   /** media_seen chain (FILES_EXPIRES reuse): latest store per image_id
     * wins — a re-download replaces the older entry's storedTMs/metadata. */
   def readMediaSeen(spark: SparkSession, dirs: Seq[String]): Dataset[MediaSeenRow] = {
@@ -172,7 +181,8 @@ object CrawlDriver {
         $"handleHttpstatus", $"dontCache", $"downloadSlot",
         $"downloadMaxSize",
         // start requests are plain GETs (contract 7g)
-        lit("GET").as("method"), lit("").as("reqBody")).as[FrontierRow]
+        lit("GET").as("method"), lit("").as("reqBody"),
+        $"allowOffsite").as[FrontierRow]
 
     val fDir = dataDir(root, 0, "frontier")
     frontier0.write.mode(SaveMode.Overwrite).parquet(fDir)
@@ -245,7 +255,8 @@ object CrawlDriver {
             "handleHttpstatus" -> org.apache.spark.sql.functions.lit(""),
             "dontCache" -> org.apache.spark.sql.functions.lit(false),
             "downloadSlot" -> org.apache.spark.sql.functions.lit(""),
-            "downloadMaxSize" -> org.apache.spark.sql.functions.lit(-1L)))
+            "downloadMaxSize" -> org.apache.spark.sql.functions.lit(-1L),
+            "allowOffsite" -> org.apache.spark.sql.functions.lit(false)))
           .as[SeedRow], root)
       if (cachePrimeDirs.isEmpty && mediaPrimeDirs.isEmpty) m0
       else {
@@ -339,7 +350,8 @@ object CrawlDriver {
           "downloadSlot" -> lit(""),
           "downloadMaxSize" -> lit(-1L),
           "method" -> lit("GET"), // pre-7g snapshots are all-GET
-          "reqBody" -> lit(""))).as[FrontierRow]
+          "reqBody" -> lit(""),
+          "allowOffsite" -> lit(false))).as[FrontierRow]
       val urlSeen = readSeen(spark, m.seenDirs)
       // the merged host-state view feeds three joins inside the epoch (slot
       // state, delay updates, the next delta) — materialize the chain merge
@@ -381,10 +393,17 @@ object CrawlDriver {
       val mediaSeen =
         if (cfg.filesExpiresDays < 0 || m.mediaSeenDirs.isEmpty) null
         else readMediaSeen(spark, m.mediaSeenDirs).toDF()
+      // lifetime offsite domains_seen (contract 7h): deltas are disjoint by
+      // construction (each is anti-joined against the full prior chain), so
+      // the read is a plain union like the robots chain
+      val offsiteDoms =
+        if (m.offsiteDomainsDirs.isEmpty) null
+        else readOffsiteDomains(spark, m.offsiteDomainsDirs)
       val r = CrawlEngine.runEpoch(spark, cfg, epoch, m.nextFetchSeq,
         frontier, urlSeen, hostState, robotsCache, cookieJar, pages, robotsCorpus,
         dns, images, withMedia, Some(bloomMode), frontierCountHint = m.frontierCount,
-        httpCache = httpCache, cacheBloom = cacheBloomBc, mediaSeen = mediaSeen)
+        httpCache = httpCache, cacheBloom = cacheBloomBc, mediaSeen = mediaSeen,
+        offsiteDomains = offsiteDoms)
 
       val timing = sys.env.contains("GRAFT_TIMING")
       var tW = System.nanoTime()
@@ -558,6 +577,22 @@ object CrawlDriver {
           .write.mode(SaveMode.Overwrite).parquet(cDir)
         mediaSeenDirs = Seq(cDir)
       }
+      // offsite domains_seen chain (contract 7h): append this epoch's NEW
+      // domains (already anti-joined in the engine — disjoint deltas);
+      // compact by plain union like robots
+      var offsiteDomainsDirs =
+        if (r.offsiteDomainsDelta != null) {
+          val odDir = dataDir(root, e1, "offsite_domains_delta")
+          r.offsiteDomainsDelta.coalesce(1)
+            .write.mode(SaveMode.Overwrite).parquet(odDir)
+          m.offsiteDomainsDirs :+ odDir
+        } else m.offsiteDomainsDirs
+      if (offsiteDomainsDirs.size > 8) {
+        val cDir = dataDir(root, e1, "offsite_domains_compact")
+        readOffsiteDomains(spark, offsiteDomainsDirs).coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(cDir)
+        offsiteDomainsDirs = Seq(cDir)
+      }
 
       // saturated-shard rebuild: a bucket whose exact seen count outgrew its
       // filter capacity gets a fresh 2×-headroom filter built from its full
@@ -591,7 +626,8 @@ object CrawlDriver {
         m.fetchLogDirs :+ flDir, mediaDirs,
         r.nextFetchSeq, frontierCount, m.pageFetches + r.pageFetchCount,
         mergedCounters, bloomPath, cookieJarDirs = cookieJarDirs,
-        httpCacheDirs = httpCacheDirs, mediaSeenDirs = mediaSeenDirs)
+        httpCacheDirs = httpCacheDirs, mediaSeenDirs = mediaSeenDirs,
+        offsiteDomainsDirs = offsiteDomainsDirs)
       Snapshot.write(root, m)
       if (bloomBc != null) bloomBc.destroy()
       cacheBloomBc.foreach(_.destroy())

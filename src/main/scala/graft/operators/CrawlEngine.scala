@@ -120,7 +120,10 @@ object CrawlEngine {
       // fps of responses stored in the HTTP cache this epoch (contract 6d);
       // null when the cache is off
       httpCacheDelta: DataFrame,
-      cleanup: () => Unit)
+      cleanup: () => Unit,
+      // NEW offsite domains_seen entries this epoch (column `domain`,
+      // contract 7h); null when nothing new was filtered
+      offsiteDomainsDelta: DataFrame = null)
 
   /** Bounded dequeue admit with the HTTP cache ON (round-4 verdict #1 —
     * the cache-off path admits exactly `budget`). The walk of contract
@@ -259,7 +262,11 @@ object CrawlEngine {
         graft.plans.BloomShards]] = None,
       // media_seen state (MediaSeenRow columns) for the FILES_EXPIRES
       // uptodate reuse; null when filesExpiresDays < 0 or no chain yet
-      mediaSeen: DataFrame = null): EpochResult = {
+      mediaSeen: DataFrame = null,
+      // lifetime offsite `domains_seen` set (column `domain`, contract 7h);
+      // null = empty / not tracked (allowedDomains empty ⇒ nothing can be
+      // offsite-filtered and no per-epoch job runs at all)
+      offsiteDomains: DataFrame = null): EpochResult = {
     import spark.implicits._
 
     val timing = sys.env.contains("GRAFT_TIMING")
@@ -280,7 +287,8 @@ object CrawlEngine {
       "dEpoch", "dParent", "dLink", "retryTimes", "redirectTimes", "dontFilter",
       "referer", "dontObeyRobots", "ruleIdx", "cookieJar", "dontMergeCookies",
       "dontRedirect", "dontRetry", "maxRetryTimes", "handleHttpstatus",
-      "dontCache", "downloadSlot", "downloadMaxSize", "method", "reqBody")
+      "dontCache", "downloadSlot", "downloadMaxSize", "method", "reqBody",
+      "allowOffsite")
     // meta["download_slot"] wins outright over host/IP keying (contract 7f,
     // reference get_slot_key)
     val metaSlot = when($"downloadSlot" =!= "", $"downloadSlot")
@@ -922,6 +930,14 @@ object CrawlEngine {
         if (redirTarget.isDefined) {
           if (row.redirectTimes < cfg.maxRedirectTimes) {
             val target = redirTarget.get
+            // schedule-time offsite (contract 7h): the middleware built the
+            // redirected request, but scheduling it is gated — dont_filter /
+            // allow_offsite ride the meta copy. Kind-3 rows carry the
+            // FILTERED host for the offsite/domains set.
+            val tHost = UrlKit.hostOf(target)
+            if (cfg.offsiteFiltered(tHost, row.dontFilter, row.allowOffsite))
+              out += ((3, row.copy(host = tHost), 0L))
+            else {
             // redirected request inherits the Referer, then the default
             // policy re-patches it with the old value as surrogate parent
             // URL (contract step 7b; `referer.py:381-399`)
@@ -931,6 +947,7 @@ object CrawlEngine {
                 UrlKit.safeUrlString(row.referer), target).orNull
             out += ((0, redirectCand(target, patched,
               toGet = CrawlConfig.redirectToGet(status)), 0L))
+            }
           } else out += ((4, row, 0L)) // redirect chain past the cap: counted, dropped
         } else if (retryStatuses.contains(status) && !row.dontRetry) {
           if (row.retryTimes < effMaxRetry) {
@@ -961,11 +978,16 @@ object CrawlEngine {
           if (mrTarget.isDefined) {
             val target = mrTarget.get
             if (row.redirectTimes < cfg.maxRedirectTimes) {
+              val tHost = UrlKit.hostOf(target) // offsite at schedule (7h)
+              if (cfg.offsiteFiltered(tHost, row.dontFilter, row.allowOffsite))
+                out += ((3, row.copy(host = tHost), 0L))
+              else {
               val patched =
                 if (row.referer == null) null
                 else defaultRefererPolicy.referrer(
                   UrlKit.safeUrlString(row.referer), target).orNull
               out += ((0, redirectCand(target, patched, toGet = true), 0L))
+              }
             } else out += ((4, row, 0L))
           } else {
           // depth-0 init (7e): _init_depth fires once per response that
@@ -986,13 +1008,17 @@ object CrawlEngine {
               for ((emitIdx, rq) <- reqs) {
                 val u = UrlKit.safeUrlString(rq.url)
                 val childHost = UrlKit.hostOf(u)
-                if (!cfg.hostAllowed(childHost)) out += ((3, row, 0L)) // offsite
+                // offsite at schedule (7h): a hook-set allow_offsite meta
+                // keeps an off-domain rule request schedulable
+                if (cfg.offsiteFiltered(childHost, dontFilter = false,
+                    rq.allowOffsite))
+                  out += ((3, row.copy(host = childHost), 0L))
                 else if (u.length <= cfg.urlLengthLimit) // urllength mw: silent
                   out += ((0, FrontierRow(u, UrlKit.fingerprint(u), childHost,
                     -childDepth * cfg.depthPriority, childDepth, isStart = false,
                     epoch, seq, emitIdx, 0, 0, dontFilter = false,
                     referer = policy.referrer(row.url, u).orNull,
-                    ruleIdx = rq.ruleIdx), 0L))
+                    ruleIdx = rq.ruleIdx, allowOffsite = rq.allowOffsite), 0L))
               }
             } else reqs.foreach(_ => out += ((2, row, 0L)))
           } else {
@@ -1019,7 +1045,9 @@ object CrawlEngine {
           if (cfg.depthLimit == 0 || childDepth <= cfg.depthLimit) {
             for ((candIdx, u, m, b) <- allCands) {
               val childHost = UrlKit.hostOf(u)
-              if (!cfg.hostAllowed(childHost)) out += ((3, row, 0L)) // offsite
+              if (cfg.offsiteFiltered(childHost, dontFilter = false,
+                  allowOffsite = false)) // links/forms carry no meta (7h)
+                out += ((3, row.copy(host = childHost), 0L))
               else if (candIdx != CrawlConfig.FormDLink ||
                   u.length <= cfg.urlLengthLimit) // urllength mw: silent (links already filtered inside extract)
                 out += ((0, FrontierRow(u,
@@ -1084,14 +1112,15 @@ object CrawlEngine {
         $"dontFilter", $"referer", $"dontObeyRobots", $"ruleIdx",
         $"cookieJar", $"dontMergeCookies", $"dontRedirect", $"dontRetry",
         $"maxRetryTimes", $"handleHttpstatus", $"dontCache",
-        $"downloadSlot", $"downloadMaxSize", $"method", $"reqBody")).as("r"))
+        $"downloadSlot", $"downloadMaxSize", $"method", $"reqBody",
+        $"allowOffsite")).as("r"))
       .select($"fpHex", $"r.url", $"r.fp", $"r.host", $"r.priority", $"r.depth",
         $"r.isStart", $"r.dEpoch", $"r.dParent", $"r.dLink", $"r.retryTimes",
         $"r.redirectTimes", $"r.dontFilter", $"r.referer", $"r.dontObeyRobots",
         $"r.ruleIdx", $"r.cookieJar", $"r.dontMergeCookies", $"r.dontRedirect",
         $"r.dontRetry", $"r.maxRetryTimes", $"r.handleHttpstatus",
         $"r.dontCache", $"r.downloadSlot", $"r.downloadMaxSize",
-        $"r.method", $"r.reqBody")
+        $"r.method", $"r.reqBody", $"r.allowOffsite")
 
     // Bloom prescreen (north rule: bloom/cuckoo URL-seen): a fingerprint the
     // filter has never seen is DEFINITELY new — only likely-dups pay the
@@ -1375,6 +1404,24 @@ object CrawlEngine {
     }
     counters("depth/filtered") = nDepthFiltered
     counters("offsite/filtered") = metric(candMetrics, "offsite")
+    // offsite/domains (contract 7h): the middleware's lifetime domains_seen
+    // set — first-ever-filtered non-empty hostnames. Per-epoch work is a
+    // distinct over this epoch's kind-3 rows (bounded by the filtered set)
+    // anti-joined against the persisted chain; runs ONLY when something was
+    // actually filtered, so the ship/bench config (no allowedDomains) never
+    // pays a job here.
+    val offsiteDomainsDelta: DataFrame =
+      if (counters("offsite/filtered") == 0L) null
+      else {
+        val epochDoms = candsRaw.filter(_._1 == 3).map(_._2.host)
+          .filter(_.nonEmpty).distinct().toDF("domain")
+        val newDoms =
+          if (offsiteDomains == null) epochDoms
+          else epochDoms.join(offsiteDomains, Seq("domain"), "left_anti")
+        val nNew = newDoms.persist().count()
+        if (nNew > 0) { counters("offsite/domains") = nNew; newDoms }
+        else { newDoms.unpersist(); null }
+      }
     counters("dupefilter/filtered") = nNormal - nSurvivors
     counters("scheduler/enqueued") = nSurvivors + nDontFilter
 
@@ -1568,6 +1615,7 @@ object CrawlEngine {
       if (maybeJoinedHandle != null) maybeJoinedHandle.unpersist(false)
       survivors.unpersist(false)
       mediaPersists.foreach(_.unpersist(false))
+      if (offsiteDomainsDelta != null) offsiteDomainsDelta.unpersist(false)
       ()
     }
     // survivors.count() above materialized both prescreen branches
@@ -1580,6 +1628,6 @@ object CrawlEngine {
       cookieDelta, media, mediaSeenDelta,
       counters.toMap.filter(_._2 != 0L), baseSeq + nFetches,
       pageFetchCount, nextFrontierCount, nSurvivors, preNew, preMaybe,
-      httpCacheDelta, cleanup)
+      httpCacheDelta, cleanup, offsiteDomainsDelta)
   }
 }

@@ -45,6 +45,14 @@ object Oracle {
 
     val urlSeen = mutable.HashSet.empty[String]
     var frontier = Vector.empty[FrontierRow]
+    // OffsiteMiddleware domains_seen (contract 7h): offsite/filtered per
+    // dropped schedule, offsite/domains once per distinct non-empty host
+    val offsiteDomainsSeen = mutable.HashSet.empty[String]
+    def offsiteDrop(host: String): Unit = {
+      inc("offsite/filtered")
+      if (host != null && host.nonEmpty && offsiteDomainsSeen.add(host))
+        inc("offsite/domains")
+    }
     // politeness state keyed by SLOT (contract step 1: host, or resolved IP
     // under perIpSlots — hosts missing from dns fall back to host)
     def slotOf(host: String): String =
@@ -119,7 +127,8 @@ object Oracle {
         dontRedirect = s.dontRedirect, dontRetry = s.dontRetry,
         maxRetryTimes = s.maxRetryTimes,
         handleHttpstatus = s.handleHttpstatus, dontCache = s.dontCache,
-        downloadSlot = s.downloadSlot, downloadMaxSize = s.downloadMaxSize)
+        downloadSlot = s.downloadSlot, downloadMaxSize = s.downloadMaxSize,
+        allowOffsite = s.allowOffsite)
     }
 
     // discovery-order comparator: (dEpoch, dParent, dLink) lexicographic
@@ -541,12 +550,18 @@ object Oracle {
               // response through to the spider chain (HttpError gate)
               if (row.redirectTimes < cfg.maxRedirectTimes) {
                 val target = UrlKit.safeUrlString(UrlKit.redirectTarget(row.url, page.location))
+                // schedule-time offsite (contract 7h) — mirrors CrawlEngine
+                val tHost = UrlKit.hostOf(target)
+                if (cfg.offsiteFiltered(tHost, row.dontFilter,
+                    row.allowOffsite)) offsiteDrop(tHost)
+                else {
                 val patched =
                   if (row.referer == null) null
                   else defaultRefererPolicy.referrer(
                     UrlKit.safeUrlString(row.referer), target).orNull
                 candidates += redirectCand(target, patched,
                   toGet = CrawlConfig.redirectToGet(status))
+                }
               } else inc("redirect/max_reached")
             } else if (CrawlConfig.RetryStatuses.contains(status) &&
                 !row.dontRetry) {
@@ -577,11 +592,16 @@ object Oracle {
               if (mrTarget.isDefined) {
                 val target = mrTarget.get
                 if (row.redirectTimes < cfg.maxRedirectTimes) {
+                  val tHost = UrlKit.hostOf(target) // offsite at schedule (7h)
+                  if (cfg.offsiteFiltered(tHost, row.dontFilter,
+                      row.allowOffsite)) offsiteDrop(tHost)
+                  else {
                   val patched =
                     if (row.referer == null) null
                     else defaultRefererPolicy.referrer(
                       UrlKit.safeUrlString(row.referer), target).orNull
                   candidates += redirectCand(target, patched, toGet = true)
+                  }
                 } else inc("redirect/max_reached")
               } else {
               // depth-0 init (7e): only when the response actually reaches
@@ -599,14 +619,15 @@ object Oracle {
                   for ((emitIdx, rq) <- reqs) {
                     val u = UrlKit.safeUrlString(rq.url)
                     val childHost = UrlKit.hostOf(u)
-                    if (!cfg.hostAllowed(childHost)) inc("offsite/filtered")
+                    if (cfg.offsiteFiltered(childHost, dontFilter = false,
+                        rq.allowOffsite)) offsiteDrop(childHost)
                     else if (u.length <= cfg.urlLengthLimit) // urllength: silent
                       candidates += FrontierRow(u, UrlKit.fingerprint(u),
                         childHost, -childDepth * cfg.depthPriority, childDepth,
                         isStart = false, dEpoch = epoch, dParent = seq,
                         dLink = emitIdx, 0, 0, dontFilter = false,
                         referer = policy.referrer(row.url, u).orNull,
-                        ruleIdx = rq.ruleIdx)
+                        ruleIdx = rq.ruleIdx, allowOffsite = rq.allowOffsite)
                   }
                 } else inc("depth/filtered", reqs.size.toLong)
               } else {
@@ -630,7 +651,8 @@ object Oracle {
               if (cfg.depthLimit == 0 || childDepth <= cfg.depthLimit) {
                 for ((candIdx, u, mth, b) <- allCands) {
                   val childHost = UrlKit.hostOf(u)
-                  if (!cfg.hostAllowed(childHost)) inc("offsite/filtered")
+                  if (cfg.offsiteFiltered(childHost, dontFilter = false,
+                      allowOffsite = false)) offsiteDrop(childHost)
                   else if (candIdx != CrawlConfig.FormDLink ||
                       u.length <= cfg.urlLengthLimit) // urllength mw: silent
                     candidates += FrontierRow(u,

@@ -35,7 +35,9 @@ final case class Manifest(
     bloomPath: String = "", // persisted url_seen Bloom shard table (advisory)
     cookieJarDirs: Seq[String] = Nil, // per-host cookie jar delta chain
     httpCacheDirs: Seq[String] = Nil, // stored-response fp delta chain (contract 6d)
-    mediaSeenDirs: Seq[String] = Nil) // media_seen delta chain (FILES_EXPIRES)
+    mediaSeenDirs: Seq[String] = Nil, // media_seen delta chain (FILES_EXPIRES)
+    // offsite domains_seen delta chain (contract 7h) — disjoint appends
+    offsiteDomainsDirs: Seq[String] = Nil)
 
 object Snapshot {
 
@@ -77,6 +79,7 @@ object Snapshot {
     sb.append("\"cookieJarDirs\": [").append(m.cookieJarDirs.map(jstr).mkString(", ")).append("], ")
     sb.append("\"httpCacheDirs\": [").append(m.httpCacheDirs.map(jstr).mkString(", ")).append("], ")
     sb.append("\"mediaSeenDirs\": [").append(m.mediaSeenDirs.map(jstr).mkString(", ")).append("], ")
+    sb.append("\"offsiteDomainsDirs\": [").append(m.offsiteDomainsDirs.map(jstr).mkString(", ")).append("], ")
     sb.append("\"nextFetchSeq\": ").append(m.nextFetchSeq).append(", ")
     sb.append("\"frontierCount\": ").append(m.frontierCount).append(", ")
     sb.append("\"pageFetches\": ").append(m.pageFetches).append(", ")
@@ -163,7 +166,7 @@ object Snapshot {
       arrField("fetchLogDirs"), arrField("mediaDirs"),
       numField("nextFetchSeq"), numField("frontierCount"), numField("pageFetches"),
       counters, optStrField("bloomPath"), cookieDirs, arrField("httpCacheDirs"),
-      arrField("mediaSeenDirs"))
+      arrField("mediaSeenDirs"), arrField("offsiteDomainsDirs"))
   }
 
   private def unescape(s: String): String = {

@@ -88,6 +88,63 @@ class ConformanceSpec extends AnyFunSuite {
       "offsite")
   }
 
+  test("offsite-redirect variant conforms (schedule-time gate, dont_filter bypass, " +
+      "offsite/domains)") {
+    // contract 7h: redirect + meta-refresh targets are offsite-checked at
+    // schedule time like every other request — planted 302/meta-refresh
+    // pages target off-domain hosts (filtered when link-discovered), while
+    // a seed landing on one trap redirects offsite ANYWAY because start
+    // requests are dont_filter=True and request.replace keeps the flag
+    val (_, o) = compare(Corpus.Small.copy(offsiteTrapPages = true),
+      CrawlConfig(maxEpochs = 8,
+        allowedDomains = Seq("h0.test", "h1.test", "h2.test", "h3.test")),
+      "offsiteredir")
+    assert(o.counters("offsite/filtered") > 0)
+    // distinct filtered domains (the middleware's domains_seen set)
+    assert(o.counters("offsite/domains") > 0)
+    assert(o.counters("offsite/domains") <= o.counters("offsite/filtered"))
+    val fetchedHosts = o.fetchLog.map(_.host).toSet
+    // the seed-redirect bypass actually fetched the off-domain host...
+    assert(fetchedHosts.contains("h42.test"),
+      "[offsiteredir] seed redirect (dont_filter) did not bypass offsite")
+    // ...while the link-discovered 302 target never did (no seed lands on
+    // h1/p/2 in this deterministic corpus, so every discovery of that trap
+    // is organic ⇒ filtered)
+    assert(!fetchedHosts.contains("h40.test"),
+      "[offsiteredir] an offsite redirect target was fetched")
+    // a base seed DOES land on the h2/p/2 meta-refresh trap, so h41.test is
+    // fetched — but ONLY via the seed's dont_filter chain: seed referers are
+    // null and the redirect re-patch keeps null, while any organic (link)
+    // chain would carry a non-null Referer. This pins the meta-refresh
+    // bypass without over-constraining the gate.
+    val h41 = o.fetchLog.filter(f => f.host == "h41.test" && !f.isRobots)
+    assert(h41.nonEmpty && h41.forall(_.referer == null),
+      "[offsiteredir] h41.test fetched via an organic chain — mr gate broken")
+  }
+
+  test("allow_offsite meta variant conforms (rule hook keeps an off-domain " +
+      "request schedulable)") {
+    import graft.extract.CrawlRules.CrawlRule
+    // contract 7h: meta["allow_offsite"] bypasses the offsite check without
+    // dont_filter's dupefilter bypass — a process_request hook rewrites one
+    // link off-domain WITH the meta (fetches) and one WITHOUT (filtered)
+    val rules = Seq(CrawlRule(processRequest = (r, _) =>
+      if (r.url.endsWith("/p/7"))
+        Some(r.copy(url = "http://h45.test/p/0", allowOffsite = true))
+      else if (r.url.endsWith("/p/11"))
+        Some(r.copy(url = "http://h46.test/p/0"))
+      else Some(r)))
+    val (_, o) = compare(Corpus.Small,
+      CrawlConfig(maxEpochs = 8, crawlRules = rules,
+        allowedDomains = Seq("h0.test", "h1.test", "h2.test", "h3.test")),
+      "allowoffsite")
+    val fetchedHosts = o.fetchLog.map(_.host).toSet
+    assert(fetchedHosts.contains("h45.test"),
+      "[allowoffsite] allow_offsite request was filtered")
+    assert(!fetchedHosts.contains("h46.test"),
+      "[allowoffsite] off-domain rewrite without the meta was fetched")
+  }
+
   test("depth-limited variant conforms") {
     compare(Corpus.Small, CrawlConfig(maxEpochs = 8, depthLimit = 2), "depth")
   }
