@@ -158,6 +158,19 @@ object CrawlMain {
         case "xml" | "pickle" | "marshal" | "pprint" =>
           operators.FeedExport.export(spark, df,
             operators.FeedExport.Feed(fmt), outDir)
+        case "crawllog" =>
+          // reference crawl-log rendering (`logformatter.py` CRAWLEDMSG /
+          // DOWNLOADERRORMSG): one line per fetch in seq order — the log a
+          // Scrapy operator would grep. fetch_log only.
+          if (table != "fetch_log") sys.error("crawllog renders fetch_log only")
+          import spark.implicits._
+          df.orderBy("seq")
+            .select($"status", $"method", $"url", $"referer", $"cached")
+            .as[(Int, String, String, String, Boolean)]
+            .map { case (st, mth, url, ref, cached) =>
+              operators.LogFormat.fetchLogLine(st, mth, url, ref, cached) }
+            .coalesce(1)
+            .write.mode("overwrite").text(outDir)
         case other => sys.error(s"unknown format $other")
       }
       println(s"exported $table as $fmt to $outDir")
