@@ -126,8 +126,13 @@ package graft
   *     httpAuthDomain or a subdomain (null domain = every host, the
   *     reference's legacy mode; `httpauth.py:36-53`); proxy = the
   *     cfg.proxies entry for the request's scheme unless the host matches a
-  *     noProxy suffix (`httpproxy.py:45-106` env-proxy semantics). Robots
-  *     fetches are ordinary downloads and carry all three.
+  *     noProxy suffix (`httpproxy.py:45-106` env-proxy semantics) — a
+  *     credential-carrying proxy URL is SPLIT like `_get_proxy`: the log's
+  *     proxy column holds the stripped scheme://hostport and the
+  *     credentials ride a Proxy-Authorization header (latin-1 b64 of the
+  *     percent-unquoted user:pass), which enters the fetch-log byte
+  *     compare AND the 6h request_bytes. Robots
+  *     fetches are ordinary downloads and carry all of these.
   *  6c. Download timeout (`downloadtimeout.py:1-41` + the handlers'
   *     TimeoutError path): a corpus page whose latencyMs ≥ downloadTimeoutMs
   *     (0 = off) produces NO response — fetch-log status 599, counters
@@ -387,8 +392,23 @@ package graft
   *     seen-check, no insert); otherwise first-wins on fp against
   *     url_seen ∪ earlier-in-batch; inserted on miss; drops counted as
   *     `dupefilter/filtered`; enqueues as `scheduler/enqueued`.
-  *  9. Stop when frontier is empty, or maxEpochs reached, or total page
-  *     fetches ≥ closespiderPageCount (`extensions/closespider.py`).
+  *  9. Stop conditions (`extensions/closespider.py`), all evaluated at
+  *     EPOCH boundaries (the BSP analogue of the reference's mid-stream
+  *     close_spider — the epoch that crosses a threshold completes first):
+  *     frontier empty, maxEpochs reached, total page fetches ≥
+  *     closespiderPageCount (CLOSESPIDER_PAGECOUNT), stored media items ≥
+  *     closespiderItemCount (CLOSESPIDER_ITEMCOUNT over `file_count` — the
+  *     item_scraped analogue), or the VIRTUAL clock ≥ closespiderTimeoutS
+  *     (CLOSESPIDER_TIMEOUT mapped onto virtual time: max non-cached fetch
+  *     `t`; deterministic where the reference's wall clock is not). The
+  *     finish reason is recorded like CoreStats `finish_reason`
+  *     ("finished" / "closespider_pagecount" / "closespider_itemcount" /
+  *     "closespider_timeout" / "graft_max_epochs"), threshold reasons
+  *     taking precedence over "finished" in that order, and both sides of
+  *     the conformance pair must agree on it. CLOSESPIDER_ERRORCOUNT and
+  *     the *_NO_ITEM pair are documented out: declarative spiders raise no
+  *     callback errors, and the no-item looping-call windows have no
+  *     deterministic BSP mapping.
   *
   * Deviation from the reference (documented, SURVEY.md §7.3): the reference
   * interleaves newly discovered links into the live queues mid-download;
@@ -482,6 +502,12 @@ final case class CrawlConfig(
     crawlRules: Seq[graft.extract.CrawlRules.CrawlRule] = Nil,
     maxEpochs: Int = 1000,
     closespiderPageCount: Long = 0, // 0 = off
+    // CLOSESPIDER_ITEMCOUNT analogue (contract step 9): stop once stored
+    // media items (file_count) reach this; 0 = off
+    closespiderItemCount: Long = 0,
+    // CLOSESPIDER_TIMEOUT on the VIRTUAL clock (contract step 9): stop once
+    // the max non-cached fetch t reaches this many seconds; 0 = off
+    closespiderTimeoutS: Long = 0,
     /** Engine sizing knob, NOT part of the semantics contract (the oracle
       * ignores it): when the frontier may exceed this many rows, global fetch
       * seq assignment switches from driver-side key collect to a distributed
@@ -623,9 +649,55 @@ final case class CrawlConfig(
 
   /** Proxy for a request (`httpproxy.py:45-106` env-proxy semantics:
     * per-scheme proxy unless the host matches a no-proxy suffix), or null. */
+  /** `_parse_proxy` + `_get_proxy` (`httpproxy.py:58-63` over urllib
+    * `_parse_proxy`): a configured proxy URL may carry userinfo — the
+    * middleware SPLITS it: meta["proxy"] gets the credential-stripped
+    * `scheme://hostport` and the credentials become a Proxy-Authorization
+    * header (`Basic ` + b64 of the percent-unquoted `user:pass`, encoded
+    * HTTPPROXY_AUTH_ENCODING = latin-1, `_basic_auth_header`
+    * `httpproxy.py:52-56`). Returns (strippedUrl, basicCredsOrNull). */
+  def parseProxyUrl(url: String): (String, String) = {
+    val i = url.indexOf("://")
+    val (scheme, rest) =
+      if (i < 0) ("", url) else (url.substring(0, i), url.substring(i + 3))
+    val slash = rest.indexOf('/')
+    val authority = if (slash < 0) rest else rest.substring(0, slash)
+    val at = authority.lastIndexOf('@')
+    val (userinfo, hostport) =
+      if (at < 0) (null, authority)
+      else (authority.substring(0, at), authority.substring(at + 1))
+    val stripped =
+      (if (scheme.nonEmpty) scheme + "://" else "//") + hostport
+    val creds =
+      if (userinfo == null || userinfo.isEmpty) null
+      else {
+        val c = userinfo.indexOf(':')
+        val (u, p) = if (c < 0) (userinfo, "") else
+          (userinfo.substring(0, c), userinfo.substring(c + 1))
+        val userPass = graft.urlkit.PyUrl.unquote(u) + ":" +
+          graft.urlkit.PyUrl.unquote(p)
+        java.util.Base64.getEncoder.encodeToString(
+          userPass.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      }
+    (stripped, creds)
+  }
+
+  @transient private lazy val parsedProxies: Map[String, (String, String)] =
+    proxies.map { case (k, v) => k -> parseProxyUrl(v) }
+
+  /** The proxy this request routes through — CREDENTIAL-STRIPPED like the
+    * reference's meta["proxy"] (`httpproxy.py:88-91`); null = direct. */
   def proxyFor(scheme: String, host: String): String =
     if (noProxy.exists(s => host == s || host.endsWith("." + s))) null
-    else proxies.getOrElse(scheme, null)
+    else parsedProxies.get(scheme).map(_._1).orNull
+
+  /** Proxy-Authorization header value for this request (`httpproxy.py:
+    * 94-95`): "Basic <b64>" when the routed proxy carries credentials,
+    * null otherwise (no proxy / credential-less proxy / noProxy bypass). */
+  def proxyAuthFor(scheme: String, host: String): String =
+    if (noProxy.exists(s => host == s || host.endsWith("." + s))) null
+    else parsedProxies.get(scheme).flatMap(p => Option(p._2))
+      .map("Basic " + _).orNull
 
   /** UA robots rules are matched against: ROBOTSTXT_USER_AGENT, falling back
     * to the request's User-Agent (`robotstxt.py:64-80`). */

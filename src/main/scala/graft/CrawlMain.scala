@@ -92,7 +92,8 @@ object CrawlMain {
       val m = res.manifest
       println(s"epochs=${m.snapshotId} pageFetches=${m.pageFetches} " +
         s"frontier=${m.frontierCount} seconds=$secs " +
-        s"urlsPerSec=${m.pageFetches / math.max(secs, 1e-9)}")
+        s"urlsPerSec=${m.pageFetches / math.max(secs, 1e-9)} " +
+        s"finishReason=${m.finishReason}")
       println("epochstats=" + res.epochStats
         .map { case (f, sec) => f"$f:$sec%.3f" }.mkString(","))
       m.counters.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"# $k=$v") }

@@ -137,7 +137,11 @@ final case class FetchLogRow(
     cached: Boolean = false,
     // HTTP method of the fetch (contract step 7g); robots fetches are
     // always fresh GET Requests (`robotstxt.py:82-99`)
-    method: String = "GET")
+    method: String = "GET",
+    // Proxy-Authorization header sent with the fetch (contract 6a:
+    // credential-carrying proxy URLs split into stripped proxy + this
+    // header, `httpproxy.py:94-95`); null = absent
+    proxyAuth: String = null)
 
 /** A page of the synthetic web (the offline stand-in for HTTP fetch;
   * SURVEY.md §2.1 "Synthetic fetch"). `url` is the canonical URL — the fetch

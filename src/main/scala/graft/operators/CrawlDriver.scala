@@ -330,8 +330,24 @@ object CrawlDriver {
       }
     }
 
-    while (m.frontierCount > 0 && m.snapshotId < maxEpochs &&
-        !(cfg.closespiderPageCount > 0 && m.pageFetches >= cfg.closespiderPageCount)) {
+    // stop conditions (contract step 9) — evaluated at epoch boundaries on
+    // manifest state; the returned reason is the CoreStats finish_reason
+    // analogue, threshold reasons before "finished" (the order both sides
+    // of the conformance pair implement)
+    def stopReason(mm: Manifest): Option[String] =
+      if (cfg.closespiderPageCount > 0 &&
+          mm.pageFetches >= cfg.closespiderPageCount)
+        Some("closespider_pagecount")
+      else if (cfg.closespiderItemCount > 0 &&
+          mm.counters.getOrElse("file_count", 0L) >= cfg.closespiderItemCount)
+        Some("closespider_itemcount")
+      else if (cfg.closespiderTimeoutS > 0 &&
+          mm.virtualTMaxMs >= cfg.closespiderTimeoutS * 1000L)
+        Some("closespider_timeout")
+      else if (mm.frontierCount <= 0) Some("finished")
+      else if (mm.snapshotId >= maxEpochs) Some("graft_max_epochs")
+      else None
+    while (stopReason(m).isEmpty) {
       val epoch = m.snapshotId
       val tEpoch = System.nanoTime()
       // withDefaults: resume from a pre-round-3/4 snapshot whose schema
@@ -459,9 +475,11 @@ object CrawlDriver {
       if (r.httpCacheDelta != null)
         writeJobs += Future(r.httpCacheDelta.coalesce(smallParts)
           .write.mode(SaveMode.Overwrite).parquet(hcDir))
+      var newMediaDir: String = null
       val mediaDirs =
         if (withMedia && images != null) {
           val mDir = dataDir(root, e1, "media")
+          newMediaDir = mDir
           writeJobs += Future(r.media.write.mode(SaveMode.Overwrite).parquet(mDir))
           m.mediaDirs :+ mDir
         } else m.mediaDirs
@@ -613,13 +631,23 @@ object CrawlDriver {
       BloomShards.save(spark, bloomPath, shards)
       bloomOnDisk = bloomPath
 
-      val mergedCounters = (m.counters.keySet ++ r.counters.keySet).map { k =>
+      // CLOSESPIDER_ITEMCOUNT without FILES_EXPIRES (contract step 9): the
+      // expiry-off media path is deliberately count-free (no extra job in
+      // the bench hot path) — with the threshold armed, take the freshly
+      // written media delta's row count from the parquet FOOTERS
+      // (metadata-only, no data scan)
+      val rCounters =
+        if (cfg.closespiderItemCount > 0 && !r.counters.contains("file_count")
+            && newMediaDir != null)
+          r.counters + ("file_count" -> spark.read.parquet(newMediaDir).count())
+        else r.counters
+      val mergedCounters = (m.counters.keySet ++ rCounters.keySet).map { k =>
         // request_depth_max is a running MAX (reference stats.max_value,
         // contract 7e); everything else sums
         if (k == "request_depth_max")
-          k -> math.max(m.counters.getOrElse(k, 0L), r.counters.getOrElse(k, 0L))
+          k -> math.max(m.counters.getOrElse(k, 0L), rCounters.getOrElse(k, 0L))
         else
-          k -> (m.counters.getOrElse(k, 0L) + r.counters.getOrElse(k, 0L))
+          k -> (m.counters.getOrElse(k, 0L) + rCounters.getOrElse(k, 0L))
       }.toMap
 
       m = Manifest(e1, epoch, fDir, seenDirs, hostStateDirs, robotsCacheDirs,
@@ -627,7 +655,9 @@ object CrawlDriver {
         r.nextFetchSeq, frontierCount, m.pageFetches + r.pageFetchCount,
         mergedCounters, bloomPath, cookieJarDirs = cookieJarDirs,
         httpCacheDirs = httpCacheDirs, mediaSeenDirs = mediaSeenDirs,
-        offsiteDomainsDirs = offsiteDomainsDirs)
+        offsiteDomainsDirs = offsiteDomainsDirs,
+        // virtual high-water mark is a running MAX (contract step 9)
+        virtualTMaxMs = math.max(m.virtualTMaxMs, r.virtualTMaxMs))
       Snapshot.write(root, m)
       if (bloomBc != null) bloomBc.destroy()
       cacheBloomBc.foreach(_.destroy())
@@ -649,6 +679,13 @@ object CrawlDriver {
     }
     pages.unpersist(false)
     if (images != null) images.unpersist(false)
+    // record the finish reason on the final manifest (CoreStats
+    // finish_reason analogue) — same snapshot id, atomic replace
+    val reason = stopReason(m).getOrElse("finished")
+    if (m.finishReason != reason) {
+      m = m.copy(finishReason = reason)
+      Snapshot.write(root, m)
+    }
     RunResult(m, root, epochStats.toSeq)
   }
 
@@ -656,8 +693,11 @@ object CrawlDriver {
   def fetchLog(spark: SparkSession, m: Manifest): DataFrame = {
     if (m.fetchLogDirs.isEmpty) spark.emptyDataFrame
     else Snapshot.withDefaults(spark.read.parquet(m.fetchLogDirs: _*),
-      // pre-7g fetch logs predate the method column (all-GET crawls)
-      Seq("method" -> org.apache.spark.sql.functions.lit("GET")))
+      // pre-7g fetch logs predate the method column (all-GET crawls);
+      // pre-6a-split logs predate proxyAuth (credential-less proxies)
+      Seq("method" -> org.apache.spark.sql.functions.lit("GET"),
+        "proxyAuth" -> org.apache.spark.sql.functions.lit(null)
+          .cast("string")))
       .orderBy("seq")
   }
 }

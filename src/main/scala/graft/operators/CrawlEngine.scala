@@ -123,7 +123,10 @@ object CrawlEngine {
       cleanup: () => Unit,
       // NEW offsite domains_seen entries this epoch (column `domain`,
       // contract 7h); null when nothing new was filtered
-      offsiteDomainsDelta: DataFrame = null)
+      offsiteDomainsDelta: DataFrame = null,
+      // the epoch's virtual-clock high-water mark (max non-cached fetch t,
+      // contract step 9); -1 when nothing consumed virtual time
+      virtualTMaxMs: Long = -1L)
 
   /** Bounded dequeue admit with the HTTP cache ON (round-4 verdict #1 —
     * the cache-off path admits exactly `budget`). The walk of contract
@@ -792,6 +795,15 @@ object CrawlEngine {
       else udf((url: String, host: String) =>
         cfg.proxyFor(graft.urlkit.PyUrl.urlparse(url).scheme, host))
         .apply($"url", $"host")
+    // Proxy-Authorization (contract 6a): only when some configured proxy
+    // actually carries credentials — otherwise a constant null, no UDF
+    val hasProxyCreds = cfg.proxies.nonEmpty &&
+      cfg.proxies.values.exists(u => cfg.parseProxyUrl(u)._2 != null)
+    val proxyAuthCol =
+      if (!hasProxyCreds) nullStr
+      else udf((url: String, host: String) =>
+        cfg.proxyAuthFor(graft.urlkit.PyUrl.urlparse(url).scheme, host))
+        .apply($"url", $"host")
     // DownloaderStats response size (contract 6h, `stats.py:69-77`): raw
     // body + the reference's header-size formula (empty set = -2) + status
     // size + 4; headers = the page row's non-null header fields; robots and
@@ -828,7 +840,8 @@ object CrawlEngine {
         $"t".as("virtualTMs"), $"status", $"isRobots", $"referer", $"cookies",
         lit(cfg.userAgent).as("userAgent"),
         authCol.as("authorization"),
-        proxyCol.as("proxy"), $"cached", $"method")
+        proxyCol.as("proxy"), $"cached", $"method",
+        proxyAuthCol.as("proxyAuth"))
 
     // ---- expansion: decompression / redirect / retry / links ---------------
     val retryStatuses = CrawlConfig.RetryStatuses
@@ -1227,19 +1240,24 @@ object CrawlEngine {
       fetched
         .groupBy($"status", $"cached", excKindCol.as("ek"), $"excClass",
           dcCol.as("dc"), storableCol.as("storable"))
-        .count()
+        // tMax rides the same job (contract step 9: the virtual-clock
+        // CLOSESPIDER_TIMEOUT analogue needs the epoch's max fetch t —
+        // groups are cached-pure, so the driver can exclude cache hits,
+        // whose logged t is the slot's still-unused next time)
+        .agg(count(lit(1)).as("count"), max($"t").as("tMax"))
         .select($"status", lit(false).as("isRobots"), $"cached", $"ek",
-          $"excClass", $"dc", $"storable", $"count")
+          $"excClass", $"dc", $"storable", $"count", $"tMax")
         .unionByName(robotsFetchLog
-          .groupBy($"status", $"cached").count()
+          .groupBy($"status", $"cached")
+          .agg(count(lit(1)).as("count"), max($"t").as("tMax"))
           .select($"status", lit(true).as("isRobots"), $"cached",
             lit("h").as("ek"), lit(null).cast("string").as("excClass"),
             // robots requests carry no meta and are never rfc2616-storable
             // (header-less response)
             lit(false).as("dc"), lit(false).as("storable"),
-            $"count"))
+            $"count", $"tMax"))
         .as[(Int, Boolean, Boolean, String, Option[String], Boolean, Boolean,
-          Long)].collect()
+          Long, Long)].collect()
     }
     // DownloaderStats byte counters (contract 6h): one tiny aggregation over
     // the persisted, politeness-bounded fetch log. Request size reads the
@@ -1248,13 +1266,14 @@ object CrawlEngine {
     // helper); response size was computed per-row on the way in (respBytes).
     // 599 rows are exceptions: request counted, no response.
     val reqBytesU = udf((url: String, method: String, reqBody: String,
-        referer: String, cookies: String, ua: String, auth: String) =>
+        referer: String, cookies: String, ua: String, auth: String,
+        proxyAuth: String) =>
       DownloaderStats.requestBytes(url, method, reqBody, referer, cookies,
-        ua, auth))
+        ua, auth, proxyAuth))
     val statsBytesF = Future {
       logEnriched.agg(
         sum(reqBytesU($"url", $"method", $"reqBody", $"referer", $"cookies",
-          lit(cfg.userAgent), authCol)).as("rq"),
+          lit(cfg.userAgent), authCol, proxyAuthCol)).as("rq"),
         sum(when($"status" === 599, lit(0L)).otherwise($"respBytes")).as("rs"),
         count(when($"status" =!= 599, lit(1))).as("rc"),
         // request_method_count split (7g): POSTs in this epoch's log
@@ -1264,6 +1283,11 @@ object CrawlEngine {
     // survivors.count() materializes the expansion chain, firing obsCand
     val nSurvivors = survivors.count()
     val statusCounts = Await.result(statusCountsF, Duration.Inf)
+    // contract step 9 (virtual CLOSESPIDER_TIMEOUT): the epoch's virtual
+    // high-water mark — max t over NON-cached rows only (a cache hit's
+    // logged t is its slot's still-unused next time, no clock advance)
+    val virtualTMaxMs = statusCounts.collect {
+      case (_, _, false, _, _, _, _, _, tMax) => tMax }.foldLeft(-1L)(math.max)
     lap("expand+dedup+antiJoin")
     // cache delta (contract 6d/6f): DummyPolicy stores every first-hand
     // response (minus ignore-codes/ignore-scheme); rfc2616 stores only
@@ -1334,7 +1358,7 @@ object CrawlEngine {
     // contract 6c/6e: a non-robots 599 is a download exception, not a
     // response (robots 599 = robots fetch error, a response status) — the
     // class depends on the scheme: HTTP timeout, bad data: URI, missing file
-    for ((status, isRobots, _, _, excCls, _, _, cnt) <- statusCounts) {
+    for ((status, isRobots, _, _, excCls, _, _, cnt, _) <- statusCounts) {
       if (!isRobots && status == 599) {
         counters("downloader/exception_count") += cnt
         // the handler's actual exception class rides on `fetched` (6c/6e)
@@ -1355,21 +1379,21 @@ object CrawlEngine {
       // (reference process_request/process_response early return, 7d)
       val ignoreCodes = cfg.httpcacheIgnoreHttpCodes.toSet
       counters("httpcache/hit") = statusCounts.collect {
-        case (_, _, true, _, _, _, _, cnt) => cnt }.sum
+        case (_, _, true, _, _, _, _, cnt, _) => cnt }.sum
       counters("httpcache/miss") = statusCounts.collect {
-        case (_, _, false, ek, _, dc, _, cnt) if ek != "f" && !dc => cnt }.sum
+        case (_, _, false, ek, _, dc, _, cnt, _) if ek != "f" && !dc => cnt }.sum
       counters("httpcache/firsthand") = statusCounts.collect {
-        case (st, _, false, ek, _, dc, _, cnt)
+        case (st, _, false, ek, _, dc, _, cnt, _)
           if st != 599 && ek != "f" && !dc => cnt }.sum
       counters("httpcache/store") =
         if (cfg.httpcachePolicy == "rfc2616")
           // per-row should_cache_response rides the statusCounts dims — no
           // extra job over the delta (round-4 "unevenness" note)
           statusCounts.collect {
-            case (st, _, false, ek, _, dc, storable, cnt)
+            case (st, _, false, ek, _, dc, storable, cnt, _)
               if st != 599 && ek != "f" && !dc && storable => cnt }.sum
         else statusCounts.collect {
-          case (st, _, false, ek, _, dc, _, cnt)
+          case (st, _, false, ek, _, dc, _, cnt, _)
             if st != 599 && ek != "f" && !dc &&
               !ignoreCodes.contains(st) => cnt }.sum
     }
@@ -1628,6 +1652,6 @@ object CrawlEngine {
       cookieDelta, media, mediaSeenDelta,
       counters.toMap.filter(_._2 != 0L), baseSeq + nFetches,
       pageFetchCount, nextFrontierCount, nSurvivors, preNew, preMaybe,
-      httpCacheDelta, cleanup, offsiteDomainsDelta)
+      httpCacheDelta, cleanup, offsiteDomainsDelta, virtualTMaxMs)
   }
 }

@@ -41,8 +41,9 @@ import graft.urlkit.PyUrl
   * (`httpcompression.py` request side) — rendered as "gzip, deflate, zstd"
   * to match this engine's 6b codec support (zstd decoded, brotli opaque —
   * the reference advertises exactly what it can decode). The proxy meta is
-  * NOT a header (the reference only adds Proxy-Authorization when the proxy
-  * URL carries userinfo, which this engine's proxy config never does).
+  * NOT a header; Proxy-Authorization IS one when the routed proxy URL
+  * carries userinfo (`httpproxy.py:94-95`, contract 6a split) and enters
+  * the byte count like any other header.
   */
 object DownloaderStats {
 
@@ -110,7 +111,8 @@ object DownloaderStats {
     * Content-Type header (`form.py:53-57` setdefault — contract 7g). */
   def requestBytes(url: String, method: String, reqBody: String,
       referer: String, cookies: String,
-      userAgent: String, authorization: String): Long = {
+      userAgent: String, authorization: String,
+      proxyAuth: String = null): Long = {
     val p = PyUrl.urlparse(url)
     val pathPart = {
       val base = if (p.path.nonEmpty) p.path else "/"
@@ -122,7 +124,7 @@ object DownloaderStats {
     var n = method.getBytes(UTF_8).length + 1 + pathPart.getBytes(UTF_8).length + 11
     n += 6 + host.getBytes(UTF_8).length + 2 // "Host: " host "\r\n"
     val headers = requestHeaders(method, reqBody, referer, cookies, userAgent,
-      authorization)
+      authorization, proxyAuth)
     if (headers.nonEmpty) n += headerSize(headers) + 2 // to_string() + "\r\n"
     n += 2 // final "\r\n"
     n += (if (reqBody != null) reqBody.getBytes(UTF_8).length else 0)
@@ -142,7 +144,8 @@ object DownloaderStats {
     * (`_redirect_request_using_get`). */
   def requestHeaders(method: String, reqBody: String, referer: String,
       cookies: String, userAgent: String,
-      authorization: String): Seq[(String, String)] = {
+      authorization: String,
+      proxyAuth: String = null): Seq[(String, String)] = {
     val b = Seq.newBuilder[(String, String)]
     b += ("Accept" -> DefaultAccept)
     b += ("Accept-Language" -> DefaultAcceptLanguage)
@@ -151,6 +154,8 @@ object DownloaderStats {
     if (userAgent != null && userAgent.nonEmpty) b += ("User-Agent" -> userAgent)
     b += ("Accept-Encoding" -> AcceptEncoding)
     if (authorization != null) b += ("Authorization" -> authorization)
+    // Proxy-Authorization (contract 6a: credential-carrying proxy split)
+    if (proxyAuth != null) b += ("Proxy-Authorization" -> proxyAuth)
     if (referer != null) b += ("Referer" -> referer)
     if (cookies != null) b += ("Cookie" -> cookies)
     b.result()

@@ -29,7 +29,9 @@ object Oracle {
       urlSeen: Set[String], // fp hex
       counters: Map[String, Long],
       epochs: Int,
-      httpCache: Map[String, CacheEntry] = Map.empty) // stored responses (6d/6f)
+      httpCache: Map[String, CacheEntry] = Map.empty, // stored responses (6d/6f)
+      // CoreStats finish_reason analogue (contract step 9)
+      finishReason: String = "finished")
 
   def run(
       cfg: CrawlConfig,
@@ -70,6 +72,10 @@ object Oracle {
     def authOf(host: String): String = cfg.authorizationFor(host)
     def proxyOf(url: String): String =
       cfg.proxyFor(graft.urlkit.PyUrl.urlparse(url).scheme, UrlKit.hostOf(url))
+    // Proxy-Authorization when the routed proxy carries credentials (6a)
+    def proxyAuthOf(url: String): String =
+      cfg.proxyAuthFor(graft.urlkit.PyUrl.urlparse(url).scheme,
+        UrlKit.hostOf(url))
     // domain-keyed cookie jar (graft.operators.Cookies tier-2 contract):
     // header from the epoch-start snapshot, entries keyed (domain, path,
     // name); Set-Cookie applied at epoch end in seq order. sendable()
@@ -97,6 +103,9 @@ object Oracle {
     val fetchLog = Vector.newBuilder[FetchLogRow]
     var fetchSeq = 0L
     var pageFetches = 0L
+    // virtual high-water mark over non-cached fetches (contract step 9:
+    // the CLOSESPIDER_TIMEOUT analogue runs on the virtual clock)
+    var virtualTMax = -1L
     // HTTP cache (contract step 6d/6f): fp -> stored entry. Stores become
     // VISIBLE at epoch end (BSP, like cookies) — the engine joins the
     // epoch-start cache table, so the oracle must too. Under rfc2616 a hit
@@ -338,7 +347,7 @@ object Oracle {
           inc("downloader/request_method_count/GET")
           inc("downloader/request_bytes", graft.operators.DownloaderStats
             .requestBytes(row.url, "GET", "", null, rCookies, cfg.userAgent,
-              authOf(host)))
+              authOf(host), proxyAuthOf(row.url)))
           if (status != 599) {
             inc("downloader/response_count")
             inc("downloader/response_bytes",
@@ -349,7 +358,9 @@ object Oracle {
           fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status,
             isRobots = true, cookies = rCookies,
             userAgent = cfg.userAgent, authorization = authOf(host),
-            proxy = proxyOf(row.url), cached = hit)
+            proxy = proxyOf(row.url), cached = hit,
+            proxyAuth = proxyAuthOf(row.url))
+          if (!hit) virtualTMax = math.max(virtualTMax, t)
         } else {
           pageFetches += 1
           val canonical = UrlKit.canonicalizeUrl(row.url)
@@ -402,7 +413,7 @@ object Oracle {
           inc(s"downloader/request_method_count/${row.method}")
           inc("downloader/request_bytes", graft.operators.DownloaderStats
             .requestBytes(row.url, row.method, row.reqBody, row.referer,
-              pCookies, cfg.userAgent, authOf(host)))
+              pCookies, cfg.userAgent, authOf(host), proxyAuthOf(row.url)))
           if (timedOut || localNoRetryExc || oversize) {
             inc("downloader/exception_count")
             inc("downloader/exception_type_count/" +
@@ -451,7 +462,9 @@ object Oracle {
           fetchLog += FetchLogRow(epoch, seq, host, row.url, row.fp, t, status,
             isRobots = false, referer = row.referer, cookies = pCookies,
             userAgent = cfg.userAgent, authorization = authOf(host),
-            proxy = proxyOf(row.url), cached = hit, method = row.method)
+            proxy = proxyOf(row.url), cached = hit, method = row.method,
+            proxyAuth = proxyAuthOf(row.url))
+          if (!hit) virtualTMax = math.max(virtualTMax, t)
           // meta["max_retry_times"] overrides RETRY_TIMES (7d); a retry is
           // the SAME request re-enqueued — copy() keeps all meta, like the
           // reference's request.replace
@@ -729,12 +742,27 @@ object Oracle {
       for ((h, e) <- epochStores) httpCache(h) = e
       frontier = remaining.result()
       epoch += 1
-      if (cfg.closespiderPageCount > 0 && pageFetches >= cfg.closespiderPageCount)
+      if ((cfg.closespiderPageCount > 0 &&
+            pageFetches >= cfg.closespiderPageCount) ||
+          (cfg.closespiderTimeoutS > 0 &&
+            virtualTMax >= cfg.closespiderTimeoutS * 1000L))
         stop = true
     }
 
+    // finish_reason (contract step 9, CoreStats analogue) — threshold
+    // reasons take precedence over "finished", in the documented order;
+    // the oracle scrapes no media so itemcount never fires here (the
+    // conformance pair runs media-off, keeping both sides at 0)
+    val finishReason =
+      if (cfg.closespiderPageCount > 0 &&
+          pageFetches >= cfg.closespiderPageCount) "closespider_pagecount"
+      else if (cfg.closespiderTimeoutS > 0 &&
+          virtualTMax >= cfg.closespiderTimeoutS * 1000L) "closespider_timeout"
+      else if (frontier.isEmpty) "finished"
+      else "graft_max_epochs"
+
     // zero-valued counters dropped (conformance compares non-zero keys)
     Result(fetchLog.result(), urlSeen.toSet, counters.toMap.filter(_._2 != 0L),
-      epoch, httpCache.toMap)
+      epoch, httpCache.toMap, finishReason)
   }
 }

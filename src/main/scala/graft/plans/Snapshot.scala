@@ -37,7 +37,13 @@ final case class Manifest(
     httpCacheDirs: Seq[String] = Nil, // stored-response fp delta chain (contract 6d)
     mediaSeenDirs: Seq[String] = Nil, // media_seen delta chain (FILES_EXPIRES)
     // offsite domains_seen delta chain (contract 7h) — disjoint appends
-    offsiteDomainsDirs: Seq[String] = Nil)
+    offsiteDomainsDirs: Seq[String] = Nil,
+    // virtual-clock high-water mark across all epochs (contract step 9:
+    // CLOSESPIDER_TIMEOUT on virtual time); -1 = no fetch yet
+    virtualTMaxMs: Long = -1L,
+    // CoreStats finish_reason analogue — set when the run loop exits
+    // ("finished" / "closespider_*" / "graft_max_epochs"); "" while running
+    finishReason: String = "")
 
 object Snapshot {
 
@@ -80,6 +86,8 @@ object Snapshot {
     sb.append("\"httpCacheDirs\": [").append(m.httpCacheDirs.map(jstr).mkString(", ")).append("], ")
     sb.append("\"mediaSeenDirs\": [").append(m.mediaSeenDirs.map(jstr).mkString(", ")).append("], ")
     sb.append("\"offsiteDomainsDirs\": [").append(m.offsiteDomainsDirs.map(jstr).mkString(", ")).append("], ")
+    sb.append("\"virtualTMaxMs\": ").append(m.virtualTMaxMs).append(", ")
+    sb.append("\"finishReason\": ").append(jstr(m.finishReason)).append(", ")
     sb.append("\"nextFetchSeq\": ").append(m.nextFetchSeq).append(", ")
     sb.append("\"frontierCount\": ").append(m.frontierCount).append(", ")
     sb.append("\"pageFetches\": ").append(m.pageFetches).append(", ")
@@ -146,6 +154,10 @@ object Snapshot {
       val re = ("\"" + name + "\": \"((?:[^\"\\\\]|\\\\.)*)\"").r
       re.findFirstMatchIn(json).map(m => unescape(m.group(1))).getOrElse("")
     }
+    def optNumField(name: String, default: Long): Long = {
+      val re = ("\"" + name + "\": (-?\\d+)").r
+      re.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(default)
+    }
     // delta-chain fields: plural arrays (round-4 format), falling back to a
     // pre-round-4 manifest's singular full-table dirs (chain of one)
     def chainField(plural: String, singular: String): Seq[String] = {
@@ -166,7 +178,9 @@ object Snapshot {
       arrField("fetchLogDirs"), arrField("mediaDirs"),
       numField("nextFetchSeq"), numField("frontierCount"), numField("pageFetches"),
       counters, optStrField("bloomPath"), cookieDirs, arrField("httpCacheDirs"),
-      arrField("mediaSeenDirs"), arrField("offsiteDomainsDirs"))
+      arrField("mediaSeenDirs"), arrField("offsiteDomainsDirs"),
+      // pre-step-9 manifests lack these: resume with the semantic defaults
+      optNumField("virtualTMaxMs", -1L), optStrField("finishReason"))
   }
 
   private def unescape(s: String): String = {
