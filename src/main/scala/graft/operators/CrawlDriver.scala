@@ -15,7 +15,10 @@ import graft.urlkit.UrlKit
 object CrawlDriver {
 
   final case class RunResult(manifest: Manifest, root: String,
-      epochStats: Seq[(Long, Double)]) // (pageFetches, wallSecs) per epoch
+      epochStats: Seq[(Long, Double)], // (pageFetches, wallSecs) per epoch
+      // spider.state as persisted at spider_closed (SpiderState extension,
+      // `extensions/spiderstate.py`; empty dict when never populated)
+      spiderState: graft.operators.Py.PyDict = graft.operators.Py.PyDict(Nil))
 
   def dataDir(root: String, epoch: Int, table: String): String =
     s"$root/data/epoch$epoch/$table"
@@ -217,8 +220,16 @@ object CrawlDriver {
       // prime a fresh crawl with a prior crawl's media_seen chain (the
       // reference's persistent FILES_STORE across runs: stat_file sees the
       // earlier run's files); needs cfg.filesExpiresDays ≥ 0 to matter
-      mediaPrimeDirs: Seq[String] = Nil): RunResult = {
+      mediaPrimeDirs: Seq[String] = Nil,
+      // the embedding "spider"'s hook over spider.state (`extensions/
+      // spiderstate.py`): the state loaded at spider_opened is passed
+      // through this just before spider_closed persists it — the batch
+      // face of a spider mutating `self.state` during the crawl
+      updateSpiderState: graft.operators.Py.PyDict => graft.operators.Py.PyDict =
+        identity): RunResult = {
     import spark.implicits._
+    // spider_opened: load the persisted spider.state (empty when absent)
+    val spiderStateOpen = graft.plans.SpiderState.load(root)
 
     // Pre-partition the corpus ("the web") by its join key once and keep it
     // cached: every epoch's fetch join then reuses this partitioning and only
@@ -686,7 +697,11 @@ object CrawlDriver {
       m = m.copy(finishReason = reason)
       Snapshot.write(root, m)
     }
-    RunResult(m, root, epochStats.toSeq)
+    // spider_closed: persist spider.state (pickle protocol 4, CPython
+    // byte-compatible) — the reference dumps unconditionally
+    val spiderStateClosed = updateSpiderState(spiderStateOpen)
+    graft.plans.SpiderState.save(root, spiderStateClosed)
+    RunResult(m, root, epochStats.toSeq, spiderStateClosed)
   }
 
   /** Full fetch log of a finished run, ordered. */

@@ -338,3 +338,140 @@ object PyMarshal {
     }
   }
 }
+
+/** Pickle reader for the value domain [[Pickle]] writes (`pickle.loads`
+  * over None/bool/int/float/str/bytes/list/tuple/dict trees — the
+  * `spider.state` / disk-queue payload domain). Handles protocol 2-4
+  * framing and memoization: PROTO, FRAME, MEMOIZE + BINPUT/LONG_BINPUT,
+  * BINGET/LONG_BINGET, the int family (BININT1/2, BININT, LONG1/LONG4),
+  * BINFLOAT, (SHORT_)BINUNICODE(8), (SHORT_)BINBYTES(8), list/tuple/dict
+  * construction via MARK + APPEND(S)/SETITEM(S)/TUPLE{,1,2,3}. Strings
+  * decode with the utf-8 "surrogatepass" codec (the inverse of
+  * [[Py.utf8SurrogatePass]]) so lone surrogates round-trip. Class
+  * instances (GLOBAL/REDUCE — e.g. datetime) are OUT of the domain and
+  * raise, like the documented exporter scope. The Py domain is acyclic,
+  * so memo entries are complete values by the time they are referenced
+  * (the writer cannot emit a self-referential structure). */
+object Unpickle {
+  import Py._
+
+  def loads(data: Array[Byte]): Py = {
+    var i = 0
+    def u8(): Int = { val v = data(i) & 0xff; i += 1; v }
+    def take(n: Int): Array[Byte] = {
+      val a = java.util.Arrays.copyOfRange(data, i, i + n); i += n; a }
+    def u16le(): Int = u8() | (u8() << 8)
+    def i32le(): Int = u8() | (u8() << 8) | (u8() << 16) | (u8() << 24)
+    def u64le(): Long = {
+      var v = 0L; var s = 0
+      while (s < 64) { v |= (u8().toLong << s); s += 8 }; v
+    }
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val marks = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // memo stores the LIVE value (a container's builder is memoized
+    // before its fills — APPENDS/SETITEMS run after MEMOIZE); by the time
+    // any BINGET dereferences it, the sequential tree walk has completed
+    // the fills, and the final freeze resolves builders structurally
+    val memo = scala.collection.mutable.ArrayBuffer.empty[Any]
+    // containers under construction are mutable builders on the stack;
+    // freeze converts (shared nodes were frozen before memo reference)
+    def freeze(v: Any): Py = v match {
+      case p: Py => p
+      case b: scala.collection.mutable.ArrayBuffer[_] =>
+        PyList(b.map(x => freeze(x)).toSeq)
+      case m: scala.collection.mutable.LinkedHashMap[_, _] =>
+        PyDict(m.toSeq.map { case (k, v2) => (freeze(k), freeze(v2)) })
+    }
+    def popMark(): Seq[Any] = {
+      val m = marks.remove(marks.size - 1)
+      val items = stack.slice(m, stack.size).toSeq
+      stack.remove(m, stack.size - m)
+      items
+    }
+    def surrogatePassDecode(b: Array[Byte]): String = {
+      val sb = new java.lang.StringBuilder(b.length)
+      var j = 0
+      while (j < b.length) {
+        val c0 = b(j) & 0xff
+        if (c0 < 0x80) { sb.append(c0.toChar); j += 1 }
+        else if ((c0 & 0xe0) == 0xc0) {
+          sb.append((((c0 & 0x1f) << 6) | (b(j + 1) & 0x3f)).toChar); j += 2
+        } else if ((c0 & 0xf0) == 0xe0) {
+          // includes the surrogate range D800-DFFF (surrogatepass)
+          sb.append((((c0 & 0x0f) << 12) | ((b(j + 1) & 0x3f) << 6) |
+            (b(j + 2) & 0x3f)).toChar); j += 3
+        } else {
+          val cp = ((c0 & 0x07) << 18) | ((b(j + 1) & 0x3f) << 12) |
+            ((b(j + 2) & 0x3f) << 6) | (b(j + 3) & 0x3f)
+          sb.appendCodePoint(cp); j += 4
+        }
+      }
+      sb.toString
+    }
+    def decodeLongLE(le: Array[Byte]): BigInt =
+      if (le.isEmpty) BigInt(0) else BigInt(le.reverse) // two's complement BE
+    while (true) {
+      val op = u8()
+      op match {
+        case 0x80 => u8() // PROTO
+        case 0x95 => u64le() // FRAME (length advisory)
+        case '.' =>
+          return freeze(stack.last)
+        case 'N' => stack += PyNone
+        case 0x88 => stack += PyBool(true)
+        case 0x89 => stack += PyBool(false)
+        case 'K' => stack += PyInt(BigInt(u8()))
+        case 'M' => stack += PyInt(BigInt(u16le()))
+        case 'J' => stack += PyInt(BigInt(i32le()))
+        case 0x8a => stack += PyInt(decodeLongLE(take(u8()))) // LONG1
+        case 0x8b => stack += PyInt(decodeLongLE(take(i32le()))) // LONG4
+        case 'G' =>
+          var bits = 0L
+          var k = 0
+          while (k < 8) { bits = (bits << 8) | u8(); k += 1 }
+          stack += PyFloat(java.lang.Double.longBitsToDouble(bits))
+        case 0x8c => stack += PyStr(surrogatePassDecode(take(u8())))
+        case 'X' => stack += PyStr(surrogatePassDecode(take(i32le())))
+        case 0x8d => stack += PyStr(surrogatePassDecode(take(u64le().toInt)))
+        case 'C' => stack += PyBytes(take(u8()))
+        case 'B' => stack += PyBytes(take(i32le()))
+        case 0x8e => stack += PyBytes(take(u64le().toInt))
+        case ']' => stack += scala.collection.mutable.ArrayBuffer.empty[Any]
+        case '}' => stack += scala.collection.mutable.LinkedHashMap.empty[Py, Any]
+        case ')' => stack += PyTuple(Nil)
+        case '(' => marks += stack.size
+        case 't' => stack += PyTuple(popMark().map(freeze))
+        case 0x85 | 0x86 | 0x87 =>
+          val n = op - 0x84
+          val items = stack.slice(stack.size - n, stack.size).toSeq.map(freeze)
+          stack.remove(stack.size - n, n)
+          stack += PyTuple(items)
+        case 'a' => // APPEND
+          val v = stack.remove(stack.size - 1)
+          stack.last.asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]] += v
+        case 'e' => // APPENDS
+          val items = popMark()
+          stack.last.asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]] ++= items
+        case 's' => // SETITEM
+          val v = stack.remove(stack.size - 1)
+          val k = freeze(stack.remove(stack.size - 1))
+          stack.last.asInstanceOf[
+            scala.collection.mutable.LinkedHashMap[Py, Any]].put(k, v)
+        case 'u' => // SETITEMS
+          val items = popMark()
+          val m = stack.last.asInstanceOf[
+            scala.collection.mutable.LinkedHashMap[Py, Any]]
+          items.grouped(2).foreach { kv => m.put(freeze(kv.head), kv(1)) }
+        case 0x94 => memo += stack.last // MEMOIZE
+        case 'q' => u8(); memo += stack.last // BINPUT (proto 2)
+        case 'r' => i32le(); memo += stack.last // LONG_BINPUT
+        case 'h' => stack += memo(u8()) // BINGET
+        case 'j' => stack += memo(i32le()) // LONG_BINGET
+        case other => throw new IllegalArgumentException(
+          f"unsupported pickle opcode 0x$other%02x at ${i - 1} " +
+            "(GLOBAL/REDUCE class instances are outside the Py domain)")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
