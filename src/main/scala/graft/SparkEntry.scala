@@ -25,7 +25,6 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_counter_agg")(spark, "/root/testdata/sf0.001")
 
-  private val canonUdf = udf((u: String) => UrlKit.canonicalizeUrl(u))
   private val fpBucketUdf = udf((u: String) =>
     Model.bucketOf(UrlKit.fingerprint(UrlKit.safeUrlString(u))))
   private val simhashUdf = udf((text: String) =>
@@ -37,28 +36,44 @@ object SparkEntry {
     })
   private val rollingFpUdf = udf((text: String) =>
     f"${TextFunctions.rollingFingerprint(text)}%016x")
-  private val cssSelectUdf = udf((html: String, q: String) =>
-    graft.extract.Sel.cssSelectAll(html, q))
   /** Shared by q_minhash_band_neardup / q_neardup_clusters: the LSH
     * candidate edge list from SQL primitives (md5-family hashes — so DuckDB
     * replays it bit-for-bit). 8 signature mins ride ONE map-side-partial
     * aggregate; pairs come from a band equi-join, never all-pairs. */
   private def minhashBandEdges(s: SparkSession, dir: String): DataFrame = {
+    // r6 optimization (guide §1.2 "the distributed algorithm" + §2.4):
+    // the r5 shape exploded grams and took the 8 signature mins with a
+    // groupBy — min(string) forces SortAggregate (sort ALL gram rows by
+    // doc_id, twice around an Exchange), and the self-join recomputed the
+    // whole subtree for each side (2 full gram passes). Also the transform
+    // lambda re-tokenized `text` per gram (HOFs are interpreted; the outer
+    // `tk` subtree is evaluated per element), making per-doc cost O(T²).
+    // New shape: tokens projected ONCE per row, the signature computed
+    // per-row with array_min over transformed gram arrays (no Generate, no
+    // Sort, no Exchange at all before the band join), and the tiny bands
+    // table (2 rows/doc) localCheckpoint'd so the self-join reads it twice
+    // without recomputing. Equivalence: array_min = lexicographic min of
+    // the same md5 set (min over a group of exploded rows = min over the
+    // array); docs with <5 tokens had no exploded rows and vanished before
+    // the join — here they carry null mins → null bkey → dropped by the
+    // inner equi-join. Same pairs, bit-for-bit (DuckDB gate: green).
     val tk = filter(split(col("text"), " "), x => x =!= "")
-    val grams = t(s, dir, "documents")
+    val withGrams = t(s, dir, "documents")
+      .select(col("doc_id"), tk.as("tk"))
       .select(col("doc_id"),
-        explode(when(size(tk) >= 5,
-          transform(sequence(lit(1), size(tk) - lit(4)),
-            i => concat_ws(" ", slice(tk, i, lit(5)))))
-          .otherwise(array().cast("array<string>"))).as("g"))
-    val mins = (0 until 8).map(k =>
-      min(md5(concat(lit(s"$k|"), col("g")))).as(s"m$k"))
-    val sig = grams.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+        when(size(col("tk")) >= 5,
+          transform(sequence(lit(1), size(col("tk")) - lit(4)),
+            i => concat_ws(" ", slice(col("tk"), i, lit(5)))))
+          .otherwise(array().cast("array<string>")).as("grams"))
+    val sig = withGrams.select(col("doc_id") +: (0 until 8).map(k =>
+      array_min(transform(col("grams"), g => md5(concat(lit(s"$k|"), g))))
+        .as(s"m$k")): _*)
     val bands = sig.select(col("doc_id"),
       posexplode(array(
         md5(concat(col("m0"), col("m1"), col("m2"), col("m3"))),
         md5(concat(col("m4"), col("m5"), col("m6"), col("m7")))))
         .as(Seq("band", "bkey")))
+      .localCheckpoint()
     val x = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
     val y = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
     x.join(y, Seq("band", "bkey"))
@@ -162,7 +177,10 @@ object SparkEntry {
         .withColumn("raw_url", concat(
           lit("HTTP://H"), (col("o_custkey") % 50).cast("string"),
           lit(".TEST/p/"), col("o_orderkey").cast("string"), lit("?b=2&a=1")))
-        .select(col("o_orderkey"), canonUdf(col("raw_url")).as("canonical_url"))),
+        // r6: codegen'd Expression form of the same UrlKit.canonicalizeUrl
+        // (ExpressionsSpec-pinned parity) — no ScalaUDF round-trip
+        .select(col("o_orderkey"),
+          expr("graft_canonicalize(raw_url)").as("canonical_url"))),
 
     // ---- response-class dispatch (responsetypes.py; SURVEY §2.1/§2.8) ----
     // headers → URL extension precedence chain through the REAL
@@ -305,16 +323,22 @@ object SparkEntry {
         .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_bytes"))),
 
     // ---- similarity search: brute-force cosine top-k (verified ranking) ---
+    // r6: cosine kernel moved to the codegen'd graft_dot expression (the
+    // HOF chain aggregate(zip_with(...)) is interpreted, evaluated per
+    // candidate pair) and each side's norm hoisted BELOW the cross join —
+    // computed once per vector instead of once per pair. FP-identical:
+    // graft_dot replays the same ascending-index add/mul sequence and
+    // sqrt(Σx²) per side is the same double later multiplied (DuckDB
+    // ranking gate: green, same hash).
     "q_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("emb").as("qe"))
-      val v = e.select(col("vec_id").as("neighbor_id"), col("emb").as("ve"))
-      val cos = expr(
-        "aggregate(zip_with(qe, ve, (x, y) -> x * y), 0D, (a, x) -> a + x) / " +
-        "(sqrt(aggregate(qe, 0D, (a, x) -> a + x * x)) * " +
-        " sqrt(aggregate(ve, 0D, (a, x) -> a + x * x)))")
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+          expr("sqrt(graft_dot(emb, emb))").as("qn"))
+      val v = e.select(col("vec_id").as("neighbor_id"), col("emb").as("ve"),
+        expr("sqrt(graft_dot(emb, emb))").as("vn"))
+      val cos = expr("graft_dot(qe, ve)") / (col("qn") * col("vn"))
       val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
       q.crossJoin(v)
         .filter(col("neighbor_id") =!= col("query_id"))
@@ -442,19 +466,30 @@ object SparkEntry {
     // the 100-TB shape; outputs are exact integers. NB: Spark's
     // sequence(1, 0) yields [1, 0] (descending), so short docs need the
     // explicit empty-array guard to match DuckDB's empty generate_series. --
+    // r6 optimization (guide §1.2/§2.3/§2.4): the r5 shape ran the gram
+    // Generate TWICE (once for the count-distinct side, once for the join
+    // probe side) and the transform lambda re-tokenized `text` per gram
+    // (HOFs are interpreted — the outer `tk` subtree evaluates per element:
+    // O(T²) per doc). New shape: tokens projected ONCE per row, ONE gram
+    // pass, map-side partial agg collapses to distinct (doc_id, gram)
+    // pairs with their occurrence count c, then nd (docs-per-gram) is a
+    // window count over the pair table — no second Generate, no full-gram
+    // join. Equivalence: n_grams = Σ_g c, n_dup_grams = Σ_{nd>1} c (the
+    // per-occurrence sum grouped). DuckDB gate: green, same hash.
     "q_dup_ngram_fraction" -> ((s, dir) => {
       val tk = filter(split(col("text"), " "), x => x =!= "")
       val grams = t(s, dir, "documents")
+        .select(col("doc_id"), tk.as("tk"))
         .select(col("doc_id"),
-          explode(when(size(tk) >= 8,
-            transform(sequence(lit(1), size(tk) - lit(7)),
-              i => md5(concat_ws(" ", slice(tk, i, lit(8))))))
+          explode(when(size(col("tk")) >= 8,
+            transform(sequence(lit(1), size(col("tk")) - lit(7)),
+              i => md5(concat_ws(" ", slice(col("tk"), i, lit(8))))))
             .otherwise(array().cast("array<string>"))).as("g"))
-      val gc = grams.groupBy("g").agg(countDistinct("doc_id").as("nd"))
-      grams.join(gc, "g")
+      val dg = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      dg.withColumn("nd", count(lit(1)).over(Window.partitionBy("g")))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+        .agg(sum("c").as("n_grams"),
+          sum(when(col("nd") > 1, col("c")).otherwise(0L)).as("n_dup_grams"))
     }),
 
     // ---- benchmark decontamination: flag training docs sharing any 8-gram
@@ -465,12 +500,16 @@ object SparkEntry {
     // (map-side partial agg). This is the shape decontamination keeps at
     // 100 TB: benchmark grams always fit in memory, the corpus streams. --
     "q_decontaminate" -> ((s, dir) => {
+      // r6: tokens projected once per row before the gram transform — the
+      // inline form re-tokenized `text` per gram inside the interpreted
+      // HOF lambda, O(T²) per doc (same fix as q_dup_ngram_fraction).
       val tk = filter(split(col("text"), " "), x => x =!= "")
-      val gramsOf = (df: DataFrame) => df.select(col("doc_id"),
-        explode(when(size(tk) >= 8,
-          transform(sequence(lit(1), size(tk) - lit(7)),
-            i => md5(concat_ws(" ", slice(tk, i, lit(8))))))
-          .otherwise(array().cast("array<string>"))).as("g"))
+      val gramsOf = (df: DataFrame) => df.select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"),
+          explode(when(size(col("tk")) >= 8,
+            transform(sequence(lit(1), size(col("tk")) - lit(7)),
+              i => md5(concat_ws(" ", slice(col("tk"), i, lit(8))))))
+            .otherwise(array().cast("array<string>"))).as("g"))
       val docs = t(s, dir, "documents")
       val bench = docs.orderBy("doc_id").limit(10)
       val benchGrams = gramsOf(bench).select("g").distinct()
@@ -491,8 +530,11 @@ object SparkEntry {
         lit("</a><a href='/alt/"), col("doc_id"), lit("'>x</a></div>"))
       t(s, dir, "documents")
         .withColumn("html", html)
+        // r6: the codegen'd Expression form (same Sel.cssSelectAll under-
+        // neath, ExpressionsSpec-pinned parity) — no ScalaUDF encoder
+        // round-trip per row
         .select(col("doc_id"),
-          explode(cssSelectUdf(col("html"), lit("a::attr(href)"))).as("href"))
+          explode(expr("graft_css_select(html, 'a::attr(href)')")).as("href"))
         .groupBy("doc_id")
         .agg(count("*").as("n_links"),
           min("href").as("first_href"),
@@ -586,8 +628,13 @@ object SparkEntry {
 
     // MinHash+LSH near-dup candidates: shingle→minhash→band→bucket-join
     "q_minhash_lsh" -> ((s, dir) => {
+      // r6: localCheckpoint the tiny bands table (2 rows/doc) so the
+      // self-join reads it twice instead of running the minhash-signature
+      // UDF over the corpus twice (guide §3.3: materialize an intermediate
+      // to stop a self-join duplicating an expensive subtree).
       val bands = t(s, dir, "documents")
         .select(col("doc_id"), explode(minhashBandsUdf(col("text"))).as("band_key"))
+        .localCheckpoint()
       val a = bands.withColumnRenamed("doc_id", "doc_a")
       val b = bands.withColumnRenamed("doc_id", "doc_b")
       a.join(b, Seq("band_key"))
@@ -635,15 +682,18 @@ object SparkEntry {
     // sort. Verified: integer-only output, ranking cross-checked by DuckDB
     // list_cosine_similarity (same pattern as q_ann_topk).
     "q_embedding_neardup" -> ((s, dir) => {
+      // r6: codegen'd graft_dot + per-vector norm hoisted below the join
+      // (was an interpreted HOF chain per in-label pair) — FP-identical,
+      // see q_ann_topk.
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("emb"))
-      val a = e.select(col("label"), col("vec_id"), col("emb").as("ea"))
-      val b = e.select(col("label"), col("vec_id").as("cand_id"), col("emb").as("eb"))
-      val cos = expr(
-        "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (a, x) -> a + x) / " +
-        "(sqrt(aggregate(ea, 0D, (a, x) -> a + x * x)) * " +
-        " sqrt(aggregate(eb, 0D, (a, x) -> a + x * x)))")
+        .withColumn("nrm", expr("sqrt(graft_dot(emb, emb))"))
+      val a = e.select(col("label"), col("vec_id"), col("emb").as("ea"),
+        col("nrm").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("cand_id"),
+        col("emb").as("eb"), col("nrm").as("nb"))
+      val cos = expr("graft_dot(ea, eb)") / (col("na") * col("nb"))
       a.join(b, Seq("label"))
         .filter(col("vec_id") =!= col("cand_id"))
         .withColumn("cos", cos)

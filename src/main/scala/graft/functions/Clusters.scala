@@ -29,9 +29,15 @@ object Clusters {
     * singletons — callers left-join and coalesce to the doc id. */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 25): DataFrame = {
+    // r6 optimization: sym is hash-partitioned on the join key before the
+    // persist, so every round's neighborhood join reuses the cached
+    // partitioning (InMemoryRelation preserves outputPartitioning) instead
+    // of re-shuffling the edge table each iteration (guide §2.4: two
+    // operations keyed the same way share one exchange).
     val sym = edges.select(col(src).as("nbr"), col(dst).as("node"))
       .union(edges.select(col(dst).as("nbr"), col(src).as("node")))
       .distinct()
+      .repartition(col("nbr"))
       .persist()
     var labels = sym.select(col("node")).distinct()
       .withColumn("cluster", col("node"))
@@ -43,18 +49,18 @@ object Clusters {
       val nbrMin = sym
         .join(labels.select(col("node").as("nbr"), col("cluster")), "nbr")
         .groupBy("node").agg(min("cluster").as("nbrMin"))
+      // r6: the moved flag rides the update row, so convergence is a
+      // filter+limit over the checkpointed result — the r5 probe paid a
+      // shuffle join of next×labels every round (guide §2.4: remove
+      // shuffles outright). moved ⟺ the neighborhood min beat the label.
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("cluster"), coalesce(col("nbrMin"), col("cluster")))
-            .as("cluster"))
+            .as("cluster"),
+          coalesce(col("nbrMin") < col("cluster"), lit(false)).as("moved"))
         .localCheckpoint()
-      // convergence probe: any row whose label still moved? LIMIT 1 short-
-      // circuits — the probe reads at most one changed row per partition
-      val changed = next
-        .join(labels.select(col("node"), col("cluster").as("prev")), "node")
-        .filter(col("cluster") =!= col("prev"))
-        .limit(1).count()
-      labels = next
+      val changed = next.filter(col("moved")).limit(1).count()
+      labels = next.select(col("node"), col("cluster"))
       converged = changed == 0L
       i += 1
     }

@@ -12,10 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def cosExpr(a: String, b: String) = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / " +
-    s"(sqrt(aggregate($a, 0D, (acc, x) -> acc + x * x)) * " +
-    s" sqrt(aggregate($b, 0D, (acc, x) -> acc + x * x)))")
+  /** r6 optimization: the cosine kernel is the codegen'd graft_dot
+    * expression (the interpreted aggregate/zip_with HOF chain evaluated
+    * per candidate pair was the hot path), with each side's norm hoisted
+    * to a per-vector column computed once BELOW the joins. FP-identical to
+    * the r5 form: same ascending-index add/mul fold, sqrt of the same sum,
+    * the same two doubles multiplied — outputs are unchanged bit-for-bit. */
+  private def dotExpr(a: String, b: String) = expr(s"graft_dot($a, $b)")
+  private def normExpr(a: String) = expr(s"sqrt(graft_dot($a, $a))")
 
   private def cosine(a: Seq[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -111,38 +115,41 @@ object Similarity {
     import spark.implicits._
     val e = embeddings
       .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+      .withColumn("nrm", normExpr("emb"))
       .persist()
     val centroids = spark.createDataFrame(
       trainCentroids(spark, e, nLists)).toDF("list_id", "centroid")
+      .withColumn("cnrm", normExpr("centroid"))
 
     // assign every vector to its nearest centroid: max_by aggregation —
     // map-side partial agg collapses the crossJoin before the shuffle
     val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosExpr("emb", "centroid"))
+      .withColumn("sim", dotExpr("emb", "centroid") / ($"nrm" * $"cnrm"))
       .groupBy($"vec_id")
       .agg(
         max_by($"list_id", struct($"sim", -$"list_id")).as("list_id"),
-        first($"emb").as("ve")) // all rows of a vec_id carry the same emb
+        first($"emb").as("ve"), // all rows of a vec_id carry the same emb
+        first($"nrm").as("vnrm"))
       .persist()
 
     // queries probe their nProbe nearest lists: per query there are exactly
     // nLists sims — collect, sort, slice (bounded by nLists, not the data)
     val queries = e.filter($"vec_id".isin(queryIds: _*))
-      .select($"vec_id".as("query_id"), $"emb".as("qe"))
+      .select($"vec_id".as("query_id"), $"emb".as("qe"), $"nrm".as("qnrm"))
     val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosExpr("qe", "centroid"))
+      .withColumn("sim", dotExpr("qe", "centroid") / ($"qnrm" * $"cnrm"))
       .groupBy($"query_id")
       .agg(
-        first($"qe").as("qe"),
+        first($"qe").as("qe"), first($"qnrm").as("qnrm"),
         slice(sort_array(collect_list(
           struct((-$"sim").as("nsim"), $"list_id".as("list_id")))), 1, nProbe).as("top"))
-      .select($"query_id", $"qe", explode($"top.list_id").as("list_id"))
+      .select($"query_id", $"qe", $"qnrm", explode($"top.list_id").as("list_id"))
 
     // candidate join restricted to probed lists, then exact top-k
     val wRank = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     probes.join(assigned, Seq("list_id"))
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("cos", cosExpr("qe", "ve"))
+      .withColumn("cos", dotExpr("qe", "ve") / ($"qnrm" * $"vnrm"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter($"rank" <= k)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"))
@@ -164,34 +171,36 @@ object Similarity {
     import spark.implicits._
     val e = embeddings
       .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+      .withColumn("nrm", normExpr("emb"))
       .persist()
     val centroids = spark.createDataFrame(
       trainCentroids(spark, e, nLists)).toDF("list_id", "centroid")
+      .withColumn("cnrm", normExpr("centroid"))
 
     // membership: nearest list per vector (one bounded max_by shuffle)
     val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosExpr("emb", "centroid"))
+      .withColumn("sim", dotExpr("emb", "centroid") / ($"nrm" * $"cnrm"))
       .groupBy($"vec_id")
       .agg(
         max_by($"list_id", struct($"sim", -$"list_id")).as("list_id"),
-        first($"emb").as("ve"))
+        first($"emb").as("ve"), first($"nrm").as("vnrm"))
 
     // probing: every vector expands to its nProbe nearest lists (bounded by
     // nLists per vector pre-aggregation, nProbe rows after)
     val probes = e.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosExpr("emb", "centroid"))
+      .withColumn("sim", dotExpr("emb", "centroid") / ($"nrm" * $"cnrm"))
       .groupBy($"vec_id")
       .agg(
-        first($"emb").as("qe"),
+        first($"emb").as("qe"), first($"nrm").as("qnrm"),
         slice(sort_array(collect_list(
           struct((-$"sim").as("nsim"), $"list_id".as("list_id")))), 1, nProbe).as("top"))
-      .select($"vec_id", $"qe", explode($"top.list_id").as("list_id"))
+      .select($"vec_id", $"qe", $"qnrm", explode($"top.list_id").as("list_id"))
 
     // candidate join co-partitioned on list_id; nearest via max_by
-    val cands = assigned.select($"list_id", $"vec_id".as("cand_id"), $"ve")
+    val cands = assigned.select($"list_id", $"vec_id".as("cand_id"), $"ve", $"vnrm")
     probes.join(cands, Seq("list_id"))
       .filter($"vec_id" =!= $"cand_id")
-      .withColumn("cos", cosExpr("qe", "ve"))
+      .withColumn("cos", dotExpr("qe", "ve") / ($"qnrm" * $"vnrm"))
       .groupBy($"vec_id")
       .agg(max_by($"cand_id", struct($"cos", -$"cand_id")).as("nn_id"))
   }
@@ -202,10 +211,12 @@ object Similarity {
     import spark.implicits._
     val e = embeddings
       .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+      .withColumn("nrm", normExpr("emb"))
     val centroids = spark.createDataFrame(
       trainCentroids(spark, e, nLists)).toDF("list_id", "centroid")
+      .withColumn("cnrm", normExpr("centroid"))
     e.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosExpr("emb", "centroid"))
+      .withColumn("sim", dotExpr("emb", "centroid") / ($"nrm" * $"cnrm"))
       .groupBy($"vec_id")
       .agg(max_by($"list_id", struct($"sim", -$"list_id")).as("list_id"))
   }
@@ -214,13 +225,14 @@ object Similarity {
   def bruteTopK(spark: SparkSession, embeddings: DataFrame, queryIds: Seq[Long], k: Int = 3): DataFrame = {
     import spark.implicits._
     val e = embeddings.select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+      .withColumn("nrm", normExpr("emb"))
     val q = e.filter($"vec_id".isin(queryIds: _*))
-      .select($"vec_id".as("query_id"), $"emb".as("qe"))
-    val v = e.select($"vec_id".as("neighbor_id"), $"emb".as("ve"))
+      .select($"vec_id".as("query_id"), $"emb".as("qe"), $"nrm".as("qnrm"))
+    val v = e.select($"vec_id".as("neighbor_id"), $"emb".as("ve"), $"nrm".as("vnrm"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
     q.crossJoin(v)
       .filter($"neighbor_id" =!= $"query_id")
-      .withColumn("cos", cosExpr("qe", "ve"))
+      .withColumn("cos", dotExpr("qe", "ve") / ($"qnrm" * $"vnrm"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= k)
       .select($"query_id", $"rank", $"neighbor_id")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, BinaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot scalar functions (SURVEY §2.11:
@@ -37,6 +37,25 @@ object GraftExprs {
 
   def jmespathSelect(json: UTF8String, query: UTF8String): ArrayData =
     toArrayData(graft.extract.JmesPath.selectAll(json.toString, query.toString))
+
+  /** Dot product over two array<double> columns, bit-identical to the
+    * interpreted HOF chain `aggregate(zip_with(a, b, (x,y) -> x*y), 0D,
+    * (acc,x) -> acc + x)`: same ascending-index IEEE add/mul sequence, null
+    * when the lengths differ or any element is null (zip_with pads the
+    * shorter side with null, null products poison the fold). Boxed return
+    * so codegen can see the null. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
 }
 
 /** canonicalize_url as a codegen-friendly unary expression. */
@@ -136,6 +155,31 @@ case class JmesPathSelectExpr(left: Expression, right: Expression)
   override def prettyName: String = "graft_jmespath"
 }
 
+/** Codegen'd cosine-kernel dot product (r6 optimization round, guide "per-
+  * task work": the similarity queries' hot path was the interpreted
+  * `aggregate(zip_with(...))` HOF pair, evaluated per candidate pair).
+  * `graft_dot(a, b)` → double; FP-identical to the HOF chain it replaces
+  * (see [[GraftExprs.dot]]), so DuckDB-verified rankings are unchanged. */
+case class DotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null elements / length mismatch
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftExprs.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotRes")
+      s"""java.lang.Double $r = graft.plans.GraftExprs.dot($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_dot"
+}
+
 /** Session extensions: register the expressions as SQL functions —
   * `spark.sql("SELECT graft_canonicalize(url) ...")` — via
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or config
@@ -162,6 +206,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_xpath_select"),
       new ExpressionInfo(classOf[XPathSelectExpr].getName, "graft_xpath_select"),
       (children: Seq[Expression]) => XPathSelectExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotExpr(children.head, children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_jmespath"),
       new ExpressionInfo(classOf[JmesPathSelectExpr].getName, "graft_jmespath"),

@@ -66,6 +66,44 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(rows.exists(r => !r.isNullAt(0) && r.getString(0) == "http://h.test/a"))
   }
 
+  test("graft_dot parity with the aggregate/zip_with HOF chain (r6)") {
+    import spark.implicits._
+    // deterministic pseudo-random vectors incl. the edge cases the HOF
+    // chain defines: equal-length (the kernel), different lengths (null —
+    // zip_with pads with null, the fold poisons), null element (null),
+    // empty arrays (0.0)
+    val vecs: Seq[(Seq[java.lang.Double], Seq[java.lang.Double])] = Seq(
+      (Seq[java.lang.Double](1.0, 2.5, -3.25), Seq[java.lang.Double](0.5, -1.0, 4.0)),
+      ((1 to 64).map(i => java.lang.Double.valueOf(math.sin(i) * i)),
+        (1 to 64).map(i => java.lang.Double.valueOf(math.cos(i) / (i + 1)))),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)), // length mismatch
+      (Seq[java.lang.Double](1.0, null, 2.0), Seq[java.lang.Double](1.0, 1.0, 1.0)), // null elem
+      (Seq.empty[java.lang.Double], Seq.empty[java.lang.Double]))
+    val df = vecs.toDF("a", "b").selectExpr(
+      "cast(a as array<double>) a", "cast(b as array<double>) b")
+    val rows = df.selectExpr(
+      "graft_dot(a, b) AS fast",
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x) AS hof")
+      .collect()
+    for (r <- rows) {
+      assert(r.isNullAt(0) === r.isNullAt(1), s"null mismatch: $r")
+      if (!r.isNullAt(0))
+        // bit-identical, not approximately equal — the similarity queries'
+        // DuckDB-verified rankings depend on the exact doubles
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"FP mismatch: $r")
+    }
+    // codegen span: the expression must run inside whole-stage codegen
+    val gen = spark.range(50)
+      .selectExpr("array(cast(id as double), cast(id+1 as double)) AS a")
+      .selectExpr("graft_dot(a, a) AS n")
+    val plan = gen.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dot") && plan.contains("*(1) Project"),
+      s"no codegen span:\n$plan")
+    val got = gen.as[Double].collect()
+    assert(got.take(2) === Array(1.0, 1.0 + 4.0))
+  }
+
   test("css_select / xpath_select expressions (codegen + SQL + explode)") {
     import spark.implicits._
     val html =

@@ -197,8 +197,14 @@ class PlanSpec extends AnyFunSuite {
       s"band bucketing must plan an equi-join:\n$p")
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
       p.contains("ShuffledHashJoin"), s"expected an equi-join on (band, bkey):\n$p")
-    assert("partial_min".r.findAllIn(p).size >= 8,
-      s"the 8 signature mins must be map-side partial:\n$p")
+    // r6 shape: the 8 signature mins are per-row array_min over the gram
+    // array (no Generate, no SortAggregate, no Exchange before the band
+    // join) and the bands table is localCheckpoint'd so the self-join reads
+    // the materialized RDD twice instead of recomputing the signatures
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      s"both join sides must read the checkpointed bands table:\n$p")
+    assert(!p.contains("SortAggregate") && !p.contains("Generate"),
+      s"signatures must be per-row (no explode/sort-agg in the edge plan):\n$p")
   }
 
   test("embedding near-dup argmax is an aggregate, not a window over the join") {
