@@ -20,6 +20,36 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Table read with scale-adaptive scan fan-out (guide §2: derive the
+    * partitioning from input size, never a constant tuned for one mode).
+    * Parquet split planning caps scan parallelism at
+    * ceil(bytes / maxPartitionBytes) — an input smaller than
+    * maxPartitionBytes × cores cannot fill the cluster, so every per-row
+    * expression downstream runs on a handful of cores while the rest idle.
+    * For such inputs a round-robin repartition to defaultParallelism costs
+    * one tiny exchange (bounded by the input size, which is small exactly
+    * when the branch fires) and parallelizes the downstream per-row work;
+    * at 100 TB the scan already yields thousands of splits and this is a
+    * no-op. Used ONLY where heavy per-row compute (md5 gram pipelines, DOM
+    * parses, hash UDFs) follows the scan — for shuffle-light queries the
+    * extra exchange costs more than it saves (measured, OPTIMIZATION_r06). */
+  private def tf(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = s.read.parquet(path)
+    val cores = s.sparkContext.defaultParallelism
+    val maxSplit = s.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+      .stripSuffix("b").toLong
+    val bytes = tableBytes.getOrElseUpdate(path, {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength
+    })
+    val enabled = sys.env.getOrElse("GRAFT_SCAN_FANOUT", "1") != "0"
+    if (enabled && bytes < maxSplit * cores.toLong) df.repartition(cores) else df
+  }
+  private val tableBytes =
+    new scala.collection.concurrent.TrieMap[String, Long]()
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows > 0): the stats
     * counter aggregation (reference StatsCollector semantics). */
   def entry(spark: SparkSession): DataFrame =
@@ -40,7 +70,7 @@ object SparkEntry {
     * candidate edge list from SQL primitives (md5-family hashes — so DuckDB
     * replays it bit-for-bit). 8 signature mins ride ONE map-side-partial
     * aggregate; pairs come from a band equi-join, never all-pairs. */
-  private def minhashBandEdges(s: SparkSession, dir: String): DataFrame = {
+  private def minhashBandPairs(s: SparkSession, dir: String): DataFrame = {
     // r6 optimization (guide §1.2 "the distributed algorithm" + §2.4):
     // the r5 shape exploded grams and took the 8 signature mins with a
     // groupBy — min(string) forces SortAggregate (sort ALL gram rows by
@@ -58,7 +88,7 @@ object SparkEntry {
     // the join — here they carry null mins → null bkey → dropped by the
     // inner equi-join. Same pairs, bit-for-bit (DuckDB gate: green).
     val tk = filter(split(col("text"), " "), x => x =!= "")
-    val withGrams = t(s, dir, "documents")
+    val withGrams = tf(s, dir, "documents")
       .select(col("doc_id"), tk.as("tk"))
       .select(col("doc_id"),
         when(size(col("tk")) >= 5,
@@ -78,8 +108,10 @@ object SparkEntry {
     val y = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
     x.join(y, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b")
   }
+  private def minhashBandEdges(s: SparkSession, dir: String): DataFrame =
+    minhashBandPairs(s, dir).distinct()
 
   private val jsonCustUdf = udf((js: String) =>
     graft.extract.Json.loads(js)("who")("cust") match {
@@ -510,7 +542,7 @@ object SparkEntry {
             transform(sequence(lit(1), size(col("tk")) - lit(7)),
               i => md5(concat_ws(" ", slice(col("tk"), i, lit(8))))))
             .otherwise(array().cast("array<string>"))).as("g"))
-      val docs = t(s, dir, "documents")
+      val docs = tf(s, dir, "documents")
       val bench = docs.orderBy("doc_id").limit(10)
       val benchGrams = gramsOf(bench).select("g").distinct()
       gramsOf(docs.join(bench.select("doc_id"), Seq("doc_id"), "left_anti"))
@@ -589,8 +621,11 @@ object SparkEntry {
     // same band-join edges, so the distributed iterate is value-verified
     // end-to-end (shingle→minhash→LSH→cluster)
     "q_neardup_clusters" -> ((s, dir) =>
+      // r6: feeds the pre-distinct pair stream — connectedComponents'
+      // union+distinct symmetrization dedups anyway (same edge SET, one
+      // less Exchange; DuckDB gate green)
       graft.functions.Clusters
-        .connectedComponents(minhashBandEdges(s, dir), "doc_a", "doc_b")
+        .connectedComponents(minhashBandPairs(s, dir), "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("cluster"))),
 
     // ---- SimHash, DuckDB-verified (the verification twin of q_simhash):
@@ -632,7 +667,7 @@ object SparkEntry {
       // self-join reads it twice instead of running the minhash-signature
       // UDF over the corpus twice (guide §3.3: materialize an intermediate
       // to stop a self-join duplicating an expensive subtree).
-      val bands = t(s, dir, "documents")
+      val bands = tf(s, dir, "documents")
         .select(col("doc_id"), explode(minhashBandsUdf(col("text"))).as("band_key"))
         .localCheckpoint()
       val a = bands.withColumnRenamed("doc_id", "doc_a")

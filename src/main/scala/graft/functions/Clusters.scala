@@ -49,17 +49,21 @@ object Clusters {
       val nbrMin = sym
         .join(labels.select(col("node").as("nbr"), col("cluster")), "nbr")
         .groupBy("node").agg(min("cluster").as("nbrMin"))
-      // r6: the moved flag rides the update row, so convergence is a
-      // filter+limit over the checkpointed result — the r5 probe paid a
-      // shuffle join of next×labels every round (guide §2.4: remove
-      // shuffles outright). moved ⟺ the neighborhood min beat the label.
+      // r6: the moved count rides an observe() metric collected DURING the
+      // checkpoint materialization — one job per round; the r5 probe paid a
+      // shuffle join of next×labels every round, and the first r6 cut
+      // (moved flag + filter/limit over the checkpointed rows) still paid a
+      // separate probe job per round (guide §2.4: remove shuffles — and
+      // jobs — outright). moved ⟺ the neighborhood min beat the label.
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("cluster"), coalesce(col("nbrMin"), col("cluster")))
             .as("cluster"),
           coalesce(col("nbrMin") < col("cluster"), lit(false)).as("moved"))
+        .observe(obs, sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
         .localCheckpoint()
-      val changed = next.filter(col("moved")).limit(1).count()
+      val changed = Option(obs.get("n_moved")).fold(0L)(_.asInstanceOf[Long])
       labels = next.select(col("node"), col("cluster"))
       converged = changed == 0L
       i += 1

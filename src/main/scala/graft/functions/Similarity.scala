@@ -99,11 +99,53 @@ object Similarity {
     cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
   }
 
-  /** IVF top-k. The quantizer is broadcast (nLists is small by design);
-    * vector→list assignment and query→probe selection are partial-aggregated
-    * `max_by`/bounded `collect_list` GROUP BYs — one map-side-combined
-    * shuffle each, never a window sort over the vectors×centroids cross
-    * product. Only the final per-query rank (candidates already cut to the
+  /** Per-row codegen'd expressions over the trained (driver-side) quantizer
+    * — the r6 shape of assignment and probe selection (guide §2.4: remove
+    * shuffles outright). The r5 form crossJoined every vector with the
+    * broadcast centroid table and aggregated back with max_by /
+    * collect_list: one nLists-fold row blowup plus one shuffle per use.
+    * The quantizer is already a driver-side array after training, so the
+    * argmax/top-nProbe over nLists sims is a per-row expression — NO
+    * crossJoin, NO Exchange, map-only.
+    *
+    * FP/tie equivalence with the r5 aggregates (outputs bit-identical):
+    * sims are the same `graft_dot(emb, cent_k)/(nrm*cnrm_k)` doubles
+    * (cnrm_k computed driver-side by the same ascending-index fold +
+    * sqrt the normExpr column ran); `array_position(sims, array_max(sims))`
+    * picks the max with ties to the FIRST index = max_by(struct(sim,
+    * -list_id)); `slice(array_sort(struct(-sim, list_id)), 1, nProbe)`
+    * orders exactly like sort_array over the collected structs. */
+  private def centSims(cents: Seq[(Int, Array[Double])],
+      emb: String, nrm: String): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.lit
+    cents.map { case (_, c) =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      val cnrm = math.sqrt(s) // same fold normExpr runs on the centroid col
+      expr(s"graft_dot($emb, ${litArraySql(c)})") / (col(nrm) * lit(cnrm))
+    }
+  }
+  private def litArraySql(c: Array[Double]): String =
+    c.mkString("array(", "D,", "D)")
+  /** nearest list id per row: first index (0-based) of the max sim. */
+  private def assignCol(cents: Seq[(Int, Array[Double])],
+      emb: String, nrm: String): org.apache.spark.sql.Column = {
+    val sims = array(centSims(cents, emb, nrm): _*)
+    (array_position(sims, array_max(sims)) - 1L).cast("int")
+  }
+  /** the nProbe nearest list ids per row, orderd by (-sim, list_id). */
+  private def probeCol(cents: Seq[(Int, Array[Double])],
+      emb: String, nrm: String, nProbe: Int): org.apache.spark.sql.Column = {
+    val pairs = centSims(cents, emb, nrm).zipWithIndex.map { case (s, i) =>
+      struct((-s).as("nsim"), lit(i).as("list_id"))
+    }
+    slice(array_sort(array(pairs: _*)), 1, nProbe).getField("list_id")
+  }
+
+  /** IVF top-k. The quantizer is a driver-side literal (nLists is small by
+    * design); vector→list assignment and query→probe selection are per-row
+    * codegen'd expressions (see [[centSims]]) — map-only, no crossJoin, no
+    * Exchange. Only the final per-query rank (candidates already cut to the
     * probed lists) uses a window. */
   def ivfTopK(
       spark: SparkSession,
@@ -117,33 +159,18 @@ object Similarity {
       .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
       .withColumn("nrm", normExpr("emb"))
       .persist()
-    val centroids = spark.createDataFrame(
-      trainCentroids(spark, e, nLists)).toDF("list_id", "centroid")
-      .withColumn("cnrm", normExpr("centroid"))
+    val cents = trainCentroids(spark, e, nLists)
 
-    // assign every vector to its nearest centroid: max_by aggregation —
-    // map-side partial agg collapses the crossJoin before the shuffle
-    val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("sim", dotExpr("emb", "centroid") / ($"nrm" * $"cnrm"))
-      .groupBy($"vec_id")
-      .agg(
-        max_by($"list_id", struct($"sim", -$"list_id")).as("list_id"),
-        first($"emb").as("ve"), // all rows of a vec_id carry the same emb
-        first($"nrm").as("vnrm"))
-      .persist()
+    // assign every vector to its nearest centroid: per-row argmax
+    val assigned = e
+      .select($"vec_id", assignCol(cents, "emb", "nrm").as("list_id"),
+        $"emb".as("ve"), $"nrm".as("vnrm"))
 
-    // queries probe their nProbe nearest lists: per query there are exactly
-    // nLists sims — collect, sort, slice (bounded by nLists, not the data)
-    val queries = e.filter($"vec_id".isin(queryIds: _*))
-      .select($"vec_id".as("query_id"), $"emb".as("qe"), $"nrm".as("qnrm"))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("sim", dotExpr("qe", "centroid") / ($"qnrm" * $"cnrm"))
-      .groupBy($"query_id")
-      .agg(
-        first($"qe").as("qe"), first($"qnrm").as("qnrm"),
-        slice(sort_array(collect_list(
-          struct((-$"sim").as("nsim"), $"list_id".as("list_id")))), 1, nProbe).as("top"))
-      .select($"query_id", $"qe", $"qnrm", explode($"top.list_id").as("list_id"))
+    // queries probe their nProbe nearest lists: per-row sort over nLists
+    // sims (bounded by nLists, not the data)
+    val probes = e.filter($"vec_id".isin(queryIds: _*))
+      .select($"vec_id".as("query_id"), $"emb".as("qe"), $"nrm".as("qnrm"),
+        explode(probeCol(cents, "emb", "nrm", nProbe)).as("list_id"))
 
     // candidate join restricted to probed lists, then exact top-k
     val wRank = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
@@ -173,28 +200,19 @@ object Similarity {
       .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
       .withColumn("nrm", normExpr("emb"))
       .persist()
-    val centroids = spark.createDataFrame(
-      trainCentroids(spark, e, nLists)).toDF("list_id", "centroid")
-      .withColumn("cnrm", normExpr("centroid"))
+    val cents = trainCentroids(spark, e, nLists)
 
-    // membership: nearest list per vector (one bounded max_by shuffle)
-    val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("sim", dotExpr("emb", "centroid") / ($"nrm" * $"cnrm"))
-      .groupBy($"vec_id")
-      .agg(
-        max_by($"list_id", struct($"sim", -$"list_id")).as("list_id"),
-        first($"emb").as("ve"), first($"nrm").as("vnrm"))
+    // membership: nearest list per vector (per-row argmax, map-only — r6,
+    // see centSims; the r5 crossJoin+max_by shape paid a shuffle here)
+    val assigned = e
+      .select($"vec_id", assignCol(cents, "emb", "nrm").as("list_id"),
+        $"emb".as("ve"), $"nrm".as("vnrm"))
 
-    // probing: every vector expands to its nProbe nearest lists (bounded by
-    // nLists per vector pre-aggregation, nProbe rows after)
-    val probes = e.crossJoin(broadcast(centroids))
-      .withColumn("sim", dotExpr("emb", "centroid") / ($"nrm" * $"cnrm"))
-      .groupBy($"vec_id")
-      .agg(
-        first($"emb").as("qe"), first($"nrm").as("qnrm"),
-        slice(sort_array(collect_list(
-          struct((-$"sim").as("nsim"), $"list_id".as("list_id")))), 1, nProbe).as("top"))
-      .select($"vec_id", $"qe", $"qnrm", explode($"top.list_id").as("list_id"))
+    // probing: every vector expands to its nProbe nearest lists (per-row
+    // sort over nLists sims, map-only)
+    val probes = e
+      .select($"vec_id", $"emb".as("qe"), $"nrm".as("qnrm"),
+        explode(probeCol(cents, "emb", "nrm", nProbe)).as("list_id"))
 
     // candidate join co-partitioned on list_id; nearest via max_by
     val cands = assigned.select($"list_id", $"vec_id".as("cand_id"), $"ve", $"vnrm")
@@ -212,13 +230,8 @@ object Similarity {
     val e = embeddings
       .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
       .withColumn("nrm", normExpr("emb"))
-    val centroids = spark.createDataFrame(
-      trainCentroids(spark, e, nLists)).toDF("list_id", "centroid")
-      .withColumn("cnrm", normExpr("centroid"))
-    e.crossJoin(broadcast(centroids))
-      .withColumn("sim", dotExpr("emb", "centroid") / ($"nrm" * $"cnrm"))
-      .groupBy($"vec_id")
-      .agg(max_by($"list_id", struct($"sim", -$"list_id")).as("list_id"))
+    val cents = trainCentroids(spark, e, nLists)
+    e.select($"vec_id", assignCol(cents, "emb", "nrm").as("list_id"))
   }
 
   /** Exact brute-force top-k (ground truth for recall measurement). */
