@@ -141,16 +141,21 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey")
     }),
 
-    // ---- intra-batch first-wins dedup via window (SURVEY §2.2/§2.6) ------
+    // ---- intra-batch first-wins dedup (SURVEY §2.2/§2.6) -----------------
     "q_first_wins_dedup" -> ((s, dir) => {
       // (l_orderkey, l_linenumber) is not unique in the synthetic data —
-      // the tiebreak must be total for a deterministic first-wins
-      val w = Window.partitionBy("l_orderkey")
-        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      // the tiebreak must be total for a deterministic first-wins.
+      // r6 (guide §2.3 "aggregate before you shuffle"): rank-1-of-window ≡
+      // min of the total ordering tuple — a struct-min aggregation gets
+      // map-side partial agg (the shuffle moves one struct per group, not
+      // every row) and drops the window's full sort. Same rows as the
+      // frozen window-form oracle (DuckDB gate green); the engine's
+      // first-wins dedup has used this shape since r4 (PlanSpec-gated).
       t(s, dir, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("l_orderkey"), col("l_partkey").as("first_part"))
+        .groupBy(col("l_orderkey"))
+        .agg(min(struct(col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"))).as("r"))
+        .select(col("l_orderkey"), col("r.l_partkey").as("first_part"))
     }),
 
     // ---- priority dequeue: top-k per host via window rank (SURVEY §2.5) --
@@ -543,9 +548,16 @@ object SparkEntry {
               i => md5(concat_ws(" ", slice(col("tk"), i, lit(8))))))
             .otherwise(array().cast("array<string>"))).as("g"))
       val docs = tf(s, dir, "documents")
-      val bench = docs.orderBy("doc_id").limit(10)
+      // r6: the benchmark set is 10 ids BY CONSTRUCTION — collect them in
+      // one bounded TakeOrdered (q_redirect_chain's documented driver-action
+      // pattern) so the corpus side becomes a pushdown-able NOT-isin filter
+      // instead of a left_anti join, and the TakeOrdered subtree isn't
+      // executed once per use (guide §2.4). Same bench set, same output.
+      val benchIds = t(s, dir, "documents").select(col("doc_id"))
+        .orderBy("doc_id").limit(10).collect().map(_.getLong(0)).toSeq
+      val bench = docs.filter(col("doc_id").isin(benchIds: _*))
       val benchGrams = gramsOf(bench).select("g").distinct()
-      gramsOf(docs.join(bench.select("doc_id"), Seq("doc_id"), "left_anti"))
+      gramsOf(docs.filter(!col("doc_id").isin(benchIds: _*)))
         .join(broadcast(benchGrams), Seq("g"), "left_semi")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_contaminated"))

@@ -117,16 +117,19 @@ object Similarity {
     * orders exactly like sort_array over the collected structs. */
   private def centSims(cents: Seq[(Int, Array[Double])],
       emb: String, nrm: String): Seq[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{lit, typedlit, call_function}
     cents.map { case (_, c) =>
       var s = 0.0; var i = 0
       while (i < c.length) { s += c(i) * c(i); i += 1 }
       val cnrm = math.sqrt(s) // same fold normExpr runs on the centroid col
-      expr(s"graft_dot($emb, ${litArraySql(c)})") / (col(nrm) * lit(cnrm))
+      // typedlit: the centroid is ONE constant ArrayData reference in the
+      // generated code — an `array(d0, d1, …)` SQL literal would be a
+      // CreateArray rebuilt per row and per centroid, and 16 × dim element
+      // writes per row dominated the codegen size and first-run compile
+      call_function("graft_dot", col(emb), typedlit(c.toSeq)) /
+        (col(nrm) * lit(cnrm))
     }
   }
-  private def litArraySql(c: Array[Double]): String =
-    c.mkString("array(", "D,", "D)")
   /** nearest list id per row: first index (0-based) of the max sim. */
   private def assignCol(cents: Seq[(Int, Array[Double])],
       emb: String, nrm: String): org.apache.spark.sql.Column = {
