@@ -398,7 +398,13 @@ package graft
   *     frontier empty, maxEpochs reached, total page fetches ≥
   *     closespiderPageCount (CLOSESPIDER_PAGECOUNT), stored media items ≥
   *     closespiderItemCount (CLOSESPIDER_ITEMCOUNT over `file_count` — the
-  *     item_scraped analogue), or the VIRTUAL clock ≥ closespiderTimeoutS
+  *     item_scraped analogue; resume caveat (ADVICE r5): `file_count` is
+  *     accumulated only over epochs run WITH the threshold armed — the
+  *     expiry-off media path is deliberately count-free — so resuming a
+  *     crawl whose earlier epochs ran unarmed starts the count from the
+  *     resume point, deferring the cut past those earlier items; arm the
+  *     threshold from epoch 0 for exact totals), or the VIRTUAL clock ≥
+  *     closespiderTimeoutS
   *     (CLOSESPIDER_TIMEOUT mapped onto virtual time: max non-cached fetch
   *     `t`; deterministic where the reference's wall clock is not). The
   *     finish reason is recorded like CoreStats `finish_reason`
@@ -655,8 +661,14 @@ final case class CrawlConfig(
     * `scheme://hostport` and the credentials become a Proxy-Authorization
     * header (`Basic ` + b64 of the percent-unquoted `user:pass`, encoded
     * HTTPPROXY_AUTH_ENCODING = latin-1, `_basic_auth_header`
-    * `httpproxy.py:52-56`). Returns (strippedUrl, basicCredsOrNull). */
-  def parseProxyUrl(url: String): (String, String) = {
+    * `httpproxy.py:52-56`). Returns (strippedUrl, basicCredsOrNull).
+    *
+    * ADVICE r5 edges: credentials are gated on a NON-EMPTY username — the
+    * reference's `if user` (`httpproxy.py:61-62`) emits no header for
+    * `http://:pass@host`; and a scheme-less proxy URL inherits the
+    * proxies-map key like `urlunparse((proxy_type or orig_type, ...))`
+    * (`orig_type` = the scheme the proxy was configured under). */
+  def parseProxyUrl(url: String, origType: String = ""): (String, String) = {
     val i = url.indexOf("://")
     val (scheme, rest) =
       if (i < 0) ("", url) else (url.substring(0, i), url.substring(i + 3))
@@ -666,24 +678,28 @@ final case class CrawlConfig(
     val (userinfo, hostport) =
       if (at < 0) (null, authority)
       else (authority.substring(0, at), authority.substring(at + 1))
+    val effScheme = if (scheme.nonEmpty) scheme else origType
     val stripped =
-      (if (scheme.nonEmpty) scheme + "://" else "//") + hostport
+      (if (effScheme.nonEmpty) effScheme + "://" else "//") + hostport
     val creds =
       if (userinfo == null || userinfo.isEmpty) null
       else {
         val c = userinfo.indexOf(':')
         val (u, p) = if (c < 0) (userinfo, "") else
           (userinfo.substring(0, c), userinfo.substring(c + 1))
-        val userPass = graft.urlkit.PyUrl.unquote(u) + ":" +
-          graft.urlkit.PyUrl.unquote(p)
-        java.util.Base64.getEncoder.encodeToString(
-          userPass.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        if (u.isEmpty) null // `if user:` — password-only ⇒ no header
+        else {
+          val userPass = graft.urlkit.PyUrl.unquote(u) + ":" +
+            graft.urlkit.PyUrl.unquote(p)
+          java.util.Base64.getEncoder.encodeToString(
+            userPass.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        }
       }
     (stripped, creds)
   }
 
   @transient private lazy val parsedProxies: Map[String, (String, String)] =
-    proxies.map { case (k, v) => k -> parseProxyUrl(v) }
+    proxies.map { case (k, v) => k -> parseProxyUrl(v, k) }
 
   /** The proxy this request routes through — CREDENTIAL-STRIPPED like the
     * reference's meta["proxy"] (`httpproxy.py:88-91`); null = direct. */

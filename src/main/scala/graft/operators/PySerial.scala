@@ -374,13 +374,28 @@ object Unpickle {
     // the fills, and the final freeze resolves builders structurally
     val memo = scala.collection.mutable.ArrayBuffer.empty[Any]
     // containers under construction are mutable builders on the stack;
-    // freeze converts (shared nodes were frozen before memo reference)
+    // freeze converts (shared nodes were frozen before memo reference).
+    // ADVICE r5: a legal CPython pickle CAN memo-cycle a container into
+    // itself — cycles are out of the exporter's acyclic Py domain, so a
+    // builder revisited ON THE CURRENT PATH (identity, not equality — DAG
+    // sharing stays legal) raises the same clean out-of-domain error as an
+    // unsupported opcode instead of recursing to StackOverflow.
+    val inPath = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
     def freeze(v: Any): Py = v match {
       case p: Py => p
       case b: scala.collection.mutable.ArrayBuffer[_] =>
-        PyList(b.map(x => freeze(x)).toSeq)
+        if (!inPath.add(b)) throw new IllegalArgumentException(
+          "unpickle: self-referential container (cycle) is outside the supported domain")
+        val r = PyList(b.map(x => freeze(x)).toSeq)
+        inPath.remove(b)
+        r
       case m: scala.collection.mutable.LinkedHashMap[_, _] =>
-        PyDict(m.toSeq.map { case (k, v2) => (freeze(k), freeze(v2)) })
+        if (!inPath.add(m)) throw new IllegalArgumentException(
+          "unpickle: self-referential container (cycle) is outside the supported domain")
+        val r = PyDict(m.toSeq.map { case (k, v2) => (freeze(k), freeze(v2)) })
+        inPath.remove(m)
+        r
     }
     def popMark(): Seq[Any] = {
       val m = marks.remove(marks.size - 1)
@@ -410,6 +425,15 @@ object Unpickle {
     }
     def decodeLongLE(le: Array[Byte]): BigInt =
       if (le.isEmpty) BigInt(0) else BigInt(le.reverse) // two's complement BE
+    // ADVICE r5: string/bytes lengths are validated instead of being fed
+    // to copyOfRange as raw signed values (a negative/oversized length is
+    // a corrupt or out-of-domain stream, same clean error class)
+    def len32(n: Int): Int =
+      if (n < 0 || n > data.length - i) throw new IllegalArgumentException(
+        s"unpickle: invalid length $n at offset $i") else n
+    def len64(n: Long): Int =
+      if (n < 0 || n > data.length - i) throw new IllegalArgumentException(
+        s"unpickle: invalid length $n at offset $i") else n.toInt
     while (true) {
       val op = u8()
       op match {
@@ -431,11 +455,11 @@ object Unpickle {
           while (k < 8) { bits = (bits << 8) | u8(); k += 1 }
           stack += PyFloat(java.lang.Double.longBitsToDouble(bits))
         case 0x8c => stack += PyStr(surrogatePassDecode(take(u8())))
-        case 'X' => stack += PyStr(surrogatePassDecode(take(i32le())))
-        case 0x8d => stack += PyStr(surrogatePassDecode(take(u64le().toInt)))
+        case 'X' => stack += PyStr(surrogatePassDecode(take(len32(i32le()))))
+        case 0x8d => stack += PyStr(surrogatePassDecode(take(len64(u64le()))))
         case 'C' => stack += PyBytes(take(u8()))
-        case 'B' => stack += PyBytes(take(i32le()))
-        case 0x8e => stack += PyBytes(take(u64le().toInt))
+        case 'B' => stack += PyBytes(take(len32(i32le())))
+        case 0x8e => stack += PyBytes(take(len64(u64le())))
         case ']' => stack += scala.collection.mutable.ArrayBuffer.empty[Any]
         case '}' => stack += scala.collection.mutable.LinkedHashMap.empty[Py, Any]
         case ')' => stack += PyTuple(Nil)

@@ -92,6 +92,19 @@ class HeadersSpec extends AnyFunSuite {
     assert(cfg2.proxyAuthFor("http", "h.test") === s"Basic $b642")
   }
 
+  test("proxy URL edges (ADVICE r5): password-only userinfo, scheme-less URL") {
+    // `if user:` (`httpproxy.py:61-62`): empty username ⇒ NO header, but
+    // the stripped meta["proxy"] still drops the userinfo
+    val cfgP = CrawlConfig(proxies = Map("http" -> "http://:pass@proxy:3128"))
+    assert(cfgP.proxyAuthFor("http", "h.test") === null)
+    assert(cfgP.proxyFor("http", "h.test") === "http://proxy:3128")
+    // scheme-less proxy URL inherits the proxies-map key — urlunparse((
+    // proxy_type or orig_type, hostport, ...)), `httpproxy.py:58-63`
+    val cfgS = CrawlConfig(proxies = Map("https" -> "proxy2:9999"))
+    assert(cfgS.proxyFor("https", "h.test") === "https://proxy2:9999")
+    assert(cfgS.proxyAuthFor("https", "h.test") === null)
+  }
+
   test("Proxy-Authorization enters request_httprepr byte counts (6h)") {
     import graft.operators.DownloaderStats
     val base = DownloaderStats.requestBytes("http://h.test/p", "GET", "",

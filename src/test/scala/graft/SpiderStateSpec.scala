@@ -66,6 +66,37 @@ class SpiderStateSpec extends AnyFunSuite {
       PyStr("y") -> PyStr("same"))))
   }
 
+  test("Unpickle rejects self-referential containers cleanly (ADVICE r5)") {
+    // CPython: l = []; l.append(l) / d = {}; d["self"] = d — legal pickles
+    // via the memo, but cycles are outside the acyclic Py domain: must be
+    // the documented IllegalArgumentException, not a StackOverflowError
+    def fromHex(h: String) =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val cyclicList = fromHex("80049506000000000000005d946800612e")
+    val cyclicDict = fromHex("8004950d000000000000007d948c0473656c66946800732e")
+    intercept[IllegalArgumentException](Unpickle.loads(cyclicList))
+    intercept[IllegalArgumentException](Unpickle.loads(cyclicDict))
+    // DAG sharing (the legal memo reuse) must still load:
+    // inner = ["same"]; outer = [inner, inner] — same builder on two paths
+    val shared = Unpickle.loads(fromHex(
+      "80049511000000000000005d94285d948c0473616d6594616801652e"))
+    val inner = PyList(Seq(PyStr("same")))
+    assert(shared === PyList(Seq(inner, inner)))
+  }
+
+  test("Unpickle rejects negative/oversized lengths cleanly (ADVICE r5)") {
+    def fromHex(h: String) =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // BINUNICODE ('X') with length -1, then BINBYTES ('B') with length -1
+    intercept[IllegalArgumentException](
+      Unpickle.loads(fromHex("800458ffffffff2e")))
+    intercept[IllegalArgumentException](
+      Unpickle.loads(fromHex("800442ffffffff2e")))
+    // oversized (runs past the stream) is the same clean error
+    intercept[IllegalArgumentException](
+      Unpickle.loads(fromHex("800458ffffff7f612e")))
+  }
+
   test("save/load lifecycle: absent file = empty dict; persisted file round-trips") {
     val dir = TestSpark.tempDir("spiderstate")
     assert(SpiderState.load(dir) === PyDict(Nil))
