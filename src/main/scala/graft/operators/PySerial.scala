@@ -448,7 +448,7 @@ object Unpickle {
         case 'M' => stack += PyInt(BigInt(u16le()))
         case 'J' => stack += PyInt(BigInt(i32le()))
         case 0x8a => stack += PyInt(decodeLongLE(take(u8()))) // LONG1
-        case 0x8b => stack += PyInt(decodeLongLE(take(i32le()))) // LONG4
+        case 0x8b => stack += PyInt(decodeLongLE(take(len32(i32le())))) // LONG4
         case 'G' =>
           var bits = 0L
           var k = 0
