@@ -34,7 +34,8 @@ object BenchExtra {
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("GRAFT_LOG_LEVEL", "ERROR"))
     // same warmup as Bench so first-query numbers are comparable
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("q_counter_agg").foreach { fn =>

@@ -130,17 +130,22 @@ object Similarity {
         (col(nrm) * lit(cnrm))
     }
   }
+  /** the per-row sims array bound as ONE projected column: downstream
+    * argmax/top-nProbe expressions reference `sims` elements instead of
+    * duplicating the 16 dot-product subtrees per use — the analyzed tree
+    * stays linear in nLists and the first-run Catalyst/codegen cost (the
+    * dominant cost of these queries at small scale) drops with it. */
+  private def withSims(df: DataFrame, cents: Seq[(Int, Array[Double])],
+      emb: String, nrm: String): DataFrame =
+    df.withColumn("sims", array(centSims(cents, emb, nrm): _*))
   /** nearest list id per row: first index (0-based) of the max sim. */
-  private def assignCol(cents: Seq[(Int, Array[Double])],
-      emb: String, nrm: String): org.apache.spark.sql.Column = {
-    val sims = array(centSims(cents, emb, nrm): _*)
-    (array_position(sims, array_max(sims)) - 1L).cast("int")
-  }
-  /** the nProbe nearest list ids per row, orderd by (-sim, list_id). */
-  private def probeCol(cents: Seq[(Int, Array[Double])],
-      emb: String, nrm: String, nProbe: Int): org.apache.spark.sql.Column = {
-    val pairs = centSims(cents, emb, nrm).zipWithIndex.map { case (s, i) =>
-      struct((-s).as("nsim"), lit(i).as("list_id"))
+  private def assignCol: org.apache.spark.sql.Column =
+    (array_position(col("sims"), array_max(col("sims"))) - 1L).cast("int")
+  /** the nProbe nearest list ids per row, ordered by (-sim, list_id). */
+  private def probeCol(nLists: Int, nProbe: Int): org.apache.spark.sql.Column = {
+    val pairs = (0 until nLists).map { i =>
+      struct((-element_at(col("sims"), i + 1)).as("nsim"),
+        lit(i).as("list_id"))
     }
     slice(array_sort(array(pairs: _*)), 1, nProbe).getField("list_id")
   }
@@ -165,15 +170,15 @@ object Similarity {
     val cents = trainCentroids(spark, e, nLists)
 
     // assign every vector to its nearest centroid: per-row argmax
-    val assigned = e
-      .select($"vec_id", assignCol(cents, "emb", "nrm").as("list_id"),
+    val assigned = withSims(e, cents, "emb", "nrm")
+      .select($"vec_id", assignCol.as("list_id"),
         $"emb".as("ve"), $"nrm".as("vnrm"))
 
     // queries probe their nProbe nearest lists: per-row sort over nLists
     // sims (bounded by nLists, not the data)
-    val probes = e.filter($"vec_id".isin(queryIds: _*))
+    val probes = withSims(e.filter($"vec_id".isin(queryIds: _*)), cents, "emb", "nrm")
       .select($"vec_id".as("query_id"), $"emb".as("qe"), $"nrm".as("qnrm"),
-        explode(probeCol(cents, "emb", "nrm", nProbe)).as("list_id"))
+        explode(probeCol(nLists, nProbe)).as("list_id"))
 
     // candidate join restricted to probed lists, then exact top-k
     val wRank = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
@@ -207,15 +212,15 @@ object Similarity {
 
     // membership: nearest list per vector (per-row argmax, map-only — r6,
     // see centSims; the r5 crossJoin+max_by shape paid a shuffle here)
-    val assigned = e
-      .select($"vec_id", assignCol(cents, "emb", "nrm").as("list_id"),
+    val assigned = withSims(e, cents, "emb", "nrm")
+      .select($"vec_id", assignCol.as("list_id"),
         $"emb".as("ve"), $"nrm".as("vnrm"))
 
     // probing: every vector expands to its nProbe nearest lists (per-row
     // sort over nLists sims, map-only)
-    val probes = e
+    val probes = withSims(e, cents, "emb", "nrm")
       .select($"vec_id", $"emb".as("qe"), $"nrm".as("qnrm"),
-        explode(probeCol(cents, "emb", "nrm", nProbe)).as("list_id"))
+        explode(probeCol(nLists, nProbe)).as("list_id"))
 
     // candidate join co-partitioned on list_id; nearest via max_by
     val cands = assigned.select($"list_id", $"vec_id".as("cand_id"), $"ve", $"vnrm")
@@ -234,7 +239,7 @@ object Similarity {
       .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
       .withColumn("nrm", normExpr("emb"))
     val cents = trainCentroids(spark, e, nLists)
-    e.select($"vec_id", assignCol(cents, "emb", "nrm").as("list_id"))
+    withSims(e, cents, "emb", "nrm").select($"vec_id", assignCol.as("list_id"))
   }
 
   /** Exact brute-force top-k (ground truth for recall measurement). */
